@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: BM25 top-k search over the sf0.001 documents
+                 corpus through the full stemmed index.
+queries()      — one entry per implemented operator (SURVEY.md §2);
+                 each callable (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL per query (distributed_search_engine_spark.oracle);
+                 column names/aliases match the Spark side exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +13,153 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from distributed_search_engine_spark import oracle
+from distributed_search_engine_spark.operators.postings import build_index
+from distributed_search_engine_spark.query.engine import SearchIndex, search
+
+# ---------------------------------------------------------------------------
+# index cache: the driver calls each query separately; building the index
+# once per (sf_dir, stems) keeps the gate fast without changing semantics.
+# ---------------------------------------------------------------------------
+_INDEX_CACHE: dict[tuple[str, bool], dict] = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _index(spark: SparkSession, sf_dir: str, with_stems: bool) -> dict:
+    key = (sf_dir, with_stems)
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        idx = build_index(
+            docs, doc_id_col="doc_id", content_col="text", with_stems=with_stems
+        )
+        for name in ("postings", "doc_stats", "term_stats"):
+            idx[name] = idx[name].persist()
+        _INDEX_CACHE[key] = idx
+    return _INDEX_CACHE[key]
+
+
+def _search_index(spark: SparkSession, sf_dir: str, with_stems: bool) -> SearchIndex:
+    idx = _index(spark, sf_dir, with_stems)
+    return SearchIndex(
+        postings=idx["postings"],
+        term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"],
+        term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full stemmed index build over sf0.001 + BM25 top-20."""
+    sidx = _search_index(spark, "/root/testdata/sf0.001", with_stems=True)
+    return search(spark, sidx, "spark data query", k=20, mode="bm25")
+
+
+# ---------------------------------------------------------------------------
+# oracle-gated queries (each maps to SURVEY.md §2 logical ops)
+# ---------------------------------------------------------------------------
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I5: doc_len / max_tf / title per doc
+    ds = _index(spark, sf_dir, with_stems=False)["doc_stats"]
+    return ds.select("doc_id", "doc_len", "max_tf", "title")
+
+
+def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I7/I8/I9: postings with stream positions + normalized tf (unstemmed
+    # mode; stemmed emission is covered by index_postings_stemmed, rows-only)
+    p = _index(spark, sf_dir, with_stems=False)["postings"]
+    return p.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.round("normalized_tf", 6).alias("normalized_tf"),
+        "doc_len",
+        F.array_join(F.col("positions").cast("array<string>"), " ").alias("positions"),
+    )
+
+
+def _q_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I10/I11: df + idf (+ BM25 idf) after caps
+    ts = _index(spark, sf_dir, with_stems=False)["term_stats"]
+    return ts.select(
+        "term",
+        "df",
+        F.round("idf", 6).alias("idf"),
+        F.round("idf_bm25", 6).alias("idf_bm25"),
+    )
+
+
+def _q_content_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-row invariant (BASELINE input_hint): sha256(content) through the
+    # pipeline equals sha256 on the source
+    ds = _index(spark, sf_dir, with_stems=False)["doc_stats"]
+    return ds.select("doc_id", "content_sha")
+
+
+def _q_tfidf_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q1/Q4/Q5/Q9(pr=0): reference-mode single-term scoring
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    res = search(
+        spark, sidx, "data", k=1_000_000, mode="reference", use_title_boost=False
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_and_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Q5/Q7/Q8/Q10: two-term AND + phrase boost + all-matched x4.0
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    res = search(
+        spark, sidx, "data stream", k=1_000_000, mode="reference",
+        use_title_boost=False,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M5 scorer: BM25(k1=1.2, b=0.75) multi-term, pagerank 0
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    res = search(spark, sidx, "spark join", k=1_000_000, mode="bm25")
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (Porter stemming not expressible in SQL): stem-expanded
+    # postings — jobs/Indexer.java:463-475 semantics
+    p = _index(spark, sf_dir, with_stems=True)["postings"]
+    return p.select(
+        "term", "doc_id", "tf",
+        F.array_join(F.col("positions").cast("array<string>"), " ").alias("positions"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "index_doc_stats": _q_doc_stats,
+        "index_postings": _q_postings,
+        "index_term_stats": _q_term_stats,
+        "content_sha256": _q_content_sha,
+        "search_tfidf_single": _q_tfidf_single,
+        "search_and_phrase": _q_and_phrase,
+        "search_bm25": _q_bm25,
+        "index_postings_stemmed": _q_postings_stemmed,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "index_doc_stats": oracle.DOC_STATS_SQL,
+        "index_postings": oracle.POSTINGS_SQL,
+        "index_term_stats": oracle.TERM_STATS_SQL,
+        "content_sha256": oracle.CONTENT_SHA_SQL,
+        "search_tfidf_single": oracle.tfidf_single_sql("data"),
+        "search_and_phrase": oracle.and_phrase_sql("data", "stream"),
+        "search_bm25": oracle.bm25_sql(["spark", "join"]),
+        # index_postings_stemmed: intentionally no oracle (Porter stemming
+        # is not SQL-expressible) -> rows-only check
+    }

@@ -1,0 +1,106 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md §1).
+
+One row per source file: (repo, path, commit, lang, content), all derived
+from a fixed seed — no external data. The vocabulary is Zipfian over a fixed
+word list that includes stop words and stemmable families (compute/computing/
+computer/...) so stemming, stop-word and skew paths are all exercised. A few
+rows exceed 1,000,000 chars to exercise the oversize-skip rule
+(reference jobs/Indexer.java:208).
+
+Derived at ingest (ingest()):
+  doc_id      = sha256(repo || '\\x00' || path || '\\x00' || commit)
+  content_sha = sha256(content)   — the per-row invariant column
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+LANGS = ["py", "java", "js", "go", "md"]
+
+# Stemmable families + neutral code-ish words + stop words (Zipf head).
+_VOCAB = (
+    ["the", "and", "of", "to", "is", "in", "that", "for", "with", "this"]  # stop head
+    + ["compute", "computing", "computer", "computation", "computed"]
+    + ["search", "searching", "searched", "engine", "engines"]
+    + ["index", "indexing", "indexed", "relational", "operational"]
+    + ["query", "queries", "running", "runner", "runs"]
+    + ["spark", "shuffle", "partition", "broadcast", "executor", "driver"]
+    + ["token", "posting", "ranker", "crawler", "graph", "vector", "matrix"]
+    + ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "theta", "kappa"]
+    + ["2024", "404", "007", "99", "x1", "foo", "bar", "baz", "qux"]
+    + [f"ident{i}" for i in range(60)]
+)
+
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("commit", StringType(), False),
+        StructField("lang", StringType(), False),
+        StructField("content", StringType(), False),
+    ]
+)
+
+
+def _zipf_choice(rng: random.Random, n: int) -> int:
+    """Zipf(s=1.1)-ish index in [0, n) via inverse CDF on precomputed weights."""
+    # rejection-free: use rng.random()^k trick — cheap approximate Zipf
+    u = rng.random()
+    return min(int(n * (u ** 2.2)), n - 1)
+
+
+def generate_rows(n_docs: int, seed: int = 42, oversize_every: int = 0):
+    """Yield (repo, path, commit, lang, content) tuples deterministically."""
+    rng = random.Random(seed)
+    nv = len(_VOCAB)
+    for i in range(n_docs):
+        repo = f"org/repo-{i % max(1, n_docs // 20):04d}"
+        path = f"src/pkg{i % 7}/file_{i:06d}.{LANGS[i % len(LANGS)]}"
+        commit = hashlib.sha1(f"{seed}:{i}".encode()).hexdigest()
+        lang = LANGS[i % len(LANGS)]
+        n_tokens = 30 + _zipf_choice(rng, 400)
+        words = [
+            _VOCAB[_zipf_choice(rng, nv)] for _ in range(n_tokens)
+        ]
+        # first "line" acts as the title (operators/docstats title_col)
+        title_words = words[: min(6, len(words))]
+        body = " ".join(words)
+        content = " ".join(title_words) + "\n" + body
+        if oversize_every and i % oversize_every == oversize_every - 1:
+            content = content + " pad" * 400_000  # > 1,000,000 chars -> skipped
+        yield (repo, path, commit, lang, content)
+
+
+def make_corpus(
+    spark: SparkSession,
+    n_docs: int = 2000,
+    seed: int = 42,
+    oversize_every: int = 0,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    rows = list(generate_rows(n_docs, seed, oversize_every))
+    df = spark.createDataFrame(rows, SOURCE_SCHEMA)
+    if n_partitions:
+        df = df.repartition(n_partitions)
+    return df
+
+
+def ingest(source: DataFrame) -> DataFrame:
+    """Derive doc_id + content_sha (BASELINE input_hint invariants)."""
+    return source.select(
+        F.sha2(
+            F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
+        ).alias("doc_id"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        "content",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+    )

@@ -1,0 +1,134 @@
+"""Tokenization — shared by index-time and query-time code.
+
+Reference semantics (jobs/Indexer.java:1275-1291, 1432-1447, 403-519 and
+frontend/SearchEngine.java:652-673):
+
+1. strip HTML tags  ``<[^>]*>`` -> space   (no-op for plain-text corpora)
+2. strip non-alphanumerics ``[^A-Za-z0-9\\s]`` -> space
+3. lowercase, split on whitespace, drop empty tokens
+4. a token is *worth indexing* iff 2 <= len <= 20 AND
+   (``^[a-z]+$`` OR ``^\\d{2,4}$``)
+5. the 1-based position counter advances for EVERY non-empty token, including
+   tokens that fail the worth check (jobs/Indexer.java:453-460) — positions
+   are stream offsets, not post-filter offsets. Phrase adjacency depends on
+   this.
+
+All three implementations below (Spark Column, pure Python, SQL templates for
+Spark SQL + the DuckDB oracle) MUST agree; tests/test_text.py checks them
+against each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Regexes (Java/RE2/Python compatible subsets only).
+RE_HTML_TAGS = "<[^>]*>"
+RE_NON_ALNUM = "[^A-Za-z0-9\\s]"
+RE_WS = "\\s+"
+RE_WORD = "^[a-z]+$"
+RE_NUM24 = "^[0-9]{2,4}$"
+
+MAX_DOC_CHARS = 1_000_000  # index skip rule, jobs/Indexer.java:208
+MIN_TOKEN_LEN = 2
+MAX_TOKEN_LEN = 20
+TITLE_MAX_CHARS = 200  # jobs/Indexer.java:1418-1430
+
+
+# ---------------------------------------------------------------------------
+# Spark Column expressions (JVM-side, whole-stage codegen; the hot path)
+# ---------------------------------------------------------------------------
+
+def tokens_col(content: Column) -> Column:
+    """array<string> of all non-empty tokens, in stream order.
+
+    Positions are 1-based indices into THIS array (use posexplode + 1).
+    """
+    cleaned = F.lower(F.regexp_replace(F.regexp_replace(content, RE_HTML_TAGS, " "), RE_NON_ALNUM, " "))
+    return F.filter(F.split(F.trim(cleaned), RE_WS), lambda t: t != F.lit(""))
+
+
+def is_worth_col(tok: Column) -> Column:
+    return (
+        (F.length(tok) >= MIN_TOKEN_LEN)
+        & (F.length(tok) <= MAX_TOKEN_LEN)
+        & (tok.rlike(RE_WORD) | tok.rlike(RE_NUM24))
+    )
+
+
+def title_col(content: Column) -> Column:
+    """First-line analog of the reference's <title> extraction
+    (jobs/Indexer.java:1418-1430): first 200 chars of the first line,
+    whitespace-collapsed."""
+    first_line = F.element_at(F.split(content, "\\n"), 1)
+    return F.substring(F.trim(F.regexp_replace(first_line, RE_WS, " ")), 1, TITLE_MAX_CHARS)
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python equivalents (pandas UDF internals, golden tests, query parsing)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_P_HTML = _re.compile(RE_HTML_TAGS)
+_P_NON_ALNUM = _re.compile(RE_NON_ALNUM)
+_P_WS = _re.compile(RE_WS)
+_P_WORD = _re.compile(RE_WORD)
+_P_NUM24 = _re.compile(RE_NUM24)
+
+
+def tokenize_py(content: str) -> list[str]:
+    cleaned = _P_NON_ALNUM.sub(" ", _P_HTML.sub(" ", content)).lower().strip()
+    if not cleaned:
+        return []
+    return [t for t in _P_WS.split(cleaned) if t]
+
+
+def is_worth_py(tok: str) -> bool:
+    return (
+        MIN_TOKEN_LEN <= len(tok) <= MAX_TOKEN_LEN
+        and (_P_WORD.match(tok) is not None or _P_NUM24.match(tok) is not None)
+    )
+
+
+def worthy_tokens_py(content: str) -> list[str]:
+    """Plain tokenize (I2): worthy tokens only — doc length / maxTf basis."""
+    return [t for t in tokenize_py(content) if is_worth_py(t)]
+
+
+def positioned_tokens_py(content: str) -> list[tuple[str, int]]:
+    """(token, 1-based stream position) for worthy tokens only (I7)."""
+    return [
+        (t, i + 1)
+        for i, t in enumerate(tokenize_py(content))
+        if is_worth_py(t)
+    ]
+
+
+def title_py(content: str) -> str:
+    first_line = content.split("\n", 1)[0]
+    return _P_WS.sub(" ", first_line).strip()[:TITLE_MAX_CHARS]
+
+
+# ---------------------------------------------------------------------------
+# SQL templates — the same tokenization for the DuckDB oracle.
+# Written once here so __spark_entry__.oracle_sql() stays in lockstep.
+# ---------------------------------------------------------------------------
+
+def duckdb_tokens_expr(col: str) -> str:
+    """DuckDB expression producing the token array for a text column."""
+    return (
+        f"string_split_regex(trim(lower(regexp_replace(regexp_replace({col},"
+        f" '{RE_HTML_TAGS}', ' ', 'g'), '{RE_NON_ALNUM}', ' ', 'g'))), '{RE_WS}')"
+    )
+
+
+DUCKDB_WORTH_PRED = (
+    "(length({t}) between 2 and 20 and "
+    "(regexp_matches({t}, '^[a-z]+$') or regexp_matches({t}, '^[0-9]{{2,4}}$')))"
+)
+
+
+def duckdb_worth(tok: str) -> str:
+    return DUCKDB_WORTH_PRED.format(t=tok)

@@ -1,0 +1,397 @@
+"""Query pipeline (logical ops Q1-Q12, reference frontend/SearchEngine.java).
+
+Two scorer modes (SURVEY §7.1):
+  - "reference": exact reproduction of the reference chain —
+    per-original-term dedup (first VALID expanded posting in expansion order
+    wins; stop/zero-tf entries skipped for scoring but their positions still
+    merged, SearchEngine.java:256-358), AND filter (:365-389), phrase x1.5
+    (:391-431), PageRank blend score*(1+pr) (:576-584), all-terms-matched
+    x4.0 / partial (0.3+0.7*ratio) / none x0.1 (:589-603), title boost
+    (:679-799).
+  - "bm25": BM25 (k1=1.2, b=0.75, Robertson idf) blended with PageRank as
+    score*(1+pr) — the north-star benchmark scorer.
+
+Spark-first: the expanded-terms set (a few dozen strings) is broadcast; the
+postings join is an equi-join on `term` that Catalyst turns into a
+broadcast-hash join against the (tiny) expansion table, so only matching
+index partitions are read when postings are stored term-hash-partitioned
+(index/segments.py provides the pruned reader). Everything after the first
+join touches only candidate docs — a small DataFrame.
+
+Deterministic tie-break: (score desc, doc_id asc); the reference leaves ties
+unspecified (SearchEngine.java:616, HashMap order) — SURVEY §4 item 5.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stemmer import porter_stem
+from ..functions.stopwords import STOP_WORDS
+from ..functions.text import tokenize_py
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+PRIORITY_ORIG = 0
+PRIORITY_STEM = 1
+PRIORITY_RELATED = 2
+
+
+@dataclass
+class SearchIndex:
+    """Handles to the index DataFrames (FIXTURES.md §4 schemas)."""
+
+    postings: DataFrame
+    term_stats: DataFrame
+    doc_stats: DataFrame
+    term_dict: DataFrame
+    total_docs: int
+    ranks: DataFrame | None = None  # (doc_id, rank)
+    _avgdl: float | None = field(default=None, repr=False)
+
+    @property
+    def avgdl(self) -> float:
+        if self._avgdl is None:
+            row = self.doc_stats.agg(F.avg("doc_len").alias("a")).collect()[0]
+            self._avgdl = float(row["a"] or 0.0)
+        return self._avgdl
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Q1 (SearchEngine.java:652-673): same strip/lower/split as indexing,
+    but NO worth-indexing filter — 1-char query tokens survive."""
+    return tokenize_py(query)
+
+
+def expand_terms(
+    search_terms: list[str], related_words_by_stem: dict[str, list[str]]
+) -> list[tuple[str, str, int]]:
+    """Q3 expansion: [(expanded_term, original_term, priority)].
+
+    Faithful to SearchEngine.java:129-181:
+    - the expanded list is [orig, stem?, related...] per original term, in
+      query order; the scorer processes it in order and the FIRST occurrence
+      of an expanded term is the one that counts -> priority = index of
+      first occurrence in that list.
+    - expandedToOriginal is a put()-built map: a LATER original term's
+      expansion overwrites an earlier mapping (last writer wins).
+    - related words come from a HashSet in the reference (unordered); we
+      order them lexicographically — the only deterministic refinement.
+    """
+    expanded_list: list[str] = []
+    exp_to_orig: dict[str, str] = {}
+    for term in search_terms:
+        group = [term]
+        stem = porter_stem(term)
+        if stem and stem != term and term not in STOP_WORDS:
+            group.append(stem)
+            group += [
+                rel
+                for rel in sorted(related_words_by_stem.get(stem, []))
+                if rel != term and rel != stem
+            ]
+        expanded_list += group
+        for t in group:
+            exp_to_orig[t] = term
+    first_idx: dict[str, int] = {}
+    for i, t in enumerate(expanded_list):
+        first_idx.setdefault(t, i)
+    return [(t, exp_to_orig[t], i) for t, i in first_idx.items()]
+
+
+def matched_boost_pairs(search_terms: list[str]) -> list[tuple[str, str]]:
+    """Q10 term sets: for each original term, {term, stem(term)} — stem
+    fetched even for stop words (SearchEngine.java:500-504), independent of
+    the Q3 expansion. [(lookup_term, original_term)]."""
+    pairs: list[tuple[str, str]] = []
+    seen: set[str] = set()
+    for term in search_terms:
+        if term in seen:
+            continue
+        seen.add(term)
+        pairs.append((term, term))
+        stem = porter_stem(term)
+        if stem and stem != term:
+            pairs.append((stem, term))
+    return pairs
+
+
+def _related_words(index: SearchIndex, stems: set[str]) -> dict[str, list[str]]:
+    """stemToWords lookup (SearchEngine.java:893-923) — a pruned scan of the
+    broadcastable term dictionary, collected (bounded by vocabulary size per
+    stem, tiny)."""
+    if not stems:
+        return {}
+    rows = (
+        index.term_dict.where(F.col("stem").isin(list(stems)))
+        .select("stem", "term")
+        .collect()
+    )
+    out: dict[str, list[str]] = {}
+    for r in rows:
+        out.setdefault(r["stem"], []).append(r["term"])
+    return out
+
+
+def _candidates(
+    spark: SparkSession, index: SearchIndex, expansion: list[tuple[str, str, int]]
+) -> DataFrame:
+    """Postings x expansion join: one row per (expanded term, doc) hit."""
+    exp_df = spark.createDataFrame(expansion, "term string, orig string, priority int")
+    return (
+        index.postings.join(F.broadcast(exp_df), "term")
+        .join(F.broadcast(index.term_stats.select("term", "idf", "idf_bm25", "is_stop")), "term")
+    )
+
+
+def title_boost_py(title: str, search_terms: list[str]) -> float:
+    """Q11 (SearchEngine.java:679-799) — exact port of getTitleBoost."""
+    if not title or not search_terms:
+        return 1.0
+    title_tokens = tokenize_py(title)
+    if not title_tokens:
+        return 1.0
+    title_stems = [porter_stem(t) for t in title_tokens]
+    term_positions: dict[str, list[int]] = {}
+    for term in search_terms:
+        positions = [j for j, tt in enumerate(title_tokens) if tt == term]
+        stem = porter_stem(term)
+        if stem:
+            for j, ts in enumerate(title_stems):
+                if ts == stem and j not in positions:
+                    positions.append(j)
+        if positions:
+            term_positions[term] = positions
+    if not term_positions:
+        return 1.0
+    matching = len(term_positions)
+    n = len(search_terms)
+
+    def in_order() -> bool:
+        if n < 2:
+            return False
+        earliest = []
+        for term in search_terms:
+            pos = term_positions.get(term)
+            if not pos:
+                return False
+            earliest.append(min(pos))
+        return all(earliest[i] < earliest[i + 1] for i in range(len(earliest) - 1))
+
+    if n == 1 and matching == 1:
+        pos = term_positions.get(search_terms[0], [])
+        if pos:
+            if 0 in pos:
+                return 3.5
+            if any(p < 3 for p in pos):
+                return 2.5
+            return 2.0
+    if n > 1 and matching == n:
+        ordered = in_order()
+        all_early = all(
+            any(p < 4 for p in term_positions.get(t, [])) for t in search_terms
+        )
+        if ordered and all_early:
+            return 4.0
+        if ordered:
+            return 3.0
+        if all_early:
+            return 2.5
+        return 2.0
+    base = 1.0 + 0.2 * matching
+    if in_order():
+        return base * (1.85 if matching == n else 1.30)
+    return base
+
+
+def search(
+    spark: SparkSession,
+    index: SearchIndex,
+    query: str,
+    k: int = 200,
+    mode: str = "reference",
+    all_matched_boost: bool = True,
+    use_title_boost: bool = True,
+) -> DataFrame:
+    """Returns (doc_id, score, tfidf, pagerank, title) top-k, deterministic.
+
+    ``all_matched_boost=False`` reproduces the README-era formula (golden
+    scores 1.8/1.2 instead of 7.2/4.8 — SURVEY §5 discrepancy note).
+    """
+    search_terms = tokenize_query(query)
+    empty = spark.createDataFrame(
+        [], "doc_id string, score double, tfidf double, pagerank double, title string"
+    )
+    if not search_terms:
+        return empty
+    # Q2: single-term stop-word short-circuit (SearchEngine.java:117-127)
+    if len(search_terms) == 1 and search_terms[0] in STOP_WORDS:
+        return empty
+
+    stems = {
+        porter_stem(t)
+        for t in search_terms
+        if t not in STOP_WORDS and porter_stem(t) != t
+    }
+    expansion = expand_terms(search_terms, _related_words(index, stems))
+    cand = _candidates(spark, index, expansion)
+
+    if mode == "bm25":
+        return _score_bm25(spark, index, cand, search_terms, k)
+
+    # ---- reference mode ----
+    n_terms = len(search_terms)
+    distinct_terms = list(dict.fromkeys(search_terms))
+
+    # Q5: first VALID expanded posting per (doc, orig) contributes tfidf;
+    # Q6: positions merged across ALL expanded postings (incl. stop entries).
+    valid = (~F.col("is_stop")) & (F.col("normalized_tf") > 0)
+    per_doc_orig = cand.groupBy("doc_id", "orig").agg(
+        F.min(
+            F.when(
+                valid,
+                F.struct(
+                    F.col("priority"), F.col("term"),
+                    (F.col("normalized_tf") * F.col("idf")).alias("contrib"),
+                ),
+            )
+        ).alias("best"),
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list("positions")))).alias("positions"),
+    )
+    per_doc_orig = per_doc_orig.select(
+        "doc_id", "orig", "positions", F.col("best.contrib").alias("contrib")
+    )
+
+    agg = per_doc_orig.groupBy("doc_id").agg(
+        F.sum("contrib").alias("tfidf"),
+        F.count(F.when(F.size("positions") > 0, 1)).alias("terms_with_pos"),
+        F.map_from_entries(F.collect_list(F.struct("orig", "positions"))).alias("posmap"),
+    )
+    # docs enter tfidfSums only via a valid contribution
+    agg = agg.where(F.col("tfidf").isNotNull())
+
+    if n_terms > 1:
+        # Q7 AND filter: every original term must have positions in the doc
+        agg = agg.where(F.col("terms_with_pos") == len(distinct_terms))
+        # Q8 phrase boost: every adjacent pair adjacent somewhere in the doc
+        pair_checks = [
+            F.arrays_overlap(
+                F.transform(F.col("posmap")[w1], lambda p: p + 1),
+                F.col("posmap")[w2],
+            )
+            for w1, w2 in zip(search_terms, search_terms[1:])
+        ]
+        phrase = pair_checks[0]
+        for pc in pair_checks[1:]:
+            phrase = phrase & pc
+        agg = agg.withColumn(
+            "tfidf", F.when(phrase, F.col("tfidf") * 1.5).otherwise(F.col("tfidf"))
+        )
+
+    # Q9: PageRank blend
+    ranks = index.ranks
+    if ranks is not None:
+        agg = agg.join(ranks.select("doc_id", "rank"), "doc_id", "left")
+    else:
+        agg = agg.withColumn("rank", F.lit(None).cast("double"))
+    agg = agg.withColumn("pagerank", F.coalesce(F.col("rank"), F.lit(0.0)))
+    agg = agg.withColumn("score", F.col("tfidf") * (1.0 + F.col("pagerank")))
+
+    # Q10: matched-terms boost — counts per-original-term hits in the raw or
+    # stem postings only (NOT related words; SearchEngine.java:495-573).
+    if n_terms > 1 and all_matched_boost:
+        pairs_df = spark.createDataFrame(
+            matched_boost_pairs(search_terms), "term string, orig string"
+        )
+        matched = (
+            index.postings.select("term", "doc_id")
+            .join(F.broadcast(pairs_df), "term")
+            .select("doc_id", "orig")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("matched"))
+        )
+        agg = agg.join(matched, "doc_id", "left").withColumn(
+            "matched", F.coalesce(F.col("matched"), F.lit(0))
+        )
+        ratio = F.col("matched") / F.lit(float(n_terms))
+        agg = agg.withColumn(
+            "score",
+            F.when(F.col("matched") == n_terms, F.col("score") * 4.0)
+            .when(F.col("matched") > 0, F.col("score") * (0.3 + 0.7 * ratio))
+            .otherwise(F.col("score") * 0.1),
+        )
+
+    # Q11: title boost (pandas UDF over the small candidate set)
+    agg = agg.join(index.doc_stats.select("doc_id", "title"), "doc_id", "left")
+    if use_title_boost:
+        import pandas as pd
+        from pyspark.sql.types import DoubleType
+
+        terms_closure = list(search_terms)
+
+        def _tboost(titles):
+            return titles.map(lambda t: title_boost_py(t or "", terms_closure))
+
+        tboost = F.pandas_udf(_tboost, DoubleType())
+
+        agg = agg.withColumn("tb", tboost(F.col("title"))).withColumn(
+            "score",
+            F.when(F.col("tb") > 1.0, F.col("score") * F.col("tb")).otherwise(
+                F.col("score")
+            ),
+        )
+
+    # Q12: deterministic top-k
+    return (
+        agg.select("doc_id", "score", "tfidf", "pagerank", "title")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _score_bm25(
+    spark: SparkSession,
+    index: SearchIndex,
+    cand: DataFrame,
+    search_terms: list[str],
+    k: int,
+) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) x (1 + PageRank), per-original-term dedup by
+    expansion priority (raw posting preferred over stem, like reference)."""
+    avgdl = index.avgdl or 1.0
+    tf = F.col("best.tf")
+    dl = F.col("best.doc_len")
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(avgdl))
+    per_doc_orig = cand.groupBy("doc_id", "orig").agg(
+        F.min(
+            F.struct(
+                F.col("priority"), F.col("term"),
+                F.col("tf"), F.col("doc_len"), F.col("idf_bm25"),
+            )
+        ).alias("best")
+    )
+    scored = per_doc_orig.select(
+        "doc_id",
+        (F.col("best.idf_bm25") * tf * (BM25_K1 + 1.0) / denom).alias("contrib"),
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("contrib").alias("tfidf"))
+    ranks = index.ranks
+    if ranks is not None:
+        agg = agg.join(ranks.select("doc_id", "rank"), "doc_id", "left")
+    else:
+        agg = agg.withColumn("rank", F.lit(None).cast("double"))
+    agg = (
+        agg.withColumn("pagerank", F.coalesce(F.col("rank"), F.lit(0.0)))
+        .withColumn("score", F.col("tfidf") * (1.0 + F.col("pagerank")))
+        .join(index.doc_stats.select("doc_id", "title"), "doc_id", "left")
+    )
+    return (
+        agg.select("doc_id", "score", "tfidf", "pagerank", "title")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
