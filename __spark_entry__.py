@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_search_engine_spark import oracle
+from distributed_search_engine_spark.operators.pagerank import (
+    run_pagerank,
+    synthetic_links,
+)
 from distributed_search_engine_spark.operators.postings import build_index
 from distributed_search_engine_spark.query.engine import SearchIndex, search
 
@@ -54,9 +58,23 @@ def _search_index(spark: SparkSession, sf_dir: str, with_stems: bool) -> SearchI
     )
 
 
+def _ranks(spark: SparkSession, sf_dir: str, iterations: int = 3) -> DataFrame:
+    key = (sf_dir, f"ranks{iterations}")
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir)
+        ranks, _ = run_pagerank(
+            docs, synthetic_links(docs), fixed_iterations=iterations
+        )
+        _INDEX_CACHE[key] = ranks.persist()
+    return _INDEX_CACHE[key]
+
+
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full stemmed index build over sf0.001 + BM25 top-20."""
-    sidx = _search_index(spark, "/root/testdata/sf0.001", with_stems=True)
+    """Flagship: full stemmed index over sf0.001 + PageRank blend + BM25
+    top-20 (the north-star query path)."""
+    sf_dir = "/root/testdata/sf0.001"
+    sidx = _search_index(spark, sf_dir, with_stems=True)
+    sidx.ranks = _ranks(spark, sf_dir)
     return search(spark, sidx, "spark data query", k=20, mode="bm25")
 
 
@@ -128,6 +146,13 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1-P8: 3 fixed iterations over the deterministic synthetic link graph
+    return _ranks(spark, sf_dir, 3).select(
+        "doc_id", F.round("rank", 6).alias("rank")
+    )
+
+
 def _q_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (Porter stemming not expressible in SQL): stem-expanded
     # postings — jobs/Indexer.java:463-475 semantics
@@ -147,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf_single": _q_tfidf_single,
         "search_and_phrase": _q_and_phrase,
         "search_bm25": _q_bm25,
+        "pagerank_3iter": _q_pagerank,
         "index_postings_stemmed": _q_postings_stemmed,
     }
 
@@ -160,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_single": oracle.tfidf_single_sql("data"),
         "search_and_phrase": oracle.and_phrase_sql("data", "stream"),
         "search_bm25": oracle.bm25_sql(["spark", "join"]),
+        "pagerank_3iter": oracle.pagerank_sql(3),
         # index_postings_stemmed: intentionally no oracle (Porter stemming
         # is not SQL-expressible) -> rows-only check
     }

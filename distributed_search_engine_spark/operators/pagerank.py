@@ -1,0 +1,194 @@
+"""PageRank (logical ops P1-P8, reference jobs/PageRank.java).
+
+Exact reference semantics preserved (SURVEY §2.3):
+  - init rank 1.0 for every doc (PageRank.java:180-181)
+  - transfer: node with L > 0 outlinks sends d*rank/L to each outlink,
+    d = 0.85 (:252-288); outlinks deduped per page (:165-170)
+  - dangling nodes' mass is DROPPED (no redistribution) — rank identity
+    with the reference depends on this (:252-288)
+  - update: new = 0.15 + 0.85 * sum(incoming) — the UNNORMALIZED additive
+    form; ranks sum to ~N, not 1 (:305-339). The reference's
+    (self, "0.0") emission trick (:283) is replaced by a left join from
+    the full doc set — same result, Spark-native.
+  - convergence: stop when maxDiff < threshold OR percentConverged >=
+    percentRequired, where a node is converged iff diff <= threshold
+    (:364-402, :488); defaults threshold=0.001, percentRequired=100.
+  - checkpoint every k iterations (:429-486) -> localCheckpoint here to cut
+    lineage (SURVEY §7.3 item 6); at cluster scale use a reliable
+    checkpoint dir or Parquet round-trip per k iterations.
+
+Scale notes: the per-iteration plan is one shuffle (links ⋈ ranks on src is
+co-partitioned if links is pre-partitioned by src and reused; groupBy dst is
+the unavoidable transfer shuffle). ranks (2 narrow columns) stays cached;
+links is cached once. Skewed in-degree (a hub page) is a groupBy-sum —
+map-side partial aggregation absorbs it.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+BASE = 0.15  # (1 - d), additive form (PageRank.java:319)
+
+
+@dataclass
+class PageRankStats:
+    iteration: int
+    max_diff: float
+    percent_converged: float
+
+
+def dedupe_links(links: DataFrame) -> DataFrame:
+    """P1 tail: outlinks deduped per source (PageRank.java:165-170)."""
+    return links.select("src", "dst").distinct()
+
+
+def run_pagerank(
+    docs: DataFrame,
+    links: DataFrame,
+    doc_id_col: str = "doc_id",
+    max_iterations: int = 50,
+    threshold: float = 0.001,
+    percent_required: float = 100.0,
+    checkpoint_every: int = 5,
+    fixed_iterations: int | None = None,
+) -> tuple[DataFrame, list[PageRankStats]]:
+    """Returns (ranks DataFrame (doc_id, rank), per-iteration stats).
+
+    ``fixed_iterations`` disables the convergence test and runs exactly n
+    iterations (used by the oracle-gated query, which unrolls the same n
+    iterations in SQL).
+    """
+    nodes = docs.select(F.col(doc_id_col).cast("string").alias("doc_id")).distinct()
+    edges = dedupe_links(
+        links.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = edges.join(out_deg, "src").persist()
+    edges.count()  # materialize once
+
+    ranks = nodes.select("doc_id", F.lit(1.0).alias("rank")).persist()
+    history: list[PageRankStats] = []
+
+    n_iter = fixed_iterations if fixed_iterations is not None else max_iterations
+    for it in range(1, n_iter + 1):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(DAMPING) * F.col("rank") / F.col("out_deg")).alias("share"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "doc_id", "left")
+            .select(
+                "doc_id",
+                (F.lit(BASE) + F.coalesce(F.col("inflow"), F.lit(0.0))).alias("rank"),
+            )
+        )
+        if checkpoint_every and it % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.persist()
+
+        if fixed_iterations is None:
+            # P6: one aggregate pass computes maxDiff + percentConverged
+            diffs = (
+                new_ranks.alias("n")
+                .join(ranks.alias("p"), "doc_id")
+                .select(F.abs(F.col("n.rank") - F.col("p.rank")).alias("diff"))
+            )
+            row = diffs.agg(
+                F.max("diff").alias("max_diff"),
+                (
+                    100.0
+                    * F.sum(F.when(F.col("diff") <= threshold, 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).alias("pct"),
+            ).collect()[0]
+            stats = PageRankStats(it, float(row["max_diff"] or 0.0), float(row["pct"] or 0.0))
+            history.append(stats)
+            ranks.unpersist()
+            ranks = new_ranks
+            if stats.max_diff < threshold or stats.percent_converged >= percent_required:
+                break
+        else:
+            new_ranks.count()
+            ranks.unpersist()
+            ranks = new_ranks
+            history.append(PageRankStats(it, float("nan"), float("nan")))
+
+    edges.unpersist()
+    return ranks, history
+
+
+def synthetic_links(docs: DataFrame, doc_id_col: str = "doc_id") -> DataFrame:
+    """Deterministic link graph over an integer-keyed doc table (testdata):
+    each doc links to (id+1) % N and (id*3+7) % N. Matches
+    oracle.pagerank_sql exactly; used where the corpus carries no real
+    hyperlink/import structure."""
+    n = docs.count()
+    ids = docs.select(F.col(doc_id_col).cast("long").alias("id"))
+    l1 = ids.select(F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+    l2 = ids.select(F.col("id").alias("src"), ((F.col("id") * 3 + 7) % n).alias("dst"))
+    return l1.unionByName(l2).select(
+        F.col("src").cast("string"), F.col("dst").cast("string")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1 for the source-code corpus: per-lang import/reference extraction
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_IMPORT_PATTERNS = {
+    "py": _re.compile(r"^\s*(?:from|import)\s+([A-Za-z_][\w.]*)", _re.M),
+    "java": _re.compile(r"^\s*import\s+(?:static\s+)?([\w.]+)\s*;", _re.M),
+    "js": _re.compile(r"""(?:require\(|from\s+)['"]([^'"]+)['"]""", _re.M),
+    "go": _re.compile(r'^\s*import\s+"([^"]+)"', _re.M),
+    "md": _re.compile(r"\[[^\]]*\]\(([^)]+)\)"),
+}
+
+
+def extract_import_refs(content: str, lang: str) -> list[str]:
+    """Deterministic per-lang reference extraction (the code-corpus analog
+    of the reference's <a href> extraction, jobs/Crawler.java:357-419).
+    Returns raw reference strings; resolution to doc_ids is corpus-specific
+    (resolve against a (repo, module) -> doc_id mapping table)."""
+    pat = _IMPORT_PATTERNS.get(lang)
+    if pat is None:
+        return []
+    return sorted(set(pat.findall(content)))
+
+
+def extract_links(docs: DataFrame, content_col: str = "content", lang_col: str = "lang") -> DataFrame:
+    """(src_doc_id, ref) pairs via a vectorized pandas UDF."""
+    from pyspark.sql.types import ArrayType, StringType
+
+    def _extract(batch_iter):
+        import pandas as pd
+
+        for pdf in batch_iter:
+            yield pd.DataFrame(
+                {
+                    "src": pdf["doc_id"],
+                    "refs": [
+                        extract_import_refs(c or "", l or "")
+                        for c, l in zip(pdf[content_col], pdf[lang_col])
+                    ],
+                }
+            )
+
+    out = docs.select("doc_id", content_col, lang_col).mapInPandas(
+        _extract, schema="src string, refs array<string>"
+    )
+    return out.select("src", F.explode("refs").alias("ref"))

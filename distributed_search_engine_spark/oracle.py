@@ -118,6 +118,40 @@ GROUP BY p.doc_id
 """
 
 
+def pagerank_sql(iterations: int = 3) -> str:
+    """Unrolled PageRank over the deterministic synthetic link graph
+    (operators/pagerank.py synthetic_links): each doc -> (id+1)%N and
+    (id*3+7)%N. Exact reference math: per-share 0.85*rank/L transfer,
+    additive 0.15 base, dangling mass dropped (jobs/PageRank.java:271,319)."""
+    parts = [
+        """
+WITH nn AS (SELECT count(*)::bigint AS n FROM documents),
+links AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT n FROM nn) AS dst FROM documents
+  )
+),
+deg AS (SELECT src, count(*)::bigint AS l FROM links GROUP BY 1),
+r0 AS (SELECT doc_id, 1.0::double AS rank FROM documents)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT d.doc_id, 0.15 + coalesce(c.s, 0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT lk.dst AS doc_id, sum(0.85 * r.rank / g.l) AS s
+    FROM links lk JOIN r{k - 1} r ON r.doc_id = lk.src JOIN deg g ON g.src = lk.src
+    GROUP BY lk.dst
+  ) c USING (doc_id)
+)""")
+    parts.append(
+        f"\nSELECT doc_id::varchar AS doc_id, round(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "".join(parts)
+
+
 def and_phrase_sql(w1: str, w2: str) -> str:
     """Two-term reference-mode: AND filter + phrase x1.5 + all-matched x4.0
     (pagerank 0, no title boost) — Q5/Q7/Q8/Q10 chain."""
