@@ -1,0 +1,136 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys (docs_per_sec, cores, scaling inputs) ride along for
+BENCH/BASELINE.md. Run twice at different SPARK_GRAFT_CPUS (8 vs 32) for the
+N-vs-4N scaling-efficiency evidence (BASELINE.json north rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from distributed_search_engine_spark.index.segments import (
+    assign_docnums,
+    build_segments,
+    read_segments_for_terms,
+)
+from distributed_search_engine_spark.index.wand import wand_topk
+from distributed_search_engine_spark.operators.pagerank import (
+    run_pagerank,
+    synthetic_links,
+)
+from distributed_search_engine_spark.operators.postings import build_index
+from distributed_search_engine_spark.query.engine import SearchIndex, search
+from distributed_search_engine_spark.session import get_spark
+
+QUERY_SET = [
+    "data", "spark join", "data stream", "query filter sort",
+    "customer order", "hash merge", "window agg", "big table scan",
+    "fast vector", "group key value",
+]
+
+N_SEG_PARTS = 32
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("dse-bench", cores=cores, shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # q1: logical index build (tokenize -> postings -> stats), fully stemmed
+    t0 = time.time()
+    idx = build_index(docs, doc_id_col="doc_id", content_col="text")
+    idx["postings"] = idx["postings"].persist()
+    n_postings = idx["postings"].count()
+    idx["term_stats"] = idx["term_stats"].persist()
+    idx["term_stats"].count()
+    timings["index_build"] = time.time() - t0
+    docs_per_sec = n_docs / timings["index_build"]
+
+    # q2: physical segments (docnums, compress, manifest)
+    ds = assign_docnums(idx["doc_stats"], n_partitions=max(4, cores // 4)).persist()
+    avgdl = float(ds.agg(F.avg("doc_len")).collect()[0][0])
+    seg_dir = tempfile.mkdtemp(prefix="dse_segs_")
+    t0 = time.time()
+    build_segments(
+        idx["postings"], idx["term_stats"], ds, seg_dir, avgdl,
+        n_partitions=N_SEG_PARTS, batch_partitions=N_SEG_PARTS,
+    )
+    timings["segments_build"] = time.time() - t0
+
+    # q3: PageRank, 10 fixed iterations over the synthetic link graph
+    t0 = time.time()
+    ranks, _ = run_pagerank(docs, synthetic_links(docs), fixed_iterations=10)
+    ranks = ranks.persist()
+    ranks.count()
+    timings["pagerank_10iter"] = time.time() - t0
+
+    # q4: BM25 top-10 via block-max WAND over compressed segments
+    t0 = time.time()
+    for q in QUERY_SET:
+        terms = q.split()
+        rows = [
+            r.asDict()
+            for r in read_segments_for_terms(spark, seg_dir, terms, N_SEG_PARTS).collect()
+        ]
+        wand_topk(
+            [{"idf_bm25": r["idf_bm25"], "blocks": [b.asDict() for b in r["blocks"]]} for r in rows],
+            avgdl, 10,
+        )
+    timings["query_bm25_wand_x10"] = time.time() - t0
+
+    # q5: full reference-mode scoring chain (DataFrame path)
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"], ranks=ranks,
+    )
+    t0 = time.time()
+    for q in QUERY_SET[:5]:
+        search(spark, sidx, q, k=20, mode="reference").collect()
+    timings["query_reference_x5"] = time.time() - t0
+
+    # q6: BM25 logical DataFrame path (for WAND-vs-DataFrame comparison)
+    t0 = time.time()
+    for q in QUERY_SET[:5]:
+        search(spark, sidx, q, k=20, mode="bm25").collect()
+    timings["query_bm25_df_x5"] = time.time() - t0
+
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    total = sum(timings.values())
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_and_query_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "cores": cores,
+                "n_docs": n_docs,
+                "n_postings": n_postings,
+                "index_docs_per_sec": round(docs_per_sec, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

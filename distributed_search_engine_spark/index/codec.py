@@ -1,0 +1,123 @@
+"""Delta-gap + varint (LEB128) posting-list codec, numpy-vectorized.
+
+The reference stores postings as delimited strings (jobs/Indexer.java:766-775,
+"url|tf=..|pos=1 19 98"); the north star replaces that with delta-gap +
+varint-compressed binary blocks with per-block max-score metadata for
+block-max WAND. Encode/decode run inside Arrow-batched applyInPandas groups
+(index/segments.py) — no per-row Python.
+
+Layout per term:
+  docnums sorted ascending -> gaps (first value absolute) -> varint bytes
+  tfs -> varint bytes (parallel array)
+  doc_lens -> varint bytes (parallel array; lets BM25 score without a
+              docnum->dl lookup join)
+  blocks of BLOCK_SIZE entries; per block: last_docnum (for skipping) and
+  max_score (precomputed BM25 upper bound for WAND pruning).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK_SIZE = 128
+
+
+# ---------------------------------------------------------------------------
+# varint
+# ---------------------------------------------------------------------------
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(arr)
+    if n == 0:
+        return b""
+    # bytes needed per value: 1 + number of thresholds <= value
+    nbytes = np.ones(n, dtype=np.int64)
+    for t in _THRESHOLDS:
+        nbytes += (arr >= t).astype(np.int64)
+    total = int(nbytes.sum())
+    out = np.zeros(total, dtype=np.uint8)
+    starts = np.cumsum(nbytes) - nbytes
+    for i in range(10):
+        mask = nbytes > i
+        if not mask.any():
+            break
+        chunk = (arr[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
+        cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
+        out[starts[mask] + i] = chunk.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(data: bytes) -> np.ndarray:
+    """Decode LEB128 bytes into a uint64 array, vectorized via np.add.at."""
+    if not data:
+        return np.empty(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    # value index for each byte: 0-based id of the varint it belongs to
+    vid = np.zeros(len(b), dtype=np.int64)
+    vid[1:] = np.cumsum(is_last[:-1])
+    n_vals = int(is_last.sum())
+    # within-varint byte offset
+    first_byte_pos = np.zeros(n_vals, dtype=np.int64)
+    first_byte_pos[1:] = np.nonzero(is_last)[0][:-1] + 1
+    offset = np.arange(len(b)) - first_byte_pos[vid]
+    vals = np.zeros(n_vals, dtype=np.uint64)
+    np.add.at(vals, vid, (b & 0x7F).astype(np.uint64) << (7 * offset).astype(np.uint64))
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# delta-gap posting lists
+# ---------------------------------------------------------------------------
+
+def encode_docnums(docnums: np.ndarray) -> bytes:
+    """Sorted ascending docnums -> gaps (first absolute) -> varint."""
+    d = np.ascontiguousarray(docnums, dtype=np.uint64)
+    if len(d) == 0:
+        return b""
+    gaps = np.empty_like(d)
+    gaps[0] = d[0]
+    np.subtract(d[1:], d[:-1], out=gaps[1:])
+    return varint_encode(gaps)
+
+
+def decode_docnums(data: bytes) -> np.ndarray:
+    gaps = varint_decode(data)
+    return np.cumsum(gaps, dtype=np.uint64)
+
+
+def encode_positions(positions_lists: list[list[int]]) -> bytes:
+    """Concatenated per-posting position lists, each as [len, gap...]."""
+    parts: list[np.ndarray] = []
+    for pos in positions_lists:
+        p = np.asarray(pos, dtype=np.uint64)
+        g = np.empty(len(p) + 1, dtype=np.uint64)
+        g[0] = len(p)
+        if len(p):
+            g[1] = p[0]
+            np.subtract(p[1:], p[:-1], out=g[2:])
+        parts.append(g)
+    if not parts:
+        return b""
+    return varint_encode(np.concatenate(parts))
+
+
+def decode_positions(data: bytes, n_postings: int) -> list[np.ndarray]:
+    flat = varint_decode(data)
+    out: list[np.ndarray] = []
+    i = 0
+    for _ in range(n_postings):
+        ln = int(flat[i])
+        i += 1
+        out.append(np.cumsum(flat[i : i + ln], dtype=np.uint64))
+        i += ln
+    return out
+
+
+def block_boundaries(n: int, block_size: int = BLOCK_SIZE) -> list[tuple[int, int]]:
+    return [(i, min(i + block_size, n)) for i in range(0, n, block_size)]

@@ -1,0 +1,169 @@
+"""Block-max WAND top-k over compressed segments (north-star query path).
+
+Classic WAND (Broder et al. 2003) pivot selection with per-term exact upper
+bounds, plus the Block-Max refinement (Ding & Suel 2011): per-block max
+scores let the cursor (a) skip whole blocks without decoding when advancing
+and (b) reject a pivot whose block-level upper-bound sum cannot beat the
+current k-th score. Blocks are delta-gap+varint encoded (index/codec.py)
+and decoded lazily one block at a time.
+
+Deterministic total order: (score desc, docnum asc) — SURVEY §4 item 5.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from ..query.engine import BM25_B, BM25_K1
+from .codec import decode_docnums, varint_decode
+
+INF = np.iinfo(np.int64).max
+
+
+class TermCursor:
+    """Cursor over one term's posting blocks with lazy per-block decode."""
+
+    __slots__ = (
+        "idf_bm25", "avgdl", "blocks", "bi", "docs", "scores", "pi",
+        "max_score", "decoded_blocks",
+    )
+
+    def __init__(self, seg_row: dict, avgdl: float):
+        self.idf_bm25 = float(seg_row["idf_bm25"])
+        self.avgdl = avgdl
+        self.blocks = seg_row["blocks"]
+        self.max_score = max(b["max_score"] for b in self.blocks)
+        self.bi = 0
+        self.docs: np.ndarray | None = None
+        self.scores: np.ndarray | None = None
+        self.pi = 0
+        self.decoded_blocks = 0
+        self._load_block()
+
+    def _load_block(self) -> None:
+        b = self.blocks[self.bi]
+        self.docs = decode_docnums(bytes(b["docs"])).astype(np.int64)
+        tfs = varint_decode(bytes(b["tfs"])).astype(np.float64)
+        dls = varint_decode(bytes(b["dls"])).astype(np.float64)
+        self.scores = (
+            self.idf_bm25
+            * tfs
+            * (BM25_K1 + 1.0)
+            / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / self.avgdl))
+        )
+        self.pi = 0
+        self.decoded_blocks += 1
+
+    def cur_doc(self) -> int:
+        if self.docs is None:
+            return INF
+        return int(self.docs[self.pi])
+
+    def cur_score(self) -> float:
+        return float(self.scores[self.pi])
+
+    def cur_block_max(self) -> float:
+        return float(self.blocks[self.bi]["max_score"]) if self.docs is not None else 0.0
+
+    def advance_to(self, target: int) -> None:
+        """Move to the first posting with docnum >= target; skips whole
+        blocks via metadata without decoding them."""
+        if self.docs is None and self.bi >= len(self.blocks):
+            return
+        skipped = False
+        while self.bi < len(self.blocks) and self.blocks[self.bi]["last_docnum"] < target:
+            self.bi += 1
+            skipped = True
+        if self.bi >= len(self.blocks):
+            self.docs = None
+            return
+        if skipped or self.docs is None:
+            self._load_block()
+        # last_docnum >= target guarantees a hit in this block
+        self.pi = int(np.searchsorted(self.docs, target, side="left"))
+
+    def advance_one(self) -> None:
+        self.pi += 1
+        if self.pi >= len(self.docs):
+            self.bi += 1
+            if self.bi >= len(self.blocks):
+                self.docs = None
+            else:
+                self._load_block()
+
+
+def wand_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, float]]:
+    """Top-k (docnum, bm25_score) over the given term segment rows.
+
+    Exact w.r.t. brute-force scoring with the (score desc, docnum asc)
+    order; block-max pruning only skips work, never results.
+    """
+    cursors = [TermCursor(r, avgdl) for r in seg_rows if r["blocks"]]
+    if not cursors:
+        return []
+    # min-heap of (score, -docnum): root = currently-worst kept result
+    heap: list[tuple[float, int]] = []
+
+    def threshold() -> float:
+        return heap[0][0] if len(heap) >= k else -1.0
+
+    while True:
+        live = [c for c in cursors if c.cur_doc() != INF]
+        if not live:
+            break
+        live.sort(key=lambda c: c.cur_doc())
+        # pivot: first prefix whose UB sum beats the threshold
+        ub, pivot = 0.0, -1
+        for i, c in enumerate(live):
+            ub += c.max_score
+            if ub > threshold():
+                pivot = i
+                break
+        if pivot < 0:
+            break
+        pivot_doc = live[pivot].cur_doc()
+        if live[0].cur_doc() == pivot_doc:
+            # block-max shallow check before scoring
+            bub = sum(
+                c.cur_block_max() for c in live if c.cur_doc() == pivot_doc
+            ) + sum(c.max_score for c in live[:pivot] if c.cur_doc() != pivot_doc)
+            if bub > threshold() or len(heap) < k:
+                score = 0.0
+                for c in live:
+                    if c.cur_doc() == pivot_doc:
+                        score += c.cur_score()
+                item = (score, -pivot_doc)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+            for c in live:
+                if c.cur_doc() == pivot_doc:
+                    c.advance_one()
+        else:
+            live[0].advance_to(pivot_doc)
+
+    out = sorted(heap, key=lambda t: (-t[0], -t[1]))
+    return [(-nd, s) for s, nd in out]
+
+
+def bruteforce_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, float]]:
+    """Reference implementation for differential testing: decode everything,
+    accumulate, sort."""
+    acc: dict[int, float] = {}
+    for r in seg_rows:
+        idf = float(r["idf_bm25"])
+        for b in r["blocks"]:
+            docs = decode_docnums(bytes(b["docs"])).astype(np.int64)
+            tfs = varint_decode(bytes(b["tfs"])).astype(np.float64)
+            dls = varint_decode(bytes(b["dls"])).astype(np.float64)
+            scores = (
+                idf * tfs * (BM25_K1 + 1.0)
+                / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
+            )
+            for d, s in zip(docs.tolist(), scores.tolist()):
+                acc[d] = acc.get(d, 0.0) + s
+    ranked = sorted(acc.items(), key=lambda t: (-t[1], t[0]))[:k]
+    return [(d, s) for d, s in ranked]

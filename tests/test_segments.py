@@ -1,0 +1,143 @@
+"""Segment build / pruned read / resume / WAND-vs-logical-engine tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_search_engine_spark.corpus import ingest, make_corpus
+from distributed_search_engine_spark.index import codec
+from distributed_search_engine_spark.index.segments import (
+    assign_docnums,
+    build_segments,
+    read_manifest,
+    read_segments_for_terms,
+)
+from distributed_search_engine_spark.index.wand import bruteforce_topk, wand_topk
+from distributed_search_engine_spark.operators.postings import build_index
+from distributed_search_engine_spark.query.engine import SearchIndex, search
+
+N_PARTS = 8
+
+
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    docs = ingest(make_corpus(spark, n_docs=120, seed=7))
+    idx = build_index(docs)
+    ds = assign_docnums(idx["doc_stats"], n_partitions=4).persist()
+    avgdl = float(ds.agg(F.avg("doc_len")).collect()[0][0])
+    out = str(tmp_path_factory.mktemp("segs") / "index")
+    build_segments(
+        idx["postings"], idx["term_stats"], ds, out, avgdl,
+        n_partitions=N_PARTS, batch_partitions=4,
+    )
+    return docs, idx, ds, avgdl, out
+
+
+def test_docnums_dense_and_deterministic(spark, built):
+    _, _, ds, _, _ = built
+    nums = sorted(r["docnum"] for r in ds.select("docnum").collect())
+    assert nums == list(range(len(nums)))
+    # deterministic: re-assign -> same mapping
+    ds2 = assign_docnums(ds.drop("docnum"), n_partitions=4)
+    j = ds.select("doc_id", "docnum").join(
+        ds2.select("doc_id", F.col("docnum").alias("d2")), "doc_id"
+    )
+    assert j.where(F.col("docnum") != F.col("d2")).count() == 0
+
+
+def test_manifest_complete(built):
+    *_, out = built
+    done = read_manifest(out)
+    assert sorted(done) == list(range(N_PARTS))
+    assert all(r["bytes"] > 0 for r in done.values())
+
+
+def test_segments_roundtrip_vs_logical(spark, built):
+    _, idx, ds, _, out = built
+    seg = read_segments_for_terms(spark, out, ["spark", "compute"], N_PARTS)
+    rows = {r["term"]: r for r in seg.collect()}
+    logical = (
+        idx["postings"].join(ds.select("doc_id", "docnum"), "doc_id")
+        .where(F.col("term").isin(["spark", "compute"]))
+        .collect()
+    )
+    by_term = {}
+    for r in logical:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, lrows in by_term.items():
+        srow = rows[term]
+        want = sorted((r["docnum"], r["tf"], r["doc_len"]) for r in lrows)
+        docs, tfs, dls = [], [], []
+        for b in srow["blocks"]:
+            docs += codec.decode_docnums(bytes(b["docs"])).tolist()
+            tfs += codec.varint_decode(bytes(b["tfs"])).tolist()
+            dls += codec.varint_decode(bytes(b["dls"])).tolist()
+        got = sorted(zip(map(int, docs), map(int, tfs), map(int, dls)))
+        assert got == want, term
+        assert srow["n_docs"] == len(want)
+        # positions round-trip
+        pos_lists = codec.decode_positions(bytes(srow["positions"]), srow["n_docs"])
+        want_pos = [
+            list(map(int, r["positions"]))
+            for r in sorted(lrows, key=lambda r: r["docnum"])
+        ]
+        assert [list(map(int, p)) for p in pos_lists] == want_pos
+
+
+def test_resume_after_injected_failure(spark, built, tmp_path):
+    docs, idx, ds, avgdl, out = built
+    out2 = str(tmp_path / "index2")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        build_segments(
+            idx["postings"], idx["term_stats"], ds, out2, avgdl,
+            n_partitions=N_PARTS, batch_partitions=2, fail_after_batches=2,
+        )
+    assert len(read_manifest(out2)) == 4  # 2 batches x 2 partitions
+    # resume: completes only the missing partitions
+    build_segments(
+        idx["postings"], idx["term_stats"], ds, out2, avgdl,
+        n_partitions=N_PARTS, batch_partitions=2,
+    )
+    assert sorted(read_manifest(out2)) == list(range(N_PARTS))
+    # identical logical content vs the one-shot build
+    a = spark.read.parquet(out + "/data").select(
+        "term", "n_docs", F.col("norm_tfs").alias("n1")
+    )
+    b = spark.read.parquet(out2 + "/data").select(
+        "term", F.col("n_docs").alias("nd2"), F.col("norm_tfs").alias("n2")
+    )
+    j = a.join(b, "term", "full")
+    assert j.where(
+        F.col("n_docs").isNull() | F.col("nd2").isNull()
+        | (F.col("n_docs") != F.col("nd2")) | (F.col("n1") != F.col("n2"))
+    ).count() == 0
+
+
+def test_wand_matches_logical_bm25(spark, built):
+    docs, idx, ds, avgdl, out = built
+    terms = ["spark", "partition"]
+    seg_rows = [
+        r.asDict()
+        for r in read_segments_for_terms(spark, out, terms, N_PARTS).collect()
+    ]
+    got = wand_topk(
+        [
+            {"idf_bm25": r["idf_bm25"], "blocks": [b.asDict() for b in r["blocks"]]}
+            for r in seg_rows
+        ],
+        avgdl,
+        10,
+    )
+    # logical engine, bm25 mode, no stems in play (both terms are fixpoints)
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    res = search(spark, sidx, "spark partition", k=10, mode="bm25")
+    num2id = {r["docnum"]: r["doc_id"] for r in ds.select("doc_id", "docnum").collect()}
+    got_ids = [num2id[d] for d, _ in got]
+    want = [(r["doc_id"], r["score"]) for r in res.collect()]
+    assert got_ids == [d for d, _ in want]
+    for (dn, s1), (_, s2) in zip(got, want):
+        assert abs(s1 - s2) < 1e-9
