@@ -16,6 +16,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_search_engine_spark import oracle
+from distributed_search_engine_spark.operators import dedup as D
+from distributed_search_engine_spark.operators import similarity as S
+from distributed_search_engine_spark.operators import text_analysis as TA
+from distributed_search_engine_spark.operators.docstats import filter_indexable
 from distributed_search_engine_spark.operators.pagerank import (
     run_pagerank,
     synthetic_links,
@@ -163,6 +167,86 @@ def _q_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline ops (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def _capped_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filter_indexable(_docs(spark, sf_dir), "text")
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (sf_dir, "shingles")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = D.shingles(_capped_docs(spark, sf_dir)).persist()
+    return _INDEX_CACHE[key]
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_capped_docs(spark, sf_dir))
+
+
+def _q_minhash(spark, sf_dir):
+    return D.minhash_signatures(_shingles(spark, sf_dir))
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    return D.lsh_candidate_pairs(D.minhash_signatures(_shingles(spark, sf_dir)))
+
+
+def _q_jaccard(spark, sf_dir):
+    out = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_simhash(spark, sf_dir):
+    return D.simhash(_capped_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    out = D.simhash_pairs(D.simhash(_capped_docs(spark, sf_dir)), max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _q_neardup_emb(spark, sf_dir):
+    out = D.embedding_neardup(_emb(spark, sf_dir), threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ann_brute(spark, sf_dir):
+    return S.ann_bruteforce_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    return S.ann_lsh_topk(_emb(spark, sf_dir), query_id=0, k=10, n_dims=64)
+
+
+def _q_lang_id(spark, sf_dir):
+    return TA.lang_id(_capped_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    return TA.quality_score(_capped_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    return TA.token_counts(_capped_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    return TA.fingerprint(_capped_docs(spark, sf_dir))
+
+
+def _lsh_plane_weights() -> list[list[float]]:
+    return [
+        [float(S.plane_weight(p, d)) for d in range(64)] for p in range(S.N_PLANES)
+    ]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_doc_stats": _q_doc_stats,
@@ -174,6 +258,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": _q_bm25,
         "pagerank_3iter": _q_pagerank,
         "index_postings_stemmed": _q_postings_stemmed,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_signatures": _q_minhash,
+        "dedup_lsh_candidates": _q_lsh_pairs,
+        "dedup_ngram_jaccard": _q_jaccard,
+        "dedup_simhash": _q_simhash,
+        "dedup_simhash_pairs": _q_simhash_pairs,
+        "neardup_embedding_cosine": _q_neardup_emb,
+        "ann_bruteforce_top10": _q_ann_brute,
+        "ann_lsh_top10": _q_ann_lsh,
+        "text_lang_id": _q_lang_id,
+        "text_quality_score": _q_quality,
+        "text_token_counts": _q_token_counts,
+        "text_fingerprint": _q_fingerprint,
     }
 
 
@@ -189,4 +286,17 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_3iter": oracle.pagerank_sql(3),
         # index_postings_stemmed: intentionally no oracle (Porter stemming
         # is not SQL-expressible) -> rows-only check
+        "dedup_exact": oracle.EXACT_DEDUP_SQL,
+        "dedup_minhash_signatures": oracle.minhash_sql(16),
+        "dedup_lsh_candidates": oracle.lsh_pairs_sql(16, 4),
+        "dedup_ngram_jaccard": oracle.jaccard_pairs_sql(0.5),
+        "dedup_simhash": oracle.SIMHASH_SQL,
+        "dedup_simhash_pairs": oracle.simhash_pairs_sql(3),
+        "neardup_embedding_cosine": oracle.embedding_neardup_sql(0.4),
+        "ann_bruteforce_top10": oracle.ann_bruteforce_sql(0, 10),
+        "ann_lsh_top10": oracle.ann_lsh_sql(_lsh_plane_weights(), 0, 10),
+        "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
+        "text_quality_score": oracle.quality_sql(),
+        "text_token_counts": oracle.TOKEN_COUNTS_SQL,
+        "text_fingerprint": oracle.FINGERPRINT_SQL,
     }

@@ -1,0 +1,112 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Baseline: brute-force cosine top-k (exact, one pass, JVM-side arithmetic
+via zip_with/aggregate — no Python). Scale path: sign-random-projection
+LSH — deterministic pseudo-random hyperplanes derived from (plane, dim)
+indices, so the same buckets are computable in the SQL oracle — bucket
+join, then exact rerank inside buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+N_PLANES = 8
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648  # 2^31
+
+
+def _as_double(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _cosine(av, bv):
+    dot = F.aggregate(F.zip_with(av, bv, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    na = F.sqrt(F.aggregate(av, F.lit(0.0), lambda a, x: a + x * x))
+    nb = F.sqrt(F.aggregate(bv, F.lit(0.0), lambda a, x: a + x * x))
+    return dot / (na * nb)
+
+
+def plane_weight(plane: int, dim: int) -> int:
+    """Deterministic +-1 weight for hyperplane `plane`, dimension `dim`
+    (LCG over the pair index — reproducible in SQL)."""
+    x = (LCG_A * (plane * 9973 + dim) + LCG_C) % LCG_M
+    return 1 if x % 2 == 0 else -1
+
+
+def _bucket_expr(vec, n_dims: int, n_planes: int = N_PLANES):
+    """Sign bits of <v, w_p> packed into an int bucket id. Each projection
+    is a zip_with/aggregate against a literal +-1 weight array (sequential
+    double accumulation — same order as the SQL oracle)."""
+    bits = []
+    for p in range(n_planes):
+        w = F.array(*[F.lit(float(plane_weight(p, d))) for d in range(n_dims)])
+        proj = F.aggregate(
+            F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_bruteforce_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against the vector with id = query_id.
+
+    Plan shape: broadcast the single query row, score all N in one map
+    stage, top-k via a single ordered limit (Spark TakeOrdered — no full
+    sort). Deterministic tie-break (cosine desc, id asc)."""
+    v = _as_double(emb, id_col, vec_col)
+    q = v.where(F.col("id") == query_id).select(F.col("v").alias("qv"))
+    scored = v.where(F.col("id") != query_id).crossJoin(F.broadcast(q)).select(
+        "id", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_dims: int = 64,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-bucketed ANN: candidates = vectors in the query's sign-projection
+    bucket, exact cosine rerank inside. Recall < 1 by design; the bucket
+    join replaces the O(N) scan with an O(N/2^planes) one at scale (bucket
+    the corpus ONCE, broadcast the query's bucket id)."""
+    v = _as_double(emb, id_col, vec_col).withColumn(
+        "bucket", _bucket_expr(F.col("v"), n_dims, n_planes)
+    )
+    q = v.where(F.col("id") == query_id).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    cands = v.where(F.col("id") != query_id).join(
+        F.broadcast(q), F.col("bucket") == F.col("qb")
+    )
+    scored = cands.select("id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("id", F.round("cosine", 6).alias("cosine"), "rank")
+    )

@@ -1,0 +1,150 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side Column expressions (no Python in the hot path); each has an
+exact DuckDB-SQL twin in oracle.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..functions.stopwords import STOP_WORDS
+
+# Small seed wordlists for the n-gram/stopword language heuristic. Listed
+# langs match the testdata documents table; zh has no latin-token list so
+# it never wins on romanized corpora (deterministic by design).
+LANG_WORDLISTS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "for", "with", "a"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "un", "por"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est", "dans", "pour"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "nicht", "mit", "zu"],
+    "zh": [],
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _tok_df(docs: DataFrame, doc_id_col: str, content_col: str) -> DataFrame:
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.posexplode(T.tokens_col(F.col(content_col))).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
+def lang_id(
+    docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(doc_id, predicted_lang, lang_score): argmax over wordlist hit
+    ratios; ties broken lang-name ascending; no hits -> 'unknown'."""
+    spark = docs.sparkSession
+    wl = spark.createDataFrame(
+        [(lang, w) for lang, words in LANG_WORDLISTS.items() for w in words],
+        "lang string, word string",
+    )
+    toks = _tok_df(docs, doc_id_col, content_col)
+    totals = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    hits = (
+        toks.join(F.broadcast(wl), toks["tok"] == wl["word"])
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    scored = hits.join(totals, "doc_id").select(
+        "doc_id", "lang", (F.col("hits") / F.col("n_tokens")).alias("score")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    best = scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    all_docs = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    return all_docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("predicted_lang"),
+        F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).alias("lang_score"),
+    )
+
+
+def quality_score(
+    docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_tok_len,
+    quality): cheap heuristics in one pass + one token aggregation."""
+    c = F.col(content_col)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    toks = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.length(c).alias("n_chars"),
+        (F.length(c) - F.length(F.regexp_replace(c, T.RE_NON_ALNUM, ""))).alias("n_punct"),
+        T.tokens_col(c).alias("toks"),
+    )
+    agg = toks.select(
+        "doc_id",
+        "n_chars",
+        "n_punct",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.filter("toks", lambda t: F.array_contains(stop_arr, t))).alias("n_stop"),
+        F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t)).alias("tok_chars"),
+    )
+    punct_ratio = F.when(F.col("n_chars") > 0, F.col("n_punct") / F.col("n_chars")).otherwise(0.0)
+    stop_ratio = F.when(F.col("n_tokens") > 0, F.col("n_stop") / F.col("n_tokens")).otherwise(0.0)
+    mean_len = F.when(F.col("n_tokens") > 0, F.col("tok_chars") / F.col("n_tokens")).otherwise(0.0)
+    quality = (
+        0.4 * F.least(F.col("n_tokens") / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + 0.3 * F.least(stop_ratio * 3.0, F.lit(1.0))
+    )
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        F.round(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(
+    docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, n_chars): whitespace tokens vs a
+    BPE-ish regex segmentation (letters / digits / single punctuation)."""
+    c = F.col(content_col)
+    ws = F.size(F.filter(F.split(F.trim(c), T.RE_WS), lambda t: t != F.lit("")))
+    bpe = F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_RE), F.lit(0)))
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        F.length(c).alias("n_chars"),
+    )
+
+
+def fingerprint(
+    docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint): order-sensitive rolling polynomial hash over
+    worthy tokens: h = (h*31 + tok_hash) mod 1e9+7, tok_hash = first 8 hex
+    chars of md5(tok). Portable to SQL via list_reduce."""
+    t = _tok_df(docs, doc_id_col, content_col).where(T.is_worth_col(F.col("tok")))
+    t = t.select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long").alias("th"),
+    )
+    ordered = t.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "th"))).alias("pth")
+    )
+    rolled = ordered.select(
+        "doc_id",
+        F.aggregate(
+            F.transform("pth", lambda s: s["th"]),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % FINGERPRINT_MOD,
+        ).alias("fingerprint"),
+    )
+    all_docs = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    return all_docs.join(rolled, "doc_id", "left").select(
+        "doc_id", F.coalesce("fingerprint", F.lit(0)).alias("fingerprint")
+    )

@@ -17,6 +17,10 @@ from __future__ import annotations
 from .functions.text import MAX_DOC_CHARS, duckdb_tokens_expr, duckdb_worth
 from .query.engine import BM25_B, BM25_K1
 
+# sequential left-fold sum — bit-identical to Spark's F.aggregate fold order
+def _fold_sum(list_expr: str) -> str:
+    return f"list_reduce(list_prepend(0.0, {list_expr}), (acc, x) -> acc + x)"
+
 
 def base_ctes() -> str:
     """Shared CTE chain: docs -> token stream (with stream positions) ->
@@ -170,4 +174,268 @@ SELECT h1.doc_id,
 FROM hits h1
 JOIN hits h2 ON h1.doc_id = h2.doc_id
 WHERE h1.term = '{w1}' AND h2.term = '{w2}'
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline oracles (operators/dedup.py, similarity.py,
+# text_analysis.py twins)
+# ---------------------------------------------------------------------------
+
+def _shingle_ctes(n: int = 3) -> str:
+    """docs -> token stream -> distinct word n-gram shingles (window lead,
+    same shape as operators/dedup.shingles)."""
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    return base_ctes() + f""",
+toks AS (SELECT doc_id, pos, tok FROM tokstream WHERE tok <> ''),
+sh0 AS (
+  SELECT doc_id, {leads} AS shingle, lead(tok, {n - 1}) OVER w AS lastlead
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE lastlead IS NOT NULL)
+"""
+
+
+EXACT_DEDUP_SQL = f"""
+SELECT sha256(text) AS content_sha,
+       min(doc_id::varchar) AS keep_doc_id,
+       count(*)::int AS n_dupes
+FROM documents
+WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+GROUP BY 1
+"""
+
+
+def minhash_sql(n_hashes: int = 16) -> str:
+    mins = ",\n       ".join(
+        f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(n_hashes)
+    )
+    return _shingle_ctes() + f"""
+SELECT doc_id, {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+def lsh_pairs_sql(n_hashes: int = 16, bands: int = 4) -> str:
+    rpb = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"mh_{b * rpb + i}" for i in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    mins = ", ".join(f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(n_hashes))
+    return _shingle_ctes() + f""",
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({bands_sql})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+def jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    return _shingle_ctes() + f""",
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common.c / (sa.c + sb.c - common.c), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = common.doc_a
+JOIN sz sb ON sb.doc_id = common.doc_b
+WHERE common.c / (sa.c + sb.c - common.c) >= {threshold}
+"""
+
+
+SIMHASH_CTE = """,
+toks AS (SELECT doc_id, pos, tok FROM tokstream WHERE tok <> ''),
+th AS (SELECT doc_id, md5(tok) AS h FROM toks),
+bits AS (SELECT doc_id, h, b.range AS b FROM th, range(32) b),
+per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN ((instr('0123456789abcdef', substr(h, (b // 4)::int + 1, 1)) - 1)
+                        >> (b % 4)::int) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM bits GROUP BY doc_id, b
+),
+simh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::bigint << b::int) ELSE 0 END)::bigint AS simhash
+  FROM per_bit GROUP BY doc_id
+)"""
+
+SIMHASH_SQL = base_ctes() + SIMHASH_CTE + """
+SELECT doc_id, simhash FROM simh
+"""
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    return base_ctes() + SIMHASH_CTE + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::int AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+_VEC_CTE = """
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+)"""
+
+_DOT_AB = _fold_sum(
+    "list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])"
+)
+
+
+def _nrm(side: str) -> str:
+    return f"sqrt({_fold_sum(f'list_transform({side}.v, x -> x * x)')})"
+
+
+def embedding_neardup_sql(threshold: float = 0.4) -> str:
+    return _VEC_CTE + f"""
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {_DOT_AB} / ({_nrm('a')} * {_nrm('b')}) AS cosine
+  FROM v a JOIN v b ON a.id < b.id
+) WHERE cosine >= {threshold}
+"""
+
+
+def ann_bruteforce_sql(query_id: int = 0, k: int = 10) -> str:
+    return _VEC_CTE + f""",
+q AS (SELECT v FROM v WHERE id = {query_id}),
+scored AS (
+  SELECT a.id,
+         {_fold_sum("list_transform(generate_series(1, len(a.v)), i -> a.v[i] * q.v[i])")}
+         / ({_nrm('a')} * sqrt({_fold_sum('list_transform(q.v, x -> x * x)')})) AS cosine
+  FROM v a, q WHERE a.id <> {query_id}
+),
+ranked AS (
+  SELECT id, cosine, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_lsh_sql(plane_weights: list[list[float]], query_id: int = 0, k: int = 10) -> str:
+    """plane_weights: n_planes x n_dims literal +-1 weights (from
+    similarity.plane_weight) inlined so the bucketing matches Spark."""
+    bucket_terms = []
+    for p, ws in enumerate(plane_weights):
+        arr = "[" + ", ".join(f"{w:.1f}" for w in ws) + "]"
+        proj = _fold_sum(f"list_transform(generate_series(1, len(v)), i -> v[i] * ({arr})[i])")
+        bucket_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    bucket = " + ".join(bucket_terms)
+    return _VEC_CTE + f""",
+vb AS (SELECT id, v, {bucket} AS bucket FROM v),
+q AS (SELECT v, bucket FROM vb WHERE id = {query_id}),
+cands AS (
+  SELECT a.id, a.v, q.v AS qv FROM vb a, q
+  WHERE a.bucket = q.bucket AND a.id <> {query_id}
+),
+scored AS (
+  SELECT id,
+         {_fold_sum("list_transform(generate_series(1, len(v)), i -> v[i] * qv[i])")}
+         / (sqrt({_fold_sum('list_transform(v, x -> x * x)')}) * sqrt({_fold_sum('list_transform(qv, x -> x * x)')})) AS cosine
+  FROM cands
+),
+ranked AS (
+  SELECT id, cosine, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def lang_id_sql(wordlists: dict[str, list[str]]) -> str:
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(wordlists.items()) for w in ws
+    )
+    return base_ctes() + f""",
+toks AS (SELECT doc_id, tok FROM tokstream WHERE tok <> ''),
+wl(lang, word) AS (VALUES {values}),
+totals AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+hits AS (
+  SELECT t.doc_id, wl.lang, count(*) AS hits
+  FROM toks t JOIN wl ON t.tok = wl.word GROUP BY 1, 2
+),
+scored AS (
+  SELECT h.doc_id, h.lang, h.hits / tt.n_tokens AS score
+  FROM hits h JOIN totals tt USING (doc_id)
+),
+best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+)
+SELECT d.doc_id,
+       coalesce(b.lang, 'unknown') AS predicted_lang,
+       round(coalesce(b.score, 0.0), 6) AS lang_score
+FROM docs d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+
+
+QUALITY_SQL = base_ctes() + """,
+tk AS (
+  SELECT doc_id,
+         length(d.text) AS n_chars,
+         length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         list_filter(ta.toks, t -> t <> '') AS toks
+  FROM docs d JOIN tokarr ta USING (doc_id)
+),
+agg AS (
+  SELECT doc_id, n_chars, n_punct,
+         len(toks) AS n_tokens,
+         len(list_filter(toks, t -> list_contains([{stops}], t))) AS n_stop,
+         list_reduce(list_prepend(0, list_transform(toks, t -> length(t))), (a, x) -> a + x) AS tok_chars
+  FROM tk
+)
+SELECT doc_id, n_chars::int AS n_chars, n_tokens::int AS n_tokens,
+       round(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+       round(CASE WHEN n_tokens > 0 THEN tok_chars / n_tokens ELSE 0.0 END, 6) AS mean_tok_len,
+       round(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0))
+             + 0.3 * least(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END * 3.0, 1.0), 6) AS quality
+FROM agg
+"""
+
+
+def quality_sql() -> str:
+    from .functions.stopwords import STOP_WORDS
+
+    stops = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    return QUALITY_SQL.replace("{stops}", stops)
+
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id::varchar AS doc_id,
+       len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))::int AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::int AS bpe_ish_tokens,
+       length(text)::int AS n_chars
+FROM documents WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+"""
+
+
+FINGERPRINT_SQL = base_ctes() + """,
+th AS (
+  SELECT doc_id, pos, ('0x' || substr(md5(term), 1, 8))::bigint AS th
+  FROM worthy
+),
+fp AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::bigint, list(th ORDER BY pos)),
+                     (a, x) -> (a * 31 + x) % 1000000007) AS fingerprint
+  FROM th GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.fingerprint, 0) AS fingerprint
+FROM docs d LEFT JOIN fp f USING (doc_id)
 """

@@ -1,0 +1,148 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_search_engine_spark.operators import dedup as D
+from distributed_search_engine_spark.operators import similarity as S
+from distributed_search_engine_spark.operators import text_analysis as TA
+
+DOCS = [
+    ("1", "the quick brown fox jumps over the lazy dog"),
+    ("2", "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ("3", "the quick brown fox jumps over the lazy cat"),  # near dup
+    ("4", "completely different words about spark engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id string, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["keep_doc_id"]: r["n_dupes"] for r in D.exact_dedup(docs).collect()}
+    assert out["1"] == 2  # docs 1+2 collapse, min doc_id kept
+    assert out["3"] == 1 and out["4"] == 1
+    assert "2" not in out
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = D.shingles(docs, n=3)
+    # doc1: 9 tokens -> 7 trigrams, all distinct
+    assert sh.where("doc_id = '1'").count() == 7
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    assert pairs[("1", "2")] == 1.0  # identical
+    # 1 vs 3: differ only in the last token -> share 6 of 7 trigrams each
+    j13 = pairs[("1", "3")]
+    assert abs(j13 - 6 / (7 + 7 - 6)) < 1e-12
+    assert ("1", "4") not in pairs  # no shared trigram
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sh = D.shingles(docs, n=3)
+    sig = D.minhash_signatures(sh, n_hashes=16)
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.lsh_candidate_pairs(sig, n_hashes=16, bands=4).collect()
+    }
+    assert ("1", "2") in cands  # identical docs always collide
+    assert ("1", "4") not in cands
+
+
+def test_simhash_properties(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh["1"] == sh["2"]  # identical text -> identical fingerprint
+    assert sh["1"] != sh["4"]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_pairs(
+            D.simhash(docs), max_hamming=32
+        ).collect()
+    }
+    assert pairs[("1", "2")] == 0
+    # near dup closer than unrelated doc
+    assert pairs[("1", "3")] < pairs[("1", "4")]
+
+
+VECS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.9, 0.1, 0.0, 0.0]),   # close to 0
+    (2, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 0
+    (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    (4, [1.0, 0.01, 0.0, 0.0]),  # closest to 0
+]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(VECS, "vec_id long, embedding array<float>")
+
+
+def test_embedding_neardup(spark, emb):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in D.embedding_neardup(emb, threshold=0.95).collect()
+    }
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_ann_bruteforce_order(spark, emb):
+    res = S.ann_bruteforce_topk(emb, query_id=0, k=3).collect()
+    assert [r["id"] for r in res] == [4, 1, 2]
+    assert [r["rank"] for r in res] == [1, 2, 3]
+
+
+def test_ann_lsh_subset_of_bruteforce(spark, emb):
+    lsh = S.ann_lsh_topk(emb, query_id=0, k=3, n_dims=4).collect()
+    # LSH returns a subset of candidates ranked identically by cosine
+    brute = {r["id"]: r["cosine"] for r in S.ann_bruteforce_topk(emb, 0, k=5).collect()}
+    for r in lsh:
+        assert abs(brute[r["id"]] - r["cosine"]) < 1e-9
+    # vectors nearly parallel to the query share its bucket
+    assert {r["id"] for r in lsh} >= {4}
+
+
+def test_lang_id(spark):
+    docs = spark.createDataFrame(
+        [
+            ("1", "the cat and the dog in that house"),
+            ("2", "el gato y la casa de los perros"),
+            ("3", "le chat est dans les maisons pour un"),
+            ("4", "zzz qqq www"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in TA.lang_id(docs).collect()}
+    assert out["1"] == "en" and out["2"] == "es" and out["3"] == "fr"
+    assert out["4"] == "unknown"
+
+
+def test_quality_and_token_counts(spark):
+    docs = spark.createDataFrame(
+        [("1", "the quick fox!! 123"), ("2", "")], "doc_id string, text string"
+    )
+    q = {r["doc_id"]: r.asDict() for r in TA.quality_score(docs).collect()}
+    assert q["1"]["n_tokens"] == 4
+    assert q["1"]["punct_ratio"] == round(2 / 19, 6)
+    assert q["1"]["stop_ratio"] == 0.25  # 'the'
+    assert q["2"]["n_tokens"] == 0 and q["2"]["quality"] >= 0.0
+    tc = {r["doc_id"]: r.asDict() for r in TA.token_counts(docs).collect()}
+    assert tc["1"]["ws_tokens"] == 4
+    # bpe-ish: the, quick, fox, !, !, 123 -> 6
+    assert tc["1"]["bpe_ish_tokens"] == 6
+    assert tc["2"]["ws_tokens"] == 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [("1", "alpha beta gamma"), ("2", "gamma beta alpha"), ("3", "alpha beta gamma")],
+        "doc_id string, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in TA.fingerprint(docs).collect()}
+    assert fp["1"] == fp["3"]
+    assert fp["1"] != fp["2"]  # rolling hash is order-sensitive
