@@ -241,6 +241,30 @@ def _q_fingerprint(spark, sf_dir):
     return TA.fingerprint(_capped_docs(spark, sf_dir))
 
 
+def _q_autocomplete(spark, sf_dir):
+    # Q14 over the unstemmed dictionary (prefix 's')
+    from distributed_search_engine_spark.query.suggest import autocomplete
+
+    ts = _index(spark, sf_dir, with_stems=False)["term_stats"]
+    return autocomplete(ts, "s", limit=10)
+
+
+def _q_spellcheck(spark, sf_dir):
+    # Q15: correct the typo 'strem' -> nearest dictionary term
+    from distributed_search_engine_spark.query.suggest import spellcheck_word
+
+    ts = _index(spark, sf_dir, with_stems=False)["term_stats"]
+    return spellcheck_word(ts, "strem")
+
+
+def _q_snippets(spark, sf_dir):
+    # Q16 (rows-only: python snippet windowing not SQL-expressible)
+    from distributed_search_engine_spark.query.suggest import snippets
+
+    docs = _capped_docs(spark, sf_dir).limit(50)
+    return snippets(docs, "data stream", content_col="text", highlight=True)
+
+
 def _lsh_plane_weights() -> list[list[float]]:
     return [
         [float(S.plane_weight(p, d)) for d in range(64)] for p in range(S.N_PLANES)
@@ -271,6 +295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
+        "suggest_autocomplete": _q_autocomplete,
+        "suggest_spellcheck": _q_spellcheck,
+        "search_snippets": _q_snippets,
     }
 
 
@@ -299,4 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": oracle.quality_sql(),
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,
         "text_fingerprint": oracle.FINGERPRINT_SQL,
+        "suggest_autocomplete": oracle.autocomplete_sql("s", 10),
+        "suggest_spellcheck": oracle.spellcheck_sql("strem"),
+        # search_snippets: rows-only (python snippet windowing)
     }

@@ -91,6 +91,46 @@ def make_corpus(
     return df
 
 
+def make_corpus_distributed(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Large-scale deterministic corpus generated ON THE EXECUTORS (no
+    driver-side row list): content tokens are picked from the fixed
+    vocabulary via xxhash64-based Zipf-ish draws, all in JVM expressions.
+    Same schema as make_corpus; used by the scaling benchmark where the
+    driver-side generator would bottleneck."""
+    from pyspark.sql import functions as F
+
+    nv = len(_VOCAB)
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    df = spark.range(0, n_docs, 1, n_partitions).withColumnRenamed("id", "i")
+    u = F.pmod(F.xxhash64(F.col("i") * 7919 + F.lit(seed)), 100_000) / 100_000.0
+    n_tokens = (30 + F.floor(370 * F.pow(u, 2.2))).cast("int")
+
+    def _word(j):
+        # Zipf-ish index per position: floor(nv * u^2.2) + 1 (1-based)
+        uj = (
+            F.pmod(F.xxhash64(F.col("i") * 1_000_003 + j + F.lit(seed * 17)), 100_000)
+            / 100_000.0
+        )
+        idx = F.least(F.floor(nv * F.pow(uj, 2.2)).cast("int") + 1, F.lit(nv))
+        return F.element_at(vocab, idx)
+
+    words = F.transform(F.sequence(F.lit(1), n_tokens), _word)
+    body = F.array_join(words, " ")
+    title = F.array_join(F.slice(words, 1, 6), " ")
+    return df.select(
+        F.concat(F.lit("org/repo-"), F.lpad((F.col("i") % 500).cast("string"), 4, "0")).alias("repo"),
+        F.concat(F.lit("src/pkg"), (F.col("i") % 7).cast("string"), F.lit("/file_"), F.col("i").cast("string"), F.lit(".py")).alias("path"),
+        F.sha1(F.concat(F.lit(str(seed) + ":"), F.col("i").cast("string"))).alias("commit"),
+        F.element_at(F.array(*[F.lit(l) for l in LANGS]), (F.col("i") % len(LANGS)).cast("int") + 1).alias("lang"),
+        F.concat(title, F.lit("\n"), body).alias("content"),
+    )
+
+
 def ingest(source: DataFrame) -> DataFrame:
     """Derive doc_id + content_sha (BASELINE input_hint invariants)."""
     return source.select(

@@ -439,3 +439,34 @@ fp AS (
 SELECT d.doc_id, coalesce(f.fingerprint, 0) AS fingerprint
 FROM docs d LEFT JOIN fp f USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# auxiliary query features (query/suggest.py twins)
+# ---------------------------------------------------------------------------
+
+def autocomplete_sql(prefix: str, limit: int = 10) -> str:
+    """Q14: prefix completion over looksReasonable terms, sorted, limit 10
+    (SearchEngine.java:885-971)."""
+    return base_ctes() + f"""
+SELECT term AS suggestion FROM termstats
+WHERE regexp_matches(term, '^[a-z]+$') AND length(term) <= 20
+  AND term LIKE '{prefix}%'
+ORDER BY term LIMIT {limit}
+"""
+
+
+def spellcheck_sql(word: str, max_distance: int = 2) -> str:
+    """Q15: best Levenshtein match within distance 2, deterministic
+    (distance asc, term asc) — SearchEngine.java:977-1019."""
+    return base_ctes() + f""",
+scored AS (
+  SELECT term, levenshtein('{word}', term)::int AS distance FROM termstats
+  WHERE regexp_matches(term, '^[a-z]+$') AND length(term) <= 20
+),
+ranked AS (
+  SELECT term, distance, row_number() OVER (ORDER BY distance ASC, term ASC) AS rn
+  FROM scored WHERE distance <= {max_distance}
+)
+SELECT term, distance FROM ranked WHERE rn = 1
+"""

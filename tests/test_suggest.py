@@ -1,0 +1,80 @@
+"""Autocomplete / spellcheck / snippet tests (Q14-Q17)."""
+
+import pytest
+
+from distributed_search_engine_spark.operators.postings import build_index
+from distributed_search_engine_spark.query.suggest import (
+    autocomplete,
+    highlight_py,
+    snippet_py,
+    snippets,
+    spellcheck_query,
+    spellcheck_word,
+)
+
+DOCS = [
+    ("1", "stream processing engines\nthe stream of data streams strongly"),
+    ("2", "storage and strings\nstring store storage stripe"),
+    ("3", "animal kingdom\nthe animal and animals of 2024"),
+]
+
+
+@pytest.fixture(scope="module")
+def ts(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id string, content string")
+    return build_index(docs, with_stems=False)["term_stats"]
+
+
+def test_autocomplete_prefix_sorted_limited(spark, ts):
+    got = [r["suggestion"] for r in autocomplete(ts, "st").collect()]
+    assert got == sorted(got)
+    assert all(s.startswith("st") for s in got)
+    assert "stream" in got and "storage" in got
+    assert "2024" not in got  # looksReasonable excludes digits
+
+
+def test_autocomplete_multiword_completes_last(spark, ts):
+    got = [r["suggestion"] for r in autocomplete(ts, "data str").collect()]
+    assert all(s.startswith("data str") for s in got)
+    assert "data stream" in got
+
+
+def test_spellcheck_word(spark, ts):
+    rows = spellcheck_word(ts, "strem").collect()
+    assert rows[0]["term"] == "stem" or rows[0]["distance"] <= 2
+    # exact dictionary word corrects to itself at distance 0
+    rows = spellcheck_word(ts, "stream").collect()
+    assert rows[0]["term"] == "stream" and rows[0]["distance"] == 0
+    # hopeless garbage: no suggestion within distance 2
+    assert spellcheck_word(ts, "xyzzyplugh").count() == 0
+
+
+def test_spellcheck_query(spark, ts):
+    # 'animel' is distance 1 from 'animal' (FIXTURES.md §5 query 9)
+    got = spellcheck_query(spark, ts, "animel strem")
+    assert got[0] == "animal"
+
+
+def test_snippet_window():
+    content = "x" * 200 + " needle " + "y" * 400
+    s = snippet_py(content, ["needle"])
+    assert "needle" in s
+    assert s.startswith("...") and s.endswith("...")
+    assert len(s) <= 350 + 6
+    # no hit: head of doc
+    s2 = snippet_py(content, ["absent"])
+    assert s2.endswith("...") and s2.startswith("xxx")
+
+
+def test_highlight():
+    assert (
+        highlight_py("the Needle in needles", ["needle"])
+        == "the <mark>Needle</mark> in needles"
+    )
+
+
+def test_snippets_df(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id string, content string")
+    out = {r["doc_id"]: r["snippet"] for r in snippets(docs, "stream").collect()}
+    assert "stream" in out["1"]
+    assert out["3"]  # falls back to head of doc
