@@ -95,7 +95,8 @@ def make_corpus_distributed(
     spark: SparkSession,
     n_docs: int,
     seed: int = 42,
-    n_partitions: int = 64,
+    n_partitions: int = 128,
+    synthetic_vocab: int = 20_000,
 ) -> DataFrame:
     """Large-scale deterministic corpus generated ON THE EXECUTORS (no
     driver-side row list): content tokens are picked from the fixed
@@ -105,19 +106,29 @@ def make_corpus_distributed(
     from pyspark.sql import functions as F
 
     nv = len(_VOCAB)
+    total_vocab = max(nv, synthetic_vocab)
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
     df = spark.range(0, n_docs, 1, n_partitions).withColumnRenamed("id", "i")
     u = F.pmod(F.xxhash64(F.col("i") * 7919 + F.lit(seed)), 100_000) / 100_000.0
     n_tokens = (30 + F.floor(370 * F.pow(u, 2.2))).cast("int")
 
     def _word(j):
-        # Zipf-ish index per position: floor(nv * u^2.2) + 1 (1-based)
+        # Zipf-ish index per position: floor(V * u^3); head indices hit the
+        # curated vocabulary (stop words, stemmable families), the tail maps
+        # to synthetic pure-alpha words (base-36 then digits->letters, so
+        # they pass isWorthIndexing)
         uj = (
-            F.pmod(F.xxhash64(F.col("i") * 1_000_003 + j + F.lit(seed * 17)), 100_000)
-            / 100_000.0
+            F.pmod(F.xxhash64(F.col("i") * 1_000_003 + j + F.lit(seed * 17)), 1_000_000)
+            / 1_000_000.0
         )
-        idx = F.least(F.floor(nv * F.pow(uj, 2.2)).cast("int") + 1, F.lit(nv))
-        return F.element_at(vocab, idx)
+        idx = F.least(
+            F.floor(total_vocab * F.pow(uj, 3.0)).cast("int"), F.lit(total_vocab - 1)
+        )
+        synth = F.concat(
+            F.lit("q"),
+            F.translate(F.conv(idx.cast("string"), 10, 36), "0123456789", "ghijklmnop"),
+        )
+        return F.when(idx < nv, F.element_at(vocab, idx + 1)).otherwise(synth)
 
     words = F.transform(F.sequence(F.lit(1), n_tokens), _word)
     body = F.array_join(words, " ")

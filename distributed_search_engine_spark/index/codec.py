@@ -93,18 +93,31 @@ def decode_docnums(data: bytes) -> np.ndarray:
 
 def encode_positions(positions_lists: list[list[int]]) -> bytes:
     """Concatenated per-posting position lists, each as [len, gap...]."""
-    parts: list[np.ndarray] = []
-    for pos in positions_lists:
-        p = np.asarray(pos, dtype=np.uint64)
-        g = np.empty(len(p) + 1, dtype=np.uint64)
-        g[0] = len(p)
-        if len(p):
-            g[1] = p[0]
-            np.subtract(p[1:], p[:-1], out=g[2:])
-        parts.append(g)
-    if not parts:
+    if not positions_lists:
         return b""
-    return varint_encode(np.concatenate(parts))
+    lens = np.fromiter((len(p) for p in positions_lists), dtype=np.int64)
+    flat = (
+        np.concatenate([np.asarray(p, dtype=np.uint64) for p in positions_lists])
+        if lens.sum()
+        else np.empty(0, dtype=np.uint64)
+    )
+    return encode_positions_flat(flat, lens)
+
+
+def encode_positions_flat(flat: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized form: flat = all positions concatenated, lens = positions
+    per posting. Per-list encoding is [len, first, gap...]; built with one
+    np.diff + boundary reset + np.insert — no per-posting Python loop."""
+    flat = np.ascontiguousarray(flat, dtype=np.uint64)
+    lens = np.ascontiguousarray(lens, dtype=np.int64)
+    starts = np.cumsum(lens) - lens
+    g = np.empty_like(flat)
+    if len(flat):
+        g[1:] = flat[1:] - flat[:-1]
+        nz = starts[lens > 0]
+        g[nz] = flat[nz]
+    out = np.insert(g, starts, lens.astype(np.uint64))
+    return varint_encode(out)
 
 
 def decode_positions(data: bytes, n_postings: int) -> list[np.ndarray]:

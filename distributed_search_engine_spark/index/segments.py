@@ -31,7 +31,7 @@ from .codec import (
     BLOCK_SIZE,
     block_boundaries,
     encode_docnums,
-    encode_positions,
+    encode_positions_flat,
     varint_encode,
 )
 
@@ -46,6 +46,42 @@ SEGMENT_SCHEMA = (
 MANIFEST_COLS = [
     "partition_id", "status", "input_rows", "output_rows", "bytes", "wall_ms",
 ]
+
+
+def _pa_segment_fields():
+    import pyarrow as pa
+
+    return [
+        ("part", pa.int32()),
+        ("term", pa.string()),
+        ("df", pa.int32()),
+        ("idf", pa.float64()),
+        ("idf_bm25", pa.float64()),
+        ("is_stop", pa.bool_()),
+        ("n_docs", pa.int32()),
+        (
+            "blocks",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("last_docnum", pa.int64()),
+                        ("max_score", pa.float64()),
+                        ("docs", pa.binary()),
+                        ("tfs", pa.binary()),
+                        ("dls", pa.binary()),
+                    ]
+                )
+            ),
+        ),
+        ("norm_tfs", pa.binary()),
+        ("positions", pa.binary()),
+    ]
+
+
+try:  # resolved once per process (driver and python workers alike)
+    _PA_SEGMENT_FIELDS = _pa_segment_fields()
+except Exception:  # pragma: no cover
+    _PA_SEGMENT_FIELDS = []
 
 
 def assign_docnums(doc_stats: DataFrame, n_partitions: int = 32) -> DataFrame:
@@ -78,50 +114,86 @@ def assign_docnums(doc_stats: DataFrame, n_partitions: int = 32) -> DataFrame:
     return out
 
 
-def _encode_term_group(pdf: pd.DataFrame, avgdl: float) -> pd.DataFrame:
-    """applyInPandas kernel: one input group = all postings of one term;
-    output = one segment row with compressed blocks + block-max metadata."""
-    term = pdf["term"].iloc[0]
-    order = np.argsort(pdf["docnum"].to_numpy(), kind="mergesort")
-    docnums = pdf["docnum"].to_numpy()[order].astype(np.uint64)
-    tfs = pdf["tf"].to_numpy()[order].astype(np.uint64)
-    dls = pdf["doc_len"].to_numpy()[order].astype(np.uint64)
-    ntfs = pdf["normalized_tf"].to_numpy()[order]
-    poss = [list(pdf["positions"].iloc[i]) for i in order]
-    n = len(docnums)
-    df_ = int(pdf["df"].iloc[0])
-    idf_bm25 = float(pdf["idf_bm25"].iloc[0])
-    # BM25 score per posting (upper bound source for WAND)
-    scores = (
-        idf_bm25
-        * tfs.astype(np.float64)
+def _encode_partition(batch_iter, avgdl: float):
+    """mapInArrow kernel over ONE term-hash partition: input batches are
+    pre-sorted by (term, docnum) (sortWithinPartitions upstream), so term
+    runs are contiguous; everything is numpy over zero-copy Arrow buffers —
+    no pandas object columns, no per-row python."""
+    import pyarrow as pa
+
+    batches = list(batch_iter)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches).combine_chunks()
+    n_rows = tbl.num_rows
+    if n_rows == 0:
+        return
+    part = tbl.column("part").chunk(0).to_numpy(zero_copy_only=False)
+    terms = tbl.column("term").chunk(0)
+    docnums = tbl.column("docnum").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs_all = tbl.column("tf").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+    dls_all = tbl.column("doc_len").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
+    ntfs_all = tbl.column("normalized_tf").chunk(0).to_numpy(zero_copy_only=False)
+    dfs_all = tbl.column("df").chunk(0).to_numpy(zero_copy_only=False)
+    idf_all = tbl.column("idf").chunk(0).to_numpy(zero_copy_only=False)
+    idfb_all = tbl.column("idf_bm25").chunk(0).to_numpy(zero_copy_only=False)
+    stop_all = tbl.column("is_stop").chunk(0).to_numpy(zero_copy_only=False)
+    plist = tbl.column("positions").chunk(0)
+    pos_offsets = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    pos_values = plist.values.to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    scores_all = (
+        idfb_all
+        * tfs_all.astype(np.float64)
         * (BM25_K1 + 1.0)
-        / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls.astype(np.float64) / avgdl))
+        / (tfs_all + BM25_K1 * (1.0 - BM25_B + BM25_B * dls_all.astype(np.float64) / avgdl))
     )
-    blocks = []
-    for s, e in block_boundaries(n, BLOCK_SIZE):
-        blocks.append(
+    # term-run boundaries (input sorted by term)
+    import pyarrow.compute as pc
+
+    codes = pc.dictionary_encode(terms).indices.to_numpy(zero_copy_only=False)
+    boundary = np.empty(n_rows, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = codes[1:] != codes[:-1]
+    gstart = np.nonzero(boundary)[0]
+    gend = np.append(gstart[1:], n_rows)
+
+    out = {k: [] for k in (
+        "part", "term", "df", "idf", "idf_bm25", "is_stop", "n_docs",
+        "blocks", "norm_tfs", "positions",
+    )}
+    term_str = terms.take(pa.array(gstart)).to_pylist()
+    for gi, (s, e) in enumerate(zip(gstart.tolist(), gend.tolist())):
+        n = e - s
+        dnum = docnums[s:e]
+        tfs = tfs_all[s:e]
+        dls = dls_all[s:e]
+        scores = scores_all[s:e]
+        blocks = [
             {
-                "last_docnum": int(docnums[e - 1]),
-                "max_score": float(scores[s:e].max()),
-                # each block is independently decodable (delta within block)
-                "docs": encode_docnums(docnums[s:e]),
-                "tfs": varint_encode(tfs[s:e]),
-                "dls": varint_encode(dls[s:e]),
+                "last_docnum": int(dnum[be - 1]),
+                "max_score": float(scores[bs:be].max()),
+                "docs": encode_docnums(dnum[bs:be]),
+                "tfs": varint_encode(tfs[bs:be]),
+                "dls": varint_encode(dls[bs:be]),
             }
-        )
-    return pd.DataFrame(
-        {
-            "term": [term],
-            "df": [df_],
-            "idf": [float(pdf["idf"].iloc[0])],
-            "idf_bm25": [idf_bm25],
-            "is_stop": [bool(pdf["is_stop"].iloc[0])],
-            "n_docs": [n],
-            "blocks": [blocks],
-            "norm_tfs": [varint_encode((ntfs * 1e6).round().astype(np.uint64))],
-            "positions": [encode_positions(poss)],
-        }
+            for bs, be in block_boundaries(n, BLOCK_SIZE)
+        ]
+        pflat = pos_values[pos_offsets[s] : pos_offsets[e]]
+        plens = np.diff(pos_offsets[s : e + 1])
+        out["part"].append(int(part[s]))
+        out["term"].append(term_str[gi])
+        out["df"].append(int(dfs_all[s]))
+        out["idf"].append(float(idf_all[s]))
+        out["idf_bm25"].append(float(idfb_all[s]))
+        out["is_stop"].append(bool(stop_all[s]))
+        out["n_docs"].append(n)
+        out["blocks"].append(blocks)
+        out["norm_tfs"].append(varint_encode((ntfs_all[s:e] * 1e6).round().astype(np.uint64)))
+        out["positions"].append(encode_positions_flat(pflat, plens))
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(out[name], type=typ) for name, typ in _PA_SEGMENT_FIELDS],
+        names=[name for name, _ in _PA_SEGMENT_FIELDS],
     )
 
 
@@ -178,9 +250,6 @@ def build_segments(
         .withColumn("part", F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int"))
     ).persist()
 
-    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _encode_term_group(pdf, avgdl)
-
     batches_done = 0
     for i in range(0, len(todo), batch_partitions):
         batch = todo[i : i + batch_partitions]
@@ -190,9 +259,13 @@ def build_segments(
             r["part"]: r["c"]
             for r in sub.groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
         }
-        seg = sub.groupBy("part", "term").applyInPandas(
-            lambda key, pdf: _kernel(pdf).assign(part=int(key[0])),
-            schema="part int, " + SEGMENT_SCHEMA,
+        seg = (
+            sub.repartition(max(2 * len(batch), 8), "part")
+            .sortWithinPartitions("part", "term", "docnum")
+            .mapInArrow(
+                lambda it: _encode_partition(it, avgdl),
+                schema="part int, " + SEGMENT_SCHEMA,
+            )
         )
         (
             seg.write.mode("overwrite")

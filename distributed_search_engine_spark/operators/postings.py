@@ -97,56 +97,247 @@ def build_term_dict(occ: DataFrame) -> DataFrame:
     )
 
 
-def with_stem_emissions(occ: DataFrame, term_dict: DataFrame) -> DataFrame:
-    """Add the extra (stem, doc, pos) emissions for non-stop tokens whose
-    stem differs (jobs/Indexer.java:463-475). Output carries is_stem_emit
-    so scorers can distinguish raw hits from stem hits (Q5 dedup)."""
-    joined = occ.join(F.broadcast(term_dict), "term")
-    raw = joined.select(
-        "term", "doc_id", "pos", "weight", F.lit(False).alias("is_stem_emit")
-    )
-    stems = joined.where(~F.col("is_stop") & (F.col("stem") != F.col("term"))).select(
-        F.col("stem").alias("term"), "doc_id", "pos", "weight",
-        F.lit(True).alias("is_stem_emit"),
-    )
-    return raw.unionByName(stems)
+_ARROW_OUT_SCHEMA = (
+    "term string, doc_id string, positions array<int>, tf int, "
+    "weighted_tf double, raw_tf int"
+)
 
 
-def aggregate_postings(emissions: DataFrame, doc_stats: DataFrame) -> DataFrame:
-    """Per-(term, doc) posting rows with sorted positions and normalized TF.
+def emit_postings_arrow(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    with_stems: bool = True,
+) -> DataFrame:
+    """North-star hot path: ONE vectorized Arrow kernel tokenizes content,
+    adds the Porter-stem emissions, and emits finished (term, doc_id,
+    positions, tf, weighted_tf, raw_tf) posting rows — semantically
+    identical to the JVM chain aggregate_raw + with_stem_emissions.
 
-    One shuffle on (term, doc_id) — doc_id spreads hot terms across
-    partitions, so this aggregation is skew-safe by construction; only the
-    later per-term window needs salting.
+    Because every Arrow batch carries whole documents, the per-(term, doc)
+    grouping AND the stem merge are complete inside the batch: the
+    10x-larger occurrence stream never shuffles. Kernels are PyArrow/numpy
+    C code — RE2 regex clean+split, dictionary-encode, stable lexsort,
+    reduceat; the Porter stemmer runs once per DISTINCT term per batch
+    (lru-cached), not per occurrence — no per-row Python (input_hint).
+
+    raw_tf = occurrences of the term as a RAW token (excluding stem-emitted
+    copies): doc_stats' doc_len/max_tf derive from it
+    (jobs/Indexer.java:220-225). Positions are 1-based stream offsets that
+    advance on rejected tokens too (:453-460), ascending per group (stable
+    sorts keep stream order; raw + stem position lists interleave sorted).
     """
-    per_td = emissions.groupBy("term", "doc_id").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "weight"))).alias("pw"),
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import text as T
+    from ..functions.stemmer import porter_stem
+
+    docs = filter_indexable(docs, content_col)
+    sel = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.col(content_col).alias("content"),
+    )
+
+    empty = pa.RecordBatch.from_arrays(
+        [
+            pa.array([], type=pa.string()), pa.array([], type=pa.string()),
+            pa.array([], type=pa.list_(pa.int32())), pa.array([], type=pa.int32()),
+            pa.array([], type=pa.float64()), pa.array([], type=pa.int32()),
+        ],
+        names=["term", "doc_id", "positions", "tf", "weighted_tf", "raw_tf"],
+    )
+
+    def _kernel(batch_iter):
+        for batch in batch_iter:
+            doc_ids = batch.column("doc_id")
+            content = batch.column("content")
+            s = pc.replace_substring_regex(content, pattern=T.RE_HTML_TAGS, replacement=" ")
+            s = pc.replace_substring_regex(s, pattern=T.RE_NON_ALNUM, replacement=" ")
+            s = pc.utf8_lower(s)
+            s = pc.utf8_trim_whitespace(s)
+            lists = pc.split_pattern_regex(s, pattern=T.RE_WS)
+            lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(lists)
+            n_tok = len(flat)
+            if n_tok == 0:
+                yield empty
+                continue
+            starts = np.cumsum(lens) - lens
+            pos = (np.arange(n_tok, dtype=np.int64) - np.repeat(starts, lens) + 1).astype(np.int32)
+            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+            # isWorthIndexing, vectorized (tokens are pure ascii [a-z0-9]
+            # after the cleanup, so is_alpha == ^[a-z]+$ here)
+            L = pc.utf8_length(flat)
+            worth = pc.and_(
+                pc.greater_equal(L, T.MIN_TOKEN_LEN),
+                pc.or_(
+                    pc.and_(pc.utf8_is_alpha(flat), pc.less_equal(L, T.MAX_TOKEN_LEN)),
+                    pc.and_(pc.utf8_is_numeric(flat), pc.less_equal(L, 4)),
+                ),
+            ).to_numpy(zero_copy_only=False)
+            keep = np.nonzero(worth)[0]
+            if len(keep) == 0:
+                yield empty
+                continue
+            terms = flat.take(pa.array(keep))
+            pos_k = pos[keep]
+            doc_k = doc_idx[keep]
+            dict_terms = pc.dictionary_encode(terms)
+            codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = dict_terms.dictionary.to_pylist()
+
+            if with_stems:
+                # stem per DISTINCT term; stop words never stem (I12)
+                stem_target = np.full(len(vocab), -1, dtype=np.int64)
+                extra_vocab: list[str] = []
+                vocab_index = {t: i for i, t in enumerate(vocab)}
+                for i, t in enumerate(vocab):
+                    if t in STOP_WORDS:
+                        continue
+                    st = porter_stem(t)
+                    if st and st != t:
+                        j = vocab_index.get(st)
+                        if j is None:
+                            j = len(vocab) + len(extra_vocab)
+                            vocab_index[st] = j
+                            extra_vocab.append(st)
+                        stem_target[i] = j
+                tgt = stem_target[codes]
+                mask = tgt >= 0
+                all_codes = np.concatenate([codes, tgt[mask]])
+                all_doc = np.concatenate([doc_k, doc_k[mask]])
+                all_pos = np.concatenate([pos_k, pos_k[mask]])
+                raw_flag = np.concatenate(
+                    [np.ones(len(codes), dtype=np.int32), np.zeros(int(mask.sum()), dtype=np.int32)]
+                )
+                full_vocab = vocab + extra_vocab
+            else:
+                all_codes, all_doc, all_pos = codes, doc_k, pos_k
+                raw_flag = np.ones(len(codes), dtype=np.int32)
+                full_vocab = vocab
+
+            order = np.lexsort((all_pos, all_codes, all_doc))
+            codes_s, doc_s, pos_s = all_codes[order], all_doc[order], all_pos[order]
+            raw_s = raw_flag[order]
+            n = len(order)
+            boundary = np.empty(n, dtype=bool)
+            boundary[0] = True
+            boundary[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+            gstart = np.nonzero(boundary)[0]
+            gsize = np.diff(np.append(gstart, n))
+            raw_tf = np.add.reduceat(raw_s, gstart)
+            offsets = np.append(gstart, n).astype(np.int32)
+            positions_arr = pa.ListArray.from_arrays(
+                pa.array(offsets), pa.array(pos_s, type=pa.int32())
+            )
+            vocab_arr = pa.array(full_vocab, type=pa.string())
+            term_arr = vocab_arr.take(pa.array(codes_s[gstart]))
+            docid_arr = doc_ids.take(pa.array(doc_s[gstart]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    term_arr,
+                    docid_arr,
+                    positions_arr,
+                    pa.array(gsize.astype(np.int32)),
+                    pa.array(gsize.astype(np.float64)),
+                    pa.array(raw_tf.astype(np.int32)),
+                ],
+                names=["term", "doc_id", "positions", "tf", "weighted_tf", "raw_tf"],
+            )
+
+    return sel.mapInArrow(_kernel, schema=_ARROW_OUT_SCHEMA)
+
+
+def aggregate_raw(occ: DataFrame) -> DataFrame:
+    """ONE shuffle on (term, doc_id) over the occurrence stream: sorted
+    positions, tf, weighted_tf per raw (term, doc). doc_id spreads hot
+    terms across partitions, so this aggregation is skew-safe by
+    construction; only the later per-term window needs salting.
+
+    Uniform-weight fast path: weights are 1.0 for plain-text/source
+    corpora (see occurrences()), so only positions shuffle as data and the
+    weights array is reconstituted as array_repeat — halves shuffle bytes
+    vs collecting (pos, weight) structs."""
+    return occ.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions"),
         F.count(F.lit(1)).cast("int").alias("tf"),
         F.sum("weight").alias("weighted_tf"),
     )
-    per_td = per_td.select(
-        "term",
-        "doc_id",
-        "tf",
-        "weighted_tf",
-        F.transform("pw", lambda s: s["pos"]).alias("positions"),
-        F.transform("pw", lambda s: s["weight"].cast("float")).alias("weights"),
+
+
+def with_stem_emissions(per_td: DataFrame, term_dict: DataFrame) -> DataFrame:
+    """Add (stem, doc) posting rows for non-stop terms whose stem differs
+    (jobs/Indexer.java:463-475), at the aggregated (term, doc) level —
+    far cheaper than duplicating the occurrence stream. Where a stem
+    collides with a raw term in the same doc (e.g. raw 'index' + stem of
+    'indexing'), positions merge sorted and tf/weighted_tf sum, exactly
+    as the reference's per-doc map accumulates (:471-475)."""
+    joined = per_td.join(F.broadcast(term_dict), "term")
+    stems = joined.where(~F.col("is_stop") & (F.col("stem") != F.col("term"))).select(
+        F.col("stem").alias("term"), "doc_id", "positions", "tf", "weighted_tf"
     )
+    both = per_td.select("term", "doc_id", "positions", "tf", "weighted_tf").unionByName(stems)
+    return both.groupBy("term", "doc_id").agg(
+        F.array_sort(F.flatten(F.collect_list("positions"))).alias("positions"),
+        F.sum("tf").cast("int").alias("tf"),
+        F.sum("weighted_tf").alias("weighted_tf"),
+    )
+
+
+def doc_stats_from_raw(
+    docs: DataFrame,
+    per_td_raw: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    tf_col: str = "tf",
+) -> DataFrame:
+    """I5 doc stats derived from the already-aggregated (term, doc) rows
+    (stems excluded — maxTf is over raw counts, jobs/Indexer.java:220-225),
+    avoiding a second tokenize pass over the corpus. For the Arrow kernel's
+    output pass tf_col='raw_tf' (stem-emitted copies carry raw_tf=0 and so
+    never affect doc_len/max_tf)."""
+    base = filter_indexable(docs, content_col).select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.sha2(F.col(content_col), 256).alias("content_sha"),
+        T.title_col(F.col(content_col)).alias("title"),
+    )
+    stats = per_td_raw.groupBy("doc_id").agg(
+        F.sum(tf_col).cast("int").alias("doc_len"),
+        F.max(tf_col).cast("int").alias("max_tf"),
+    )
+    return base.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "content_sha",
+        F.coalesce(F.col("doc_len"), F.lit(0)).alias("doc_len"),
+        F.greatest(F.coalesce(F.col("max_tf"), F.lit(0)), F.lit(1)).alias("max_tf"),
+        "title",
+    )
+
+
+def finalize_postings(per_td: DataFrame, doc_stats: DataFrame) -> DataFrame:
+    """Attach doc_len + normalized_tf (I9). The stats side is broadcast
+    when it fits (session autoBroadcastJoinThreshold), else AQE picks the
+    join; at 1e12-doc scale this is the one unavoidable doc-keyed shuffle."""
     stats = doc_stats.select("doc_id", "doc_len", "max_tf")
     out = per_td.join(stats, "doc_id")
-    return out.select(
-        "term",
-        "doc_id",
-        "tf",
-        "weighted_tf",
+    cols = [
+        F.col("term"),
+        F.col("doc_id"),
+        F.col("tf"),
+        F.col("weighted_tf"),
         F.when(
             (F.col("weighted_tf") > 0) & (F.col("max_tf") > 0),
             0.4 + 0.6 * F.col("weighted_tf") / F.col("max_tf"),
         ).otherwise(0.0).alias("normalized_tf"),
         F.col("doc_len"),
-        "positions",
-        "weights",
-    )
+        F.col("positions"),
+        F.transform("positions", lambda _: F.lit(1.0).cast("float")).alias("weights"),
+    ]
+    if "is_stop" in per_td.columns:
+        cols.append(F.col("is_stop"))
+    return out.select(*cols)
 
 
 def apply_caps(
@@ -155,9 +346,16 @@ def apply_caps(
     n_salts: int = DEFAULT_SALTS,
     max_docs: int = MAX_DOCS_PER_TERM,
     max_docs_stop: int = MAX_DOCS_PER_STOP_TERM,
+    broadcast_winners: bool = False,
 ) -> DataFrame:
     """I10: keep top-N docs per term by weighted_tf desc (ties: doc_id asc,
     a deterministic refinement of the reference's unspecified tie order).
+
+    broadcast_winners=True broadcasts the (term, doc_id) winner set into
+    the semi-join so the full posting rows never shuffle — right whenever
+    sum(min(df, cap)) fits an executor (it does for vocabulary sizes into
+    the tens of millions). Set False for extreme vocabularies; the join
+    then falls back to a shuffle that AQE sizes.
 
     Two-phase to defuse hot-term skew: rank within (term, salt) first —
     bounding any single task to ~cap rows per term — then rank the
@@ -167,20 +365,49 @@ def apply_caps(
     is_stop is evaluated directly against the stop-word set (not via
     term_dict, which holds only raw terms — stem-emitted terms like
     'comput' must survive this stage too).
+
+    The two window sorts run over a SLIM projection (term, doc_id,
+    weighted_tf) — posting rows with their position arrays shuffle only
+    once, in the final semi-join — cutting cap-stage shuffle bytes ~5-10x.
     """
     stop_lit = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
-    p = postings.withColumn("is_stop", F.array_contains(stop_lit, F.col("term"))).withColumn(
-        "cap",
-        F.when(F.col("is_stop"), F.lit(max_docs_stop)).otherwise(F.lit(max_docs)),
+    is_stop = F.array_contains(stop_lit, F.col("term"))
+    cap = F.when(is_stop, F.lit(max_docs_stop)).otherwise(F.lit(max_docs))
+
+    # hot/cold split: only terms whose df exceeds their cap need ranking —
+    # a tiny Zipf head. Everything else passes through untouched, so the
+    # expensive window sorts see only the hot postings. The hot-term list
+    # is small by construction (N/cap terms at most) -> broadcast joins.
+    hot_terms = (
+        postings.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > F.least(F.lit(max_docs_stop), F.lit(max_docs)))
+        .select("term")
     )
+    cold = postings.join(F.broadcast(hot_terms), "term", "left_anti")
+    # cold stop-word terms may still exceed the stop cap if caps differ;
+    # guard by using the SMALLER cap in the hot predicate above, so any
+    # term over either cap is routed hot.
+    hot = postings.join(F.broadcast(hot_terms), "term", "left_semi")
+
+    slim = hot.select("term", "doc_id", "weighted_tf").withColumn("cap", cap)
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
     w_salt = Window.partitionBy("term", salt).orderBy(
         F.desc("weighted_tf"), F.asc("doc_id")
     )
-    p = p.withColumn("rn1", F.row_number().over(w_salt)).where(F.col("rn1") <= F.col("cap"))
+    slim = slim.withColumn("rn1", F.row_number().over(w_salt)).where(
+        F.col("rn1") <= F.col("cap")
+    )
     w_term = Window.partitionBy("term").orderBy(F.desc("weighted_tf"), F.asc("doc_id"))
-    p = p.withColumn("rn", F.row_number().over(w_term)).where(F.col("rn") <= F.col("cap"))
-    return p.drop("rn1", "rn", "cap")
+    winners = (
+        slim.withColumn("rn", F.row_number().over(w_term))
+        .where(F.col("rn") <= F.col("cap"))
+        .select("term", "doc_id")
+    )
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    capped_hot = hot.join(winners, ["term", "doc_id"], "left_semi")
+    return cold.unionByName(capped_hot).withColumn("is_stop", is_stop)
 
 
 def build_term_stats(postings: DataFrame, total_docs: int) -> DataFrame:
@@ -204,28 +431,86 @@ def build_term_stats(postings: DataFrame, total_docs: int) -> DataFrame:
     )
 
 
+def merge_postings(
+    old_postings: DataFrame,
+    new_postings: DataFrame,
+    term_dict: DataFrame,
+    n_salts: int = DEFAULT_SALTS,
+    max_docs: int = MAX_DOCS_PER_TERM,
+    max_docs_stop: int = MAX_DOCS_PER_STOP_TERM,
+) -> DataFrame:
+    """I14 incremental merge (jobs/Indexer.java:947-1174): union old + new,
+    keep the EXISTING entry when a (term, doc) appears in both (:1044-1080),
+    re-apply caps (re-sort + truncate, :1087-1112). IDF must then be
+    recomputed from the merged df via build_term_stats (:1114-1116).
+
+    One shuffle on (term, doc_id); dedup-prefer-old is a window over that
+    key ordered by source tag — doc_id spreads hot terms, no skew."""
+    cols = [
+        "term", "doc_id", "tf", "weighted_tf", "normalized_tf", "doc_len",
+        "positions", "weights",
+    ]
+    tagged = (
+        old_postings.select(*cols).withColumn("_src", F.lit(0))
+        .unionByName(new_postings.select(*cols).withColumn("_src", F.lit(1)))
+    )
+    w = Window.partitionBy("term", "doc_id").orderBy("_src")
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+    return apply_caps(merged, term_dict, n_salts, max_docs, max_docs_stop)
+
+
 def build_index(
     docs: DataFrame,
     doc_id_col: str = "doc_id",
     content_col: str = "content",
     with_stems: bool = True,
     n_salts: int = DEFAULT_SALTS,
+    use_arrow: bool = True,
 ) -> dict[str, DataFrame]:
     """Full logical index build: returns doc_stats, postings, term_stats,
-    term_dict DataFrames (FIXTURES.md §4 schemas). Lazy — nothing runs until
-    the caller writes/collects. Callers at scale should persist doc_stats
-    (it is joined twice) and write postings partitioned by term hash
-    (index/segments.py)."""
-    doc_stats = build_doc_stats(docs, doc_id_col, content_col).persist()
-    occ = occurrences(docs, doc_id_col, content_col)
-    term_dict = build_term_dict(occ)
-    emissions = (
-        with_stem_emissions(occ, term_dict)
-        if with_stems
-        else occ.withColumn("is_stem_emit", F.lit(False))
-    )
-    postings = aggregate_postings(emissions, doc_stats)
-    postings = apply_caps(postings, term_dict, n_salts=n_salts)
+    term_dict DataFrames (FIXTURES.md §4 schemas).
+
+    Physical shape (one pass over the corpus):
+      tokenize+explode -> groupBy(term, doc_id) [THE shuffle] ->
+      stem rows unioned at (term, doc) level -> doc stats derived from the
+      same aggregation -> broadcast-joined normalized_tf -> salted caps.
+    per_td_raw is persisted (reused by doc_stats, stems, term_dict).
+
+    use_arrow=True (default) emits finished stem-merged postings from the
+    vectorized Arrow kernel with NO occurrence-level shuffle
+    (emit_postings_arrow); use_arrow=False is the pure-JVM Column path
+    (occurrences + aggregate_raw + with_stem_emissions) kept for
+    differential testing."""
+    if use_arrow:
+        per_td = emit_postings_arrow(
+            docs, doc_id_col, content_col, with_stems=with_stems
+        ).persist()
+        doc_stats = doc_stats_from_raw(
+            docs, per_td.where(F.col("raw_tf") > 0), doc_id_col, content_col,
+            tf_col="raw_tf",
+        ).persist()
+        term_dict = build_term_dict(
+            per_td.where(F.col("raw_tf") > 0).select("term")
+        )
+        per_td = per_td.drop("raw_tf")
+    else:
+        occ = occurrences(docs, doc_id_col, content_col)
+        per_td_raw = aggregate_raw(occ).persist()
+        doc_stats = doc_stats_from_raw(docs, per_td_raw, doc_id_col, content_col).persist()
+        term_dict = build_term_dict(per_td_raw.select("term"))
+        per_td = (
+            with_stem_emissions(per_td_raw, term_dict) if with_stems else per_td_raw
+        )
+    # caps BEFORE the doc_stats join: the cap order is weighted_tf desc
+    # (jobs/Indexer.java:668-672), independent of normalized_tf, so ranking
+    # the pre-join rows is equivalent and the join then touches only the
+    # capped survivors (20x fewer rows at web scale).
+    capped = apply_caps(per_td, term_dict, n_salts=n_salts)
+    postings = finalize_postings(capped, doc_stats)
     total_docs = doc_stats.count()
     term_stats = build_term_stats(postings, total_docs)
     return {

@@ -1,8 +1,15 @@
 """One indexing run at a given parallelism level — the unit job for the
 N-vs-4N scaling evidence (BASELINE.json north rule). Run via subprocess so
-each level gets its own JVM:
+each level gets its own driver JVM:
 
-  python tools/scaling_job.py <cores> <corpus_parquet> <out_json_line>
+  python tools/scaling_job.py <n_executors> <corpus_parquet>   # 2 cores each
+
+Runs on Spark's local-cluster[N,2,mem] master: N SEPARATE two-core
+executor JVM processes — the faithful sandbox stand-in for an N-executor
+cluster (the north rule's "N and 4N executors"). Thread-based local[N]
+is NOT used for the measurement: a single JVM's task threads stop scaling
+at ~2.5x on this VM while separate processes scale with the hardware
+(control experiments in BENCH/BASELINE.md).
 
 The measured job = full physical index build: tokenize -> postings ->
 doc stats/term stats -> docnums -> compressed segments with manifests.
@@ -13,6 +20,7 @@ fixed costs; the rule targets the scaling of the indexing work itself).
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -20,20 +28,40 @@ import time
 
 sys.path.insert(0, ".")
 
-from pyspark.sql import functions as F
+from pyspark.sql import SparkSession, functions as F
 
 from distributed_search_engine_spark.index.segments import (
     assign_docnums,
     build_segments,
 )
 from distributed_search_engine_spark.operators.postings import build_index
-from distributed_search_engine_spark.session import get_spark
+
+
+def cluster_session(n_executors: int, executor_mem_mb: int = 5120) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local-cluster[{n_executors},2,{executor_mem_mb}]")
+        .appName(f"scaling-{n_executors}x2")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.executor.memory", f"{executor_mem_mb - 512}m")
+        .config("spark.driver.memory", "6g")
+        .config("spark.ui.enabled", "false")
+        # executor python workers need the engine package (the spark-submit
+        # --py-files equivalent for this in-repo run)
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        .getOrCreate()
+    )
 
 
 def main() -> None:
     cores = int(sys.argv[1])
     corpus_path = sys.argv[2]
-    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=cores * 2)
+    spark = cluster_session(cores)
     spark.sparkContext.setLogLevel("ERROR")
     docs = spark.read.parquet(corpus_path)
     n_docs = docs.count()  # warms the input (page cache), not timed
