@@ -241,6 +241,90 @@ def _q_fingerprint(spark, sf_dir):
     return TA.fingerprint(_capped_docs(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# Flame dataflow-operator analogs (SURVEY.md §2.1) over the TPC-H-ish tables —
+# each row of the §2.1 table maps to a Spark primitive; these queries prove
+# the mapping with a DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _q_flame_distinct(spark, sf_dir):
+    # distinct (flame/Worker.java:688-759) -> df.distinct()
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+def _q_flame_sample(spark, sf_dir):
+    # sample (flame/Worker.java:333-393): DETERMINISTIC hash-based Bernoulli
+    # (hash of value -> [0,1)); reproduced with md5 so both engines agree
+    o = _t(spark, sf_dir, "orders")
+    return o.where(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "1999"
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def _q_flame_intersection(spark, sf_dir):
+    # intersection (flame/Worker.java:295-330) -> intersect
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("key"))
+    return c.intersect(o)
+
+
+def _q_flame_fold(spark, sf_dir):
+    # fold (flame/Coordinator.java:378-476; PageRank convergence stats) ->
+    # one aggregate pass: max / conditional-sum / count
+    l = _t(spark, sf_dir, "lineitem")
+    return l.agg(
+        F.round(F.max("l_extendedprice"), 6).alias("max_price"),
+        F.round(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_quantity")).otherwise(0.0)), 6).alias("qty_discounted"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+
+
+def _q_flame_join(spark, sf_dir):
+    # join (flame/Worker.java:762-807: point-lookup inner equi-join) ->
+    # Catalyst join; aggregated per nation for a compact deterministic result
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def _q_flame_cogroup(spark, sf_dir):
+    # cogroup (flame/Worker.java:845-923: full-outer grouped join with
+    # sorted value lists) -> per-side aggregate + full outer join
+    o = _t(spark, sf_dir, "orders").groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.lit(1).alias("present")
+    )
+    return c.join(o, "key", "full_outer").select(
+        "key",
+        F.coalesce(F.col("present"), F.lit(0)).alias("has_customer"),
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+
+
+def _q_flame_groupby_concat(spark, sf_dir):
+    # groupBy + comma-concat foldByKey (flame/FlameRDDImpl.java:86-90,
+    # jobs/Indexer.java:528-536) -> sorted deterministic string_agg
+    n = _t(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
 def _q_autocomplete(spark, sf_dir):
     # Q14 over the unstemmed dictionary (prefix 's')
     from distributed_search_engine_spark.query.suggest import autocomplete
@@ -298,6 +382,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suggest_autocomplete": _q_autocomplete,
         "suggest_spellcheck": _q_spellcheck,
         "search_snippets": _q_snippets,
+        "flame_distinct": _q_flame_distinct,
+        "flame_sample": _q_flame_sample,
+        "flame_intersection": _q_flame_intersection,
+        "flame_fold": _q_flame_fold,
+        "flame_join": _q_flame_join,
+        "flame_cogroup": _q_flame_cogroup,
+        "flame_groupby_concat": _q_flame_groupby_concat,
     }
 
 
@@ -329,4 +420,37 @@ def oracle_sql() -> dict[str, str]:
         "suggest_autocomplete": oracle.autocomplete_sql("s", 10),
         "suggest_spellcheck": oracle.spellcheck_sql("strem"),
         # search_snippets: rows-only (python snippet windowing)
+        "flame_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "flame_sample": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE substr(md5(o_orderkey::varchar), 1, 4) < '1999'"
+        ),
+        "flame_intersection": (
+            "SELECT c_custkey AS key FROM customer "
+            "INTERSECT SELECT o_custkey FROM orders"
+        ),
+        "flame_fold": (
+            "SELECT round(max(l_extendedprice), 6) AS max_price, "
+            "round(sum(CASE WHEN l_discount > 0.05 THEN l_quantity ELSE 0.0 END), 6) AS qty_discounted, "
+            "count(*)::bigint AS n_rows FROM lineitem"
+        ),
+        "flame_join": (
+            "SELECT n_name, count(*)::bigint AS n_orders, "
+            "round(sum(o_totalprice), 4) AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
+        "flame_cogroup": (
+            "SELECT coalesce(c.key, o.key) AS key, "
+            "coalesce(c.present, 0) AS has_customer, "
+            "coalesce(o.n_orders, 0) AS n_orders FROM "
+            "(SELECT c_custkey AS key, 1 AS present FROM customer) c "
+            "FULL OUTER JOIN "
+            "(SELECT o_custkey AS key, count(*)::bigint AS n_orders FROM orders GROUP BY 1) o "
+            "ON c.key = o.key"
+        ),
+        "flame_groupby_concat": (
+            "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations "
+            "FROM nation GROUP BY n_regionkey"
+        ),
     }

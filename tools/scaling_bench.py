@@ -26,8 +26,8 @@ import time
 sys.path.insert(0, ".")
 
 CORPUS = "/tmp/dse_scaling_corpus_v2"
-N_DOCS_DEFAULT = 1_200_000
-N_BASE_DEFAULT = 2  # N executors; 4N = 8
+N_DOCS_DEFAULT = 600_000
+N_BASE_DEFAULT = 1  # N executors; 4N = 4
 
 
 def ensure_corpus(n_docs: int) -> None:
@@ -38,7 +38,11 @@ def ensure_corpus(n_docs: int) -> None:
 
     spark = get_spark("gen-corpus", cores=32, shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    docs = ingest(make_corpus_distributed(spark, n_docs, seed=42, n_partitions=128))
+    docs = ingest(
+        make_corpus_distributed(
+            spark, n_docs, seed=42, n_partitions=128, synthetic_vocab=2000
+        )
+    )
     docs.write.mode("overwrite").parquet(CORPUS)
     spark.stop()
 
@@ -96,7 +100,7 @@ def main() -> None:
 
 Same physical index-build job (Arrow-kernel tokenize+postings emit ->
 doc/term stats -> salted caps -> docnums -> delta-varint segments +
-manifests) on the same {n_docs:,}-doc / ~20k-term deterministic corpus
+manifests) on the same {n_docs:,}-doc / ~2k-term deterministic corpus (synthetic_vocab=2000)
 (`corpus.make_corpus_distributed`, seed 42), at two cluster sizes —
 SEPARATE executor JVM processes via Spark local-cluster
 (`tools/scaling_job.py`):
