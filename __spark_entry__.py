@@ -325,6 +325,35 @@ def _q_flame_groupby_concat(spark, sf_dir):
     )
 
 
+def _q_events_windowed(spark, sf_dir):
+    # event-time tumbling-window aggregation (batch equivalent of the
+    # streaming token_trends operator)
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    # sessionization: new session when gap > 30 min; count per user
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    sess = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
 def _q_autocomplete(spark, sf_dir):
     # Q14 over the unstemmed dictionary (prefix 's')
     from distributed_search_engine_spark.query.suggest import autocomplete
@@ -389,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flame_join": _q_flame_join,
         "flame_cogroup": _q_flame_cogroup,
         "flame_groupby_concat": _q_flame_groupby_concat,
+        "events_windowed_agg": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
     }
 
 
@@ -452,5 +483,18 @@ def oracle_sql() -> dict[str, str]:
         "flame_groupby_concat": (
             "SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations "
             "FROM nation GROUP BY n_regionkey"
+        ),
+        "events_windowed_agg": (
+            "SELECT date_trunc('hour', ts) AS hour, event_type, "
+            "count(*)::bigint AS n, round(sum(value), 6) AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sessionize": (
+            "WITH g AS (SELECT user_id, event_id, "
+            "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+            "FROM events) "
+            "SELECT user_id, "
+            "sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)::bigint AS n_sessions, "
+            "count(*)::bigint AS n_events FROM g GROUP BY user_id"
         ),
     }

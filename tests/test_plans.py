@@ -1,0 +1,100 @@
+"""Physical-plan assertions: partition pruning, filter pushdown, column
+pruning, broadcast joins — the .explain("formatted") checks that guard the
+100 TB story (SURVEY §4)."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_search_engine_spark.corpus import ingest, make_corpus
+from distributed_search_engine_spark.index.segments import (
+    assign_docnums,
+    build_segments,
+    read_segments_for_terms,
+)
+from distributed_search_engine_spark.operators.postings import build_index
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def seg_dir(spark, tmp_path_factory):
+    docs = ingest(make_corpus(spark, n_docs=60, seed=9))
+    idx = build_index(docs)
+    ds = assign_docnums(idx["doc_stats"], n_partitions=4)
+    avgdl = float(ds.agg(F.avg("doc_len")).collect()[0][0])
+    out = str(tmp_path_factory.mktemp("plans") / "index")
+    build_segments(
+        idx["postings"], idx["term_stats"], ds, out, avgdl,
+        n_partitions=8, batch_partitions=8,
+    )
+    return out
+
+
+def test_segment_read_is_partition_pruned(spark, seg_dir):
+    """Query-term lookups must scan only the part= directories that can
+    hold the terms (partition pruning), and push the term filter into the
+    parquet scan."""
+    df = read_segments_for_terms(spark, seg_dir, ["spark", "compute"], 8)
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    # the part IN (...) predicate must appear as a partition filter,
+    # not a post-scan filter
+    assert "part" in plan.split("PartitionFilters")[1][:200]
+    assert "PushedFilters" in plan
+    assert "term" in plan.split("PushedFilters")[1][:300]
+
+
+def test_projection_prunes_columns(spark, seg_dir):
+    """A 2-column projection must not read the heavy blocks column."""
+    df = spark.read.parquet(seg_dir + "/data").select("term", "df")
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "term" in read_schema and "df" in read_schema
+    assert "blocks" not in read_schema
+
+
+def test_filter_pushdown_on_source_scan(spark, tmp_path):
+    docs = ingest(make_corpus(spark, n_docs=30, seed=2))
+    p = str(tmp_path / "docs")
+    docs.write.parquet(p)
+    df = spark.read.parquet(p).where(F.col("lang") == "py").select("doc_id", "lang")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1][:200]
+
+
+def test_query_candidates_use_broadcast_join(spark, seg_dir):
+    """The expanded-terms join in the query engine must broadcast the tiny
+    expansion side, never shuffle the postings."""
+    from distributed_search_engine_spark.operators.postings import build_index
+    from distributed_search_engine_spark.query.engine import SearchIndex, search
+
+    docs = ingest(make_corpus(spark, n_docs=60, seed=9))
+    idx = build_index(docs)
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    plan = plan_of(search(spark, sidx, "spark compute", mode="bm25"))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_index_build_has_no_occurrence_shuffle(spark):
+    """The Arrow kernel emits finished posting rows: the plan between the
+    file scan and the posting output must contain NO Exchange (the 10x
+    occurrence stream never shuffles)."""
+    from distributed_search_engine_spark.operators.postings import emit_postings_arrow
+
+    docs = ingest(make_corpus(spark, n_docs=30, seed=2))
+    plan = plan_of(emit_postings_arrow(docs))
+    assert "Exchange" not in plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
