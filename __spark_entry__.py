@@ -199,7 +199,11 @@ def _q_lsh_pairs(spark, sf_dir):
 
 
 def _q_jaccard(spark, sf_dir):
-    out = D.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.5)
+    # scale path: exact jaccard restricted to MinHash-LSH candidates — the
+    # shingle self-join never runs (oracle applies the identical banding)
+    sh = _shingles(spark, sf_dir)
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(sh))
+    out = D.jaccard_pairs(sh, threshold=0.5, candidates=cands)
     return out.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -213,7 +217,10 @@ def _q_simhash_pairs(spark, sf_dir):
 
 
 def _q_neardup_emb(spark, sf_dir):
-    out = D.embedding_neardup(_emb(spark, sf_dir), threshold=0.4)
+    # scale path: multi-band sign-LSH candidates + exact cosine rerank
+    # (oracle applies the identical banding; exact=True is the pytest-only
+    # all-pairs differential baseline)
+    out = D.embedding_neardup(_emb(spark, sf_dir), threshold=0.4, n_dims=64)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -343,7 +350,10 @@ def _q_events_sessionize(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # fractional-second epoch (double) so gap arithmetic is bit-identical
+    # to the oracle's epoch(ts) — unix_timestamp truncates to whole seconds
+    # and can classify a gap near the 1800 s boundary differently
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gap = epoch - F.lag(epoch).over(w)
     sess = e.withColumn(
         "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
@@ -378,9 +388,9 @@ def _q_snippets(spark, sf_dir):
     return snippets(docs, "data stream", content_col="text", highlight=True)
 
 
-def _lsh_plane_weights() -> list[list[float]]:
+def _lsh_plane_weights(n_planes: int = S.N_PLANES) -> list[list[float]]:
     return [
-        [float(S.plane_weight(p, d)) for d in range(64)] for p in range(S.N_PLANES)
+        [float(S.plane_weight(p, d)) for d in range(64)] for p in range(n_planes)
     ]
 
 
@@ -438,10 +448,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.EXACT_DEDUP_SQL,
         "dedup_minhash_signatures": oracle.minhash_sql(16),
         "dedup_lsh_candidates": oracle.lsh_pairs_sql(16, 4),
-        "dedup_ngram_jaccard": oracle.jaccard_pairs_sql(0.5),
+        "dedup_ngram_jaccard": oracle.jaccard_pairs_lsh_sql(0.5, 16, 4),
         "dedup_simhash": oracle.SIMHASH_SQL,
         "dedup_simhash_pairs": oracle.simhash_pairs_sql(3),
-        "neardup_embedding_cosine": oracle.embedding_neardup_sql(0.4),
+        "neardup_embedding_cosine": oracle.embedding_neardup_lsh_sql(
+            _lsh_plane_weights(D.NEARDUP_BANDS * D.NEARDUP_PLANES),
+            D.NEARDUP_BANDS,
+            D.NEARDUP_PLANES,
+            0.4,
+        ),
         "ann_bruteforce_top10": oracle.ann_bruteforce_sql(0, 10),
         "ann_lsh_top10": oracle.ann_lsh_sql(_lsh_plane_weights(), 0, 10),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),

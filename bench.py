@@ -86,9 +86,13 @@ def main() -> None:
     t0 = time.time()
     for q in QUERY_SET:
         terms = q.split()
+        # slim projection: WAND needs only idf + blocks, never the
+        # positions/norm_tfs binaries — don't ship them to the driver
         rows = [
             r.asDict()
-            for r in read_segments_for_terms(spark, seg_dir, terms, N_SEG_PARTS).collect()
+            for r in read_segments_for_terms(spark, seg_dir, terms, N_SEG_PARTS)
+            .select("idf_bm25", "blocks")
+            .collect()
         ]
         wand_topk(
             [{"idf_bm25": r["idf_bm25"], "blocks": [b.asDict() for b in r["blocks"]]} for r in rows],

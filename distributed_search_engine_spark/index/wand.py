@@ -115,10 +115,13 @@ def wand_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, flo
             break
         live.sort(key=lambda c: c.cur_doc())
         # pivot: first prefix whose UB sum beats the threshold
+        # >= admits pivots whose upper bound exactly equals the k-th score:
+        # an exact-tie candidate with a smaller docnum must still be scored
+        # so ties resolve to (score desc, docnum asc) like bruteforce_topk.
         ub, pivot = 0.0, -1
         for i, c in enumerate(live):
             ub += c.max_score
-            if ub > threshold():
+            if ub >= threshold():
                 pivot = i
                 break
         if pivot < 0:
@@ -129,7 +132,7 @@ def wand_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, flo
             bub = sum(
                 c.cur_block_max() for c in live if c.cur_doc() == pivot_doc
             ) + sum(c.max_score for c in live[:pivot] if c.cur_doc() != pivot_doc)
-            if bub > threshold() or len(heap) < k:
+            if bub >= threshold() or len(heap) < k:
                 score = 0.0
                 for c in live:
                     if c.cur_doc() == pivot_doc:

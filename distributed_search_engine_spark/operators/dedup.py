@@ -124,21 +124,57 @@ def jaccard_pairs(
     shingles_df: DataFrame,
     threshold: float = 0.0,
     candidates: DataFrame | None = None,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, jaccard): exact n-gram jaccard.
 
-    Pairs come from the shingle equi-join (docs sharing >= 1 shingle);
-    optionally restricted to LSH candidates. |A ∪ B| = |A| + |B| - common."""
+    Scale path (``candidates`` given — the LSH pipeline): common-shingle
+    counts come from two doc-keyed equi-joins against the candidate pair
+    list, so work is O(|candidates| x shingles-per-doc) — the shingle
+    self-join (quadratic inside any hot-shingle bucket) never runs.
+
+    Unrestricted path (candidates=None): exact verification kernel via the
+    shingle self-join; ``max_shingle_df`` drops shingles appearing in more
+    than K docs first (boilerplate shingles dominate hot buckets and carry
+    ~no similarity signal — standard MinHash-pipeline hygiene; changes
+    jaccard slightly, so it is opt-in and off for oracle-gated runs).
+
+    |A ∪ B| = |A| + |B| - common; sizes always use the FULL shingle sets.
+    """
     sizes = shingles_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = shingles_df.alias("a")
-    b = shingles_df.alias("b")
-    common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     if candidates is not None:
-        common = common.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        a = shingles_df.select(F.col("doc_id").alias("doc_a"), "shingle")
+        b = shingles_df.select(
+            F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("_shingle_b")
+        )
+        common = (
+            candidates.select("doc_a", "doc_b")
+            .join(a, "doc_a")
+            .join(
+                b,
+                (F.col("doc_b") == F.col("_doc_b"))
+                & (F.col("shingle") == F.col("_shingle_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        joinable = shingles_df
+        if max_shingle_df is not None:
+            hot = (
+                shingles_df.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") > max_shingle_df)
+                .select("shingle")
+            )
+            joinable = shingles_df.join(F.broadcast(hot), "shingle", "left_anti")
+        a = joinable.alias("a")
+        b = joinable.alias("b")
+        common = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     out = (
         common.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
@@ -188,21 +224,87 @@ def simhash(docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "tex
     )
 
 
-def simhash_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(doc_a, doc_b, hamming) with hamming <= max_hamming. The O(N^2)
-    form here is the verification kernel; at scale candidates come from
-    banding the simhash into 4 chunks (pigeonhole: hamming<=3 => one exact
-    chunk match) — chunk join, then this check."""
-    a, b = sim.alias("a"), sim.alias("b")
+def simhash_pairs(
+    sim: DataFrame, max_hamming: int = 3, exact: bool = False
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) with hamming <= max_hamming.
+
+    Scale path (default): band the fingerprint into max_hamming + 1 bit
+    chunks. Pigeonhole: any pair within hamming <= max_hamming agrees on at
+    least one full chunk, so the (chunk_id, chunk_value) equi-join is a
+    RECALL-COMPLETE candidate generator — output is identical to the
+    all-pairs kernel, but the only shuffles are the chunk-key join and the
+    final pair distinct. (Chunk values of near-empty docs can hot-spot one
+    bucket; the exact hamming filter runs inside the join, so a hot bucket
+    costs time, never correctness.)
+
+    ``exact=True`` runs the O(N^2) theta-join verification kernel (tiny
+    inputs / differential tests only).
+    """
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    if exact:
+        a, b = sim.alias("a"), sim.alias("b")
+        return (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .where(F.col("hamming") <= max_hamming)
+        )
+    n_chunks = max_hamming + 1
+    w = SIMHASH_BITS // n_chunks
+    chunks = []
+    for c in range(n_chunks):
+        width = w if c < n_chunks - 1 else SIMHASH_BITS - w * (n_chunks - 1)
+        mask = (1 << width) - 1
+        val = F.expr(f"shiftright(simhash, {c * w}) & {mask}")
+        chunks.append(
+            F.struct(F.lit(c).alias("chunk_id"), val.alias("chunk_val"))
+        )
+    banded = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("ch")
+    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
+    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+NEARDUP_BANDS = 4
+NEARDUP_PLANES = 8
+
+
+def _vec_pairs_cosine(v: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Attach exact cosine to (id_a, id_b) pairs; float64 sequential fold,
+    same accumulation order as the SQL oracle."""
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", (dot / (norm("va") * norm("vb"))).alias("cosine"))
     )
 
 
@@ -211,31 +313,58 @@ def embedding_neardup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_dims: int = 64,
+    n_bands: int = NEARDUP_BANDS,
+    n_planes: int = NEARDUP_PLANES,
+    exact: bool = False,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
-    Brute-force kernel (all pairs) — correct baseline; the scale path
-    buckets by LSH sign-projection first (similarity.ann_lsh). Cosine is
-    accumulated in float64 sequentially, matching the SQL oracle exactly."""
+    Scale path (default): multi-band sign-projection LSH. Band b buckets
+    every vector by the sign pattern of n_planes deterministic hyperplanes
+    (similarity.plane_weight, planes b*n_planes..), candidates = pairs
+    sharing any band's full bucket (equi-join on (band, bucket) — the only
+    pair-generating shuffle), exact cosine computed on candidates only.
+    Sign-LSH recall is < 1 by design (rises with n_bands, falls with
+    n_planes; candidates shrink ~2^-n_planes per band) — the oracle twin
+    (oracle.embedding_neardup_lsh_sql) applies the IDENTICAL banding, and
+    the all-pairs kernel below (exact=True) is the differential baseline.
+
+    ``exact=True``: O(N^2) theta join — correct on anything, affordable on
+    nothing big."""
     v = emb.select(
         F.col(id_col).cast("long").alias("id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda side: F.sqrt(
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (dot / (norm("a") * norm("b"))).alias("cosine"),
+    if exact:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
         )
-        .where(F.col("cosine") >= threshold)
-    )
+    else:
+        from .similarity import _bucket_expr
+
+        band_structs = [
+            F.struct(
+                F.lit(b).alias("band_id"),
+                _bucket_expr(
+                    F.col("v"), n_dims, n_planes, plane_offset=b * n_planes
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+        banded = v.select(
+            "id", F.explode(F.array(*band_structs)).alias("bb")
+        ).select("id", "bb.band_id", "bb.bucket")
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.band_id") == F.col("b.band_id"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    return _vec_pairs_cosine(v, pairs).where(F.col("cosine") >= threshold)

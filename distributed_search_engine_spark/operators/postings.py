@@ -347,9 +347,13 @@ def apply_caps(
     max_docs: int = MAX_DOCS_PER_TERM,
     max_docs_stop: int = MAX_DOCS_PER_STOP_TERM,
     broadcast_winners: bool = False,
+    order_col: str = "weighted_tf",
 ) -> DataFrame:
-    """I10: keep top-N docs per term by weighted_tf desc (ties: doc_id asc,
+    """I10: keep top-N docs per term by ``order_col`` desc (ties: doc_id asc,
     a deterministic refinement of the reference's unspecified tie order).
+    The initial build caps by weighted_tf (jobs/Indexer.java:659-672); the
+    incremental merge re-caps by normalized_tf (:1087-1101) — callers pass
+    the matching order_col.
 
     broadcast_winners=True broadcasts the (term, doc_id) winner set into
     the semi-join so the full posting rows never shuffle — right whenever
@@ -390,15 +394,15 @@ def apply_caps(
     # term over either cap is routed hot.
     hot = postings.join(F.broadcast(hot_terms), "term", "left_semi")
 
-    slim = hot.select("term", "doc_id", "weighted_tf").withColumn("cap", cap)
+    slim = hot.select("term", "doc_id", order_col).withColumn("cap", cap)
     salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts))
     w_salt = Window.partitionBy("term", salt).orderBy(
-        F.desc("weighted_tf"), F.asc("doc_id")
+        F.desc(order_col), F.asc("doc_id")
     )
     slim = slim.withColumn("rn1", F.row_number().over(w_salt)).where(
         F.col("rn1") <= F.col("cap")
     )
-    w_term = Window.partitionBy("term").orderBy(F.desc("weighted_tf"), F.asc("doc_id"))
+    w_term = Window.partitionBy("term").orderBy(F.desc(order_col), F.asc("doc_id"))
     winners = (
         slim.withColumn("rn", F.row_number().over(w_term))
         .where(F.col("rn") <= F.col("cap"))
@@ -444,6 +448,10 @@ def merge_postings(
     re-apply caps (re-sort + truncate, :1087-1112). IDF must then be
     recomputed from the merged df via build_term_stats (:1114-1116).
 
+    The merge-time re-cap sorts by normalizedTf desc (:1087-1101) — NOT the
+    initial build's weighted_tf order; the two differ whenever max_tf varies
+    across docs, so apply_caps gets order_col='normalized_tf' here.
+
     One shuffle on (term, doc_id); dedup-prefer-old is a window over that
     key ordered by source tag — doc_id spreads hot terms, no skew."""
     cols = [
@@ -460,7 +468,10 @@ def merge_postings(
         .where(F.col("_rn") == 1)
         .drop("_src", "_rn")
     )
-    return apply_caps(merged, term_dict, n_salts, max_docs, max_docs_stop)
+    return apply_caps(
+        merged, term_dict, n_salts, max_docs, max_docs_stop,
+        order_col="normalized_tf",
+    )
 
 
 def build_index(

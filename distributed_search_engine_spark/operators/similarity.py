@@ -39,13 +39,17 @@ def plane_weight(plane: int, dim: int) -> int:
     return 1 if x % 2 == 0 else -1
 
 
-def _bucket_expr(vec, n_dims: int, n_planes: int = N_PLANES):
+def _bucket_expr(vec, n_dims: int, n_planes: int = N_PLANES, plane_offset: int = 0):
     """Sign bits of <v, w_p> packed into an int bucket id. Each projection
     is a zip_with/aggregate against a literal +-1 weight array (sequential
-    double accumulation — same order as the SQL oracle)."""
+    double accumulation — same order as the SQL oracle). ``plane_offset``
+    selects an independent plane set (multi-band LSH: band b uses planes
+    [b*n_planes, (b+1)*n_planes))."""
     bits = []
     for p in range(n_planes):
-        w = F.array(*[F.lit(float(plane_weight(p, d))) for d in range(n_dims)])
+        w = F.array(
+            *[F.lit(float(plane_weight(plane_offset + p, d))) for d in range(n_dims)]
+        )
         proj = F.aggregate(
             F.zip_with(vec, w, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
         )
@@ -54,6 +58,19 @@ def _bucket_expr(vec, n_dims: int, n_planes: int = N_PLANES):
     for b in bits[1:]:
         out = out + b
     return out
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k via ordered limit (Spark plans TakeOrderedAndProject: per-
+    partition heaps + a k-row merge — NO global sort, NO single-task
+    window). The row_number window that assigns the rank column runs over
+    the already-limited k rows, so it is bounded regardless of N."""
+    top = scored.orderBy(F.desc("cosine"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select("id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
 
 
 def ann_bruteforce_topk(
@@ -73,12 +90,7 @@ def ann_bruteforce_topk(
     scored = v.where(F.col("id") != query_id).crossJoin(F.broadcast(q)).select(
         "id", _cosine(F.col("v"), F.col("qv")).alias("cosine")
     )
-    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _ranked_topk(scored, k)
 
 
 def ann_lsh_topk(
@@ -104,9 +116,4 @@ def ann_lsh_topk(
         F.broadcast(q), F.col("bucket") == F.col("qb")
     )
     scored = cands.select("id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
-    w = Window.orderBy(F.desc("cosine"), F.asc("id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("id", F.round("cosine", 6).alias("cosine"), "rank")
-    )
+    return _ranked_topk(scored, k)

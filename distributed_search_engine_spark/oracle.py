@@ -14,8 +14,11 @@ goldens and rows-only queries() entries.
 
 from __future__ import annotations
 
+from .functions.stopwords import STOP_WORDS
 from .functions.text import MAX_DOC_CHARS, duckdb_tokens_expr, duckdb_worth
 from .query.engine import BM25_B, BM25_K1
+
+STOPS_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 
 # sequential left-fold sum — bit-identical to Spark's F.aggregate fold order
 def _fold_sum(list_expr: str) -> str:
@@ -66,6 +69,13 @@ postings AS (
               THEN 0.4 + 0.6 * t.tf / d.max_tf ELSE 0.0 END AS normalized_tf,
          d.doc_len, t.positions
   FROM tf t JOIN docstats d USING (doc_id)
+  -- I10 per-term doc caps (apply_caps): 20,000 docs / 5,000 for stop words,
+  -- kept by weighted_tf desc, doc_id asc — inert below cap-sized corpora,
+  -- keeps the oracle honest if the gate SF ever exceeds a cap
+  QUALIFY row_number() OVER (
+            PARTITION BY t.term ORDER BY t.tf::double DESC, t.doc_id ASC)
+          <= CASE WHEN list_contains([{STOPS_SQL}], t.term)
+                  THEN 5000 ELSE 20000 END
 ),
 termstats AS (
   SELECT term, count(*)::int AS df,
@@ -254,6 +264,53 @@ WHERE common.c / (sa.c + sb.c - common.c) >= {threshold}
 """
 
 
+def _lsh_band_ctes(n_hashes: int, bands: int) -> str:
+    """sig + banded + cand CTE fragment (appended after the shingle CTEs):
+    MinHash signatures -> band keys -> distinct candidate pairs. Twin of
+    operators/dedup.lsh_candidate_pairs."""
+    rpb = n_hashes // bands
+    band_selects = []
+    for b in range(bands):
+        key = " || '|' || ".join(f"mh_{b * rpb + i}" for i in range(rpb))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+        )
+    bands_sql = "\nUNION ALL\n".join(band_selects)
+    mins = ", ".join(f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(n_hashes))
+    return f""",
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+banded AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+
+def jaccard_pairs_lsh_sql(
+    threshold: float = 0.5, n_hashes: int = 16, bands: int = 4
+) -> str:
+    """Exact jaccard restricted to MinHash-LSH candidate pairs — twin of
+    jaccard_pairs(shingles, threshold, candidates=lsh_candidate_pairs(...)),
+    the scale path (no shingle self-join)."""
+    return _shingle_ctes() + _lsh_band_ctes(n_hashes, bands) + f""",
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+common AS (
+  SELECT cd.doc_a, cd.doc_b, count(*) AS c
+  FROM cand cd
+  JOIN sh sha ON sha.doc_id = cd.doc_a
+  JOIN sh shb ON shb.doc_id = cd.doc_b AND shb.shingle = sha.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common.c / (sa.c + sb.c - common.c), 6) AS jaccard
+FROM common
+JOIN sz sa ON sa.doc_id = common.doc_a
+JOIN sz sb ON sb.doc_id = common.doc_b
+WHERE common.c / (sa.c + sb.c - common.c) >= {threshold}
+"""
+
+
 SIMHASH_CTE = """,
 toks AS (SELECT doc_id, pos, tok FROM tokstream WHERE tok <> ''),
 th AS (SELECT doc_id, md5(tok) AS h FROM toks),
@@ -308,6 +365,53 @@ SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
 """
 
 
+def _bucket_sql(plane_ws: list[list[float]], vexpr: str = "v") -> str:
+    """Sign-projection bucket id for one band: literal +-1 weight arrays,
+    sequential fold — bit-identical to similarity._bucket_expr."""
+    terms = []
+    for p, ws in enumerate(plane_ws):
+        arr = "[" + ", ".join(f"{w:.1f}" for w in ws) + "]"
+        proj = _fold_sum(
+            f"list_transform(generate_series(1, len({vexpr})), i -> {vexpr}[i] * ({arr})[i])"
+        )
+        terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def embedding_neardup_lsh_sql(
+    plane_weights: list[list[float]],
+    n_bands: int,
+    n_planes: int,
+    threshold: float = 0.4,
+) -> str:
+    """Multi-band sign-LSH near-dup twin of operators/dedup.embedding_neardup
+    (default path): plane_weights holds n_bands * n_planes literal weight
+    rows; band b buckets with rows [b*n_planes, (b+1)*n_planes)."""
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band_id, "
+        f"{_bucket_sql(plane_weights[b * n_planes:(b + 1) * n_planes])} AS bucket FROM v"
+        for b in range(n_bands)
+    )
+    dot = _fold_sum("list_transform(generate_series(1, len(av)), i -> av[i] * bv[i])")
+    na = f"sqrt({_fold_sum('list_transform(av, x -> x * x)')})"
+    nb = f"sqrt({_fold_sum('list_transform(bv, x -> x * x)')})"
+    return _VEC_CTE + f""",
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.id < b.id
+),
+pe AS (
+  SELECT c.id_a, c.id_b, va.v AS av, vb.v AS bv
+  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+)
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
+  SELECT id_a, id_b, {dot} / ({na} * {nb}) AS cosine FROM pe
+) WHERE cosine >= {threshold}
+"""
+
+
 def ann_bruteforce_sql(query_id: int = 0, k: int = 10) -> str:
     return _VEC_CTE + f""",
 q AS (SELECT v FROM v WHERE id = {query_id}),
@@ -328,12 +432,7 @@ SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank 
 def ann_lsh_sql(plane_weights: list[list[float]], query_id: int = 0, k: int = 10) -> str:
     """plane_weights: n_planes x n_dims literal +-1 weights (from
     similarity.plane_weight) inlined so the bucketing matches Spark."""
-    bucket_terms = []
-    for p, ws in enumerate(plane_weights):
-        arr = "[" + ", ".join(f"{w:.1f}" for w in ws) + "]"
-        proj = _fold_sum(f"list_transform(generate_series(1, len(v)), i -> v[i] * ({arr})[i])")
-        bucket_terms.append(f"(CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END)")
-    bucket = " + ".join(bucket_terms)
+    bucket = _bucket_sql(plane_weights)
     return _VEC_CTE + f""",
 vb AS (SELECT id, v, {bucket} AS bucket FROM v),
 q AS (SELECT v, bucket FROM vb WHERE id = {query_id}),

@@ -10,7 +10,7 @@ collect the (small) dictionary and bisect, as the reference does in memory.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_py
@@ -57,12 +57,8 @@ def spellcheck_word(
     scored = terms.select(
         "term", F.levenshtein(F.lit(word), F.col("term")).alias("distance")
     ).where(F.col("distance") <= max_distance)
-    w = Window.orderBy(F.asc("distance"), F.asc("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("term", "distance")
-    )
+    # ordered limit -> TakeOrderedAndProject, not a global window sort
+    return scored.orderBy(F.asc("distance"), F.asc("term")).limit(1)
 
 
 def spellcheck_query(

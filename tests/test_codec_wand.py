@@ -115,3 +115,47 @@ def test_wand_skips_blocks():
     want = bruteforce_topk([common, rare], avgdl, 2)
     assert [d for d, _ in got] == [d for d, _ in want]
     assert total_blocks > 10  # the skip scenario is meaningful
+
+
+@pytest.mark.parametrize("seed", [10, 11, 12])
+def test_wand_exact_under_score_ties(seed):
+    """Uniform tf/doc_len corpora quantize scores into a handful of exact
+    values, so pivot upper bounds routinely EQUAL the k-th score; pivot
+    admission must use >= or tie groups diverge from brute force."""
+    rng = np.random.default_rng(seed)
+    from distributed_search_engine_spark.index.codec import (
+        BLOCK_SIZE,
+        block_boundaries,
+        encode_docnums,
+        varint_encode,
+    )
+
+    avgdl = 4.0
+    rows = []
+    for t in range(3):
+        df = int(rng.integers(20, 200))
+        docs = np.sort(rng.choice(1000, size=df, replace=False)).astype(np.uint64)
+        tfs = np.ones(df, dtype=np.uint64)       # uniform tf
+        dls = np.full(df, 4, dtype=np.uint64)    # uniform doc_len
+        rows.append(
+            {
+                "term": f"t{t}",
+                "idf_bm25": 1.5,
+                "blocks": [
+                    {
+                        "last_docnum": int(docs[e - 1]),
+                        "max_score": 1.5,  # attained by every posting
+                        "docs": encode_docnums(docs[s:e]),
+                        "tfs": varint_encode(tfs[s:e]),
+                        "dls": varint_encode(dls[s:e]),
+                    }
+                    for s, e in block_boundaries(df, BLOCK_SIZE)
+                ],
+            }
+        )
+    # max_score is exactly the per-posting score: every threshold comparison
+    # is an exact float tie
+    for k in (1, 5, 25, 100):
+        got = wand_topk(rows, avgdl, k)
+        want = bruteforce_topk(rows, avgdl, k)
+        assert got == want, (seed, k)

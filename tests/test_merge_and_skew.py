@@ -100,3 +100,27 @@ def test_caps_change_df_and_idf_feedback(spark):
     ts = build_term_stats(capped, 30).where(F.col("term") == "hot").collect()[0]
     assert ts["df"] == 7
     assert abs(ts["idf"] - math.log(30 / 7)) < 1e-12
+
+
+def test_merge_recap_orders_by_normalized_tf(spark):
+    """I14 fidelity (jobs/Indexer.java:1087-1101): the merge-time re-cap
+    sorts by normalizedTf desc — NOT the initial build's weighted_tf order.
+    Fixture: doc A has higher weighted_tf but lower normalized_tf (bigger
+    max_tf); with cap=1 the merge must keep doc B."""
+    schema = (
+        "term string, doc_id string, tf int, weighted_tf double, "
+        "normalized_tf double, doc_len int, positions array<int>, weights array<float>"
+    )
+    # A: wtf=5, max_tf=50 -> ntf=0.46 ; B: wtf=4, max_tf=4 -> ntf=1.0
+    old = spark.createDataFrame(
+        [("t", "a", 5, 5.0, 0.4 + 0.6 * 5 / 50, 100, [1], [1.0])], schema
+    )
+    new = spark.createDataFrame(
+        [("t", "b", 4, 4.0, 1.0, 8, [2], [1.0])], schema
+    )
+    td = spark.createDataFrame(
+        [("t", "t", False)], "term string, stem string, is_stop boolean"
+    )
+    merged = merge_postings(old, new, td, max_docs=1, max_docs_stop=1).collect()
+    assert len(merged) == 1
+    assert merged[0]["doc_id"] == "b"  # normalized_tf desc, not weighted_tf

@@ -146,3 +146,123 @@ def test_fingerprint_order_sensitive(spark):
     fp = {r["doc_id"]: r["fingerprint"] for r in TA.fingerprint(docs).collect()}
     assert fp["1"] == fp["3"]
     assert fp["1"] != fp["2"]  # rolling hash is order-sensitive
+
+
+# ---------------------------------------------------------------------------
+# scale-path candidate generation (round-2): banded/bucketed equi-joins must
+# agree with the O(N^2) verification kernels
+# ---------------------------------------------------------------------------
+
+from distributed_search_engine_spark.corpus import ingest, make_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus60(spark):
+    return ingest(make_corpus(spark, n_docs=60, seed=7))
+
+
+def test_simhash_pairs_banded_equals_exact(spark, corpus60):
+    """Pigeonhole recall-completeness: chunk-banded candidates + exact
+    hamming filter == all-pairs kernel, for every max_hamming < n_chunks."""
+    sim = D.simhash(corpus60, content_col="content").persist()
+    for mh in (0, 3):
+        banded = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_pairs(sim, max_hamming=mh).collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in D.simhash_pairs(sim, max_hamming=mh, exact=True).collect()
+        }
+        assert banded == exact
+    sim.unpersist()
+
+
+def test_simhash_pairs_banded_plan_has_no_theta_join(spark, corpus60):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(D.simhash_pairs(D.simhash(corpus60, content_col="content")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_candidates_path_matches_self_join(spark, corpus60):
+    """The candidate-routed common-shingle count must equal the self-join
+    count on every pair the candidates cover, and be a subset overall."""
+    sh = D.shingles(corpus60, content_col="content").persist()
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(sh))
+    routed = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 12)
+        for r in D.jaccard_pairs(sh, threshold=0.0, candidates=cands).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"]): round(r["jaccard"], 12)
+        for r in D.jaccard_pairs(sh, threshold=0.0).collect()
+    }
+    assert set(routed) <= set(full)
+    for k, v in routed.items():
+        assert full[k] == v
+    # every exact duplicate pair (jaccard 1.0) must survive LSH routing
+    assert {k for k, v in full.items() if v == 1.0} <= set(routed)
+    sh.unpersist()
+
+
+def test_jaccard_max_shingle_df_drops_hot_shingles(spark, docs):
+    sh = D.shingles(docs, n=3)
+    # every shingle in docs 1/2/3 appears in <= 3 docs; cap at 1 keeps only
+    # doc-unique shingles -> identical docs 1,2 share NO surviving shingle
+    out = D.jaccard_pairs(sh, threshold=0.0, max_shingle_df=1).collect()
+    assert out == []
+
+
+def test_embedding_neardup_bucketed_subset_and_exact_values(spark):
+    """Bucketed pairs are a subset of all-pairs with identical cosines; on
+    a clustered fixture (tight clusters, like the testdata embeddings)
+    recall at high cosine is full."""
+    import math
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    vid = 0
+    for c in range(4):
+        center = [rng.choice([-1.0, 1.0]) for _ in range(16)]
+        for _ in range(6):
+            vec = [x + rng.uniform(-0.05, 0.05) for x in center]
+            rows.append((vid, vec))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.9, n_dims=16, n_bands=4, n_planes=4)
+    bucketed = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in D.embedding_neardup(emb, **kw).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in D.embedding_neardup(emb, exact=True, **kw).collect()
+    }
+    assert set(bucketed) <= set(exact)
+    for k, v in bucketed.items():
+        assert exact[k] == v
+    # tight clusters: members share every sign bucket -> full recall here
+    assert bucketed == exact
+    assert len(exact) == 4 * (6 * 5) // 2  # intra-cluster pairs only
+
+
+def test_embedding_neardup_plan_is_equi_join(spark):
+    from tests.test_plans import plan_of
+
+    rows = [(i, [float(i % 3), 1.0, 0.5, -1.0]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(D.embedding_neardup(emb, n_dims=4, n_bands=2, n_planes=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_topk_plan_uses_take_ordered(spark, emb):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(S.ann_bruteforce_topk(emb, query_id=0, k=3))
+    assert "TakeOrderedAndProject" in plan
+    plan2 = plan_of(S.ann_lsh_topk(emb, query_id=0, k=3, n_dims=4))
+    assert "TakeOrderedAndProject" in plan2

@@ -3,7 +3,8 @@ on Spark at sf0.01, run the matching oracle_sql() in DuckDB on the same
 parquet, and compare row count, schema (column names), and an
 order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [sf_dir]
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+(query names restrict the run to those entries — fast iteration)
 """
 
 from __future__ import annotations
@@ -56,6 +57,9 @@ def main() -> int:
         )
 
     qs, osql = E.queries(), E.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir).toPandas()
@@ -81,10 +85,11 @@ def main() -> int:
                         print(pd.DataFrame({"spark": a[c][diff], "duck": b[c][diff]}).head(5))
             else:
                 print(f"    spark cols: {list(sdf.columns)}  oracle cols: {list(odf.columns)}")
-    # entry smoke
-    res = E.entry(spark)
-    n = res.count()
-    print(f"  entry() -> {n} rows, schema: {res.columns}")
+    # entry smoke (skipped on filtered runs)
+    if not only:
+        res = E.entry(spark)
+        n = res.count()
+        print(f"  entry() -> {n} rows, schema: {res.columns}")
     print("ALL OK" if failures == 0 else f"{failures} FAILURES")
     return 1 if failures else 0
 
