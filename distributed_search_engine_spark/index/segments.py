@@ -189,7 +189,10 @@ def _encode_partition(batch_iter, avgdl: float):
         out["is_stop"].append(bool(stop_all[s]))
         out["n_docs"].append(n)
         out["blocks"].append(blocks)
-        out["norm_tfs"].append(varint_encode((ntfs_all[s:e] * 1e6).round().astype(np.uint64)))
+        # raw little-endian float64: reference-mode scoring decoded from
+        # segments must be bit-identical to the logical postings (a 1e-6
+        # quantization here would shift 6dp-rounded tfidf products)
+        out["norm_tfs"].append(ntfs_all[s:e].astype("<f8").tobytes())
         out["positions"].append(encode_positions_flat(pflat, plens))
     yield pa.RecordBatch.from_arrays(
         [pa.array(out[name], type=typ) for name, typ in _PA_SEGMENT_FIELDS],
@@ -310,3 +313,122 @@ def read_segments_for_terms(
     )
     parts = [r["p"] for r in parts_df.distinct().collect()]
     return df.where(F.col("part").isin(parts) & F.col("term").isin(terms))
+
+
+# ---------------------------------------------------------------------------
+# segment -> logical-postings decode (the pruned query path for the
+# reference-mode scorer; inverse of _encode_partition)
+# ---------------------------------------------------------------------------
+
+DECODED_POSTINGS_SCHEMA = (
+    "term string, docnum long, tf int, doc_len int, normalized_tf double, "
+    "positions array<int>, idf double, idf_bm25 double, is_stop boolean"
+)
+
+
+def _decode_rows(batch_iter):
+    """mapInArrow kernel: one output posting row per (term, docnum). Numpy
+    varint/delta decode per term row — no per-posting Python beyond the
+    list materialization Arrow needs anyway."""
+    import pyarrow as pa
+
+    from .codec import decode_docnums, decode_positions, varint_decode
+
+    for batch in batch_iter:
+        rows = batch.to_pylist()
+        out = {
+            k: []
+            for k in (
+                "term", "docnum", "tf", "doc_len", "normalized_tf",
+                "positions", "idf", "idf_bm25", "is_stop",
+            )
+        }
+        for r in rows:
+            n = r["n_docs"]
+            docs, tfs, dls = [], [], []
+            for b in r["blocks"]:
+                docs.append(decode_docnums(bytes(b["docs"])))
+                tfs.append(varint_decode(bytes(b["tfs"])))
+                dls.append(varint_decode(bytes(b["dls"])))
+            dnum = np.concatenate(docs) if docs else np.empty(0, np.uint64)
+            tf = np.concatenate(tfs) if tfs else np.empty(0, np.uint64)
+            dl = np.concatenate(dls) if dls else np.empty(0, np.uint64)
+            ntf = np.frombuffer(bytes(r["norm_tfs"]), dtype="<f8")
+            plists = decode_positions(bytes(r["positions"]), n)
+            out["term"] += [r["term"]] * n
+            out["docnum"] += dnum.astype(np.int64).tolist()
+            out["tf"] += tf.astype(np.int32).tolist()
+            out["doc_len"] += dl.astype(np.int32).tolist()
+            out["normalized_tf"] += ntf.tolist()
+            out["positions"] += [p.astype(np.int32).tolist() for p in plists]
+            out["idf"] += [r["idf"]] * n
+            out["idf_bm25"] += [r["idf_bm25"]] * n
+            out["is_stop"] += [r["is_stop"]] * n
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(out["term"], type=pa.string()),
+                pa.array(out["docnum"], type=pa.int64()),
+                pa.array(out["tf"], type=pa.int32()),
+                pa.array(out["doc_len"], type=pa.int32()),
+                pa.array(out["normalized_tf"], type=pa.float64()),
+                pa.array(out["positions"], type=pa.list_(pa.int32())),
+                pa.array(out["idf"], type=pa.float64()),
+                pa.array(out["idf_bm25"], type=pa.float64()),
+                pa.array(out["is_stop"], type=pa.bool_()),
+            ],
+            names=list(out.keys()),
+        )
+
+
+def decode_segments(seg_df: DataFrame) -> DataFrame:
+    """Explode compressed segment rows back into logical posting rows."""
+    cols = seg_df.select(
+        "term", "n_docs", "blocks", "norm_tfs", "positions",
+        "idf", "idf_bm25", "is_stop",
+    )
+    return cols.mapInArrow(_decode_rows, schema=DECODED_POSTINGS_SCHEMA)
+
+
+def read_postings_for_terms(
+    spark: SparkSession,
+    out_dir: str,
+    terms: list[str],
+    docnum_to_doc: DataFrame,
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Pruned, decoded, doc_id-resolved postings for a query's terms — the
+    segment-backed feed for query/engine.search (partition-pruned scan ->
+    decode -> one join on docnum against the docnum map; the decoded side
+    is candidate-sized, the map side broadcasts when it fits)."""
+    seg = read_segments_for_terms(spark, out_dir, terms, n_partitions)
+    return decode_segments(seg).join(
+        docnum_to_doc.select("doc_id", "docnum"), "docnum"
+    ).drop("docnum")
+
+
+def segment_search_index(
+    spark: SparkSession,
+    out_dir: str,
+    doc_stats_with_docnum: DataFrame,
+    term_stats: DataFrame,
+    term_dict: DataFrame,
+    total_docs: int,
+    n_partitions: int = 32,
+    ranks: DataFrame | None = None,
+):
+    """SearchIndex whose posting lookups are partition-pruned segment reads
+    (every query path — reference-mode scorer included — scans only the
+    part= directories its terms hash to, never the whole postings table)."""
+    from ..query.engine import SearchIndex
+
+    return SearchIndex(
+        postings=None,
+        term_stats=term_stats,
+        doc_stats=doc_stats_with_docnum,
+        term_dict=term_dict,
+        total_docs=total_docs,
+        ranks=ranks,
+        postings_for_terms=lambda terms: read_postings_for_terms(
+            spark, out_dir, terms, doc_stats_with_docnum, n_partitions
+        ),
+    )

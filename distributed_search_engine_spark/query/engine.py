@@ -43,15 +43,30 @@ PRIORITY_RELATED = 2
 
 @dataclass
 class SearchIndex:
-    """Handles to the index DataFrames (FIXTURES.md §4 schemas)."""
+    """Handles to the index DataFrames (FIXTURES.md §4 schemas).
 
-    postings: DataFrame
+    ``postings_for_terms`` (optional) is the pruned provider: given the
+    query's lookup terms it returns only their posting rows (the
+    segment-backed path, index/segments.read_postings_for_terms). When set,
+    every query path scans ONLY the index partitions that can hold the
+    terms instead of the whole postings table — the 100x-scale requirement
+    for reference-mode queries. Rows it returns may carry idf/idf_bm25/
+    is_stop already (segments store them); the term_stats join is then
+    skipped."""
+
+    postings: DataFrame | None
     term_stats: DataFrame
     doc_stats: DataFrame
     term_dict: DataFrame
     total_docs: int
     ranks: DataFrame | None = None  # (doc_id, rank)
+    postings_for_terms: object | None = None  # Callable[[list[str]], DataFrame]
     _avgdl: float | None = field(default=None, repr=False)
+
+    def lookup_postings(self, terms: list[str]) -> DataFrame:
+        if self.postings_for_terms is not None:
+            return self.postings_for_terms(terms)
+        return self.postings.where(F.col("term").isin(terms))
 
     @property
     def avgdl(self) -> float:
@@ -142,10 +157,14 @@ def _candidates(
 ) -> DataFrame:
     """Postings x expansion join: one row per (expanded term, doc) hit."""
     exp_df = spark.createDataFrame(expansion, "term string, orig string, priority int")
-    return (
-        index.postings.join(F.broadcast(exp_df), "term")
-        .join(F.broadcast(index.term_stats.select("term", "idf", "idf_bm25", "is_stop")), "term")
-    )
+    base = index.lookup_postings([t for t, _, _ in expansion])
+    out = base.join(F.broadcast(exp_df), "term")
+    if "idf" not in base.columns:
+        out = out.join(
+            F.broadcast(index.term_stats.select("term", "idf", "idf_bm25", "is_stop")),
+            "term",
+        )
+    return out
 
 
 def title_boost_py(title: str, search_terms: list[str]) -> float:
@@ -304,11 +323,11 @@ def search(
     # Q10: matched-terms boost — counts per-original-term hits in the raw or
     # stem postings only (NOT related words; SearchEngine.java:495-573).
     if n_terms > 1 and all_matched_boost:
-        pairs_df = spark.createDataFrame(
-            matched_boost_pairs(search_terms), "term string, orig string"
-        )
+        boost_pairs = matched_boost_pairs(search_terms)
+        pairs_df = spark.createDataFrame(boost_pairs, "term string, orig string")
         matched = (
-            index.postings.select("term", "doc_id")
+            index.lookup_postings([t for t, _ in boost_pairs])
+            .select("term", "doc_id")
             .join(F.broadcast(pairs_df), "term")
             .select("doc_id", "orig")
             .distinct()

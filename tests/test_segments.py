@@ -141,3 +141,68 @@ def test_wand_matches_logical_bm25(spark, built):
     assert got_ids == [d for d, _ in want]
     for (dn, s1), (_, s2) in zip(got, want):
         assert abs(s1 - s2) < 1e-9
+
+
+def test_decoded_segments_equal_logical_postings(spark, built):
+    """decode_segments is the exact inverse of the encoder: every decoded
+    posting row (tf, doc_len, normalized_tf bit-exact, positions) matches
+    the logical postings table."""
+    from distributed_search_engine_spark.index.segments import read_postings_for_terms
+
+    _, idx, ds, _, out = built
+    terms = ["spark", "compute", "the"]
+    dec = read_postings_for_terms(spark, out, terms, ds, N_PARTS)
+    got = {
+        (r["term"], r["doc_id"]): (
+            r["tf"], r["doc_len"], r["normalized_tf"], list(r["positions"]),
+        )
+        for r in dec.collect()
+    }
+    want = {
+        (r["term"], r["doc_id"]): (
+            r["tf"], r["doc_len"], r["normalized_tf"], list(r["positions"]),
+        )
+        for r in idx["postings"].where(F.col("term").isin(terms)).collect()
+    }
+    assert got == want  # bit-exact, incl. float64 normalized_tf
+
+
+def test_segment_backed_search_matches_logical(spark, built):
+    """Reference-mode AND bm25-mode search through the segment-backed
+    SearchIndex must equal the logical-postings path row for row."""
+    from distributed_search_engine_spark.index.segments import segment_search_index
+
+    docs, idx, ds, avgdl, out = built
+    logical = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    segged = segment_search_index(
+        spark, out, ds, idx["term_stats"], idx["term_dict"],
+        idx["total_docs"], N_PARTS,
+    )
+    for q, mode in [
+        ("spark partition", "bm25"),
+        ("spark partition", "reference"),
+        ("computing engine", "reference"),  # stem expansion in play
+    ]:
+        a = [tuple(r) for r in search(spark, logical, q, k=50, mode=mode).collect()]
+        b = [tuple(r) for r in search(spark, segged, q, k=50, mode=mode).collect()]
+        assert a == b, (q, mode)
+
+
+def test_segment_backed_search_plan_is_pruned(spark, built):
+    """The candidates plan in segment-backed mode must carry partition
+    filters on part= — the whole-index scan is gone."""
+    from tests.test_plans import plan_of
+    from distributed_search_engine_spark.index.segments import segment_search_index
+
+    docs, idx, ds, avgdl, out = built
+    segged = segment_search_index(
+        spark, out, ds, idx["term_stats"], idx["term_dict"],
+        idx["total_docs"], N_PARTS,
+    )
+    plan = plan_of(search(spark, segged, "spark partition", k=10, mode="reference"))
+    assert "PartitionFilters" in plan
+    assert "part" in plan.split("PartitionFilters")[1][:200]
