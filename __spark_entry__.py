@@ -157,6 +157,23 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7 persisted checkpoint/resume: run 2 iterations (checkpoint each),
+    # crash-free stop, then a SECOND invocation resumes from the iter=2
+    # parquet state and completes iteration 3 — must equal the same
+    # 3-iteration unrolled-SQL oracle as pagerank_3iter
+    import tempfile
+
+    state_dir = tempfile.mkdtemp(prefix="dse_pr_state_")
+    docs = _docs(spark, sf_dir)
+    links = synthetic_links(docs)
+    run_pagerank(docs, links, fixed_iterations=2, checkpoint_every=1,
+                 state_dir=state_dir)
+    ranks, _ = run_pagerank(docs, links, fixed_iterations=3,
+                            checkpoint_every=1, state_dir=state_dir)
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
 def _q_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (Porter stemming not expressible in SQL): stem-expanded
     # postings — jobs/Indexer.java:463-475 semantics
@@ -404,6 +421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and_phrase": _q_and_phrase,
         "search_bm25": _q_bm25,
         "pagerank_3iter": _q_pagerank,
+        "pagerank_resume_3iter": _q_pagerank_resume,
         "index_postings_stemmed": _q_postings_stemmed,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash,
@@ -443,6 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "search_and_phrase": oracle.and_phrase_sql("data", "stream"),
         "search_bm25": oracle.bm25_sql(["spark", "join"]),
         "pagerank_3iter": oracle.pagerank_sql(3),
+        "pagerank_resume_3iter": oracle.pagerank_sql(3),
         # index_postings_stemmed: intentionally no oracle (Porter stemming
         # is not SQL-expressible) -> rows-only check
         "dedup_exact": oracle.EXACT_DEDUP_SQL,

@@ -13,9 +13,10 @@ Exact reference semantics preserved (SURVEY §2.3):
   - convergence: stop when maxDiff < threshold OR percentConverged >=
     percentRequired, where a node is converged iff diff <= threshold
     (:364-402, :488); defaults threshold=0.001, percentRequired=100.
-  - checkpoint every k iterations (:429-486) -> localCheckpoint here to cut
-    lineage (SURVEY §7.3 item 6); at cluster scale use a reliable
-    checkpoint dir or Parquet round-trip per k iterations.
+  - checkpoint every k iterations (:429-486) -> with state_dir: persisted
+    parquet + manifest, resumable across driver crashes (the analog of the
+    reference's pt-pageranks state table + checkpoint row); without:
+    localCheckpoint to cut lineage only (SURVEY §7.3 item 6).
 
 Scale notes: the per-iteration plan is one shuffle (links ⋈ ranks on src is
 co-partitioned if links is pre-partitioned by src and reused; groupBy dst is
@@ -26,6 +27,8 @@ map-side partial aggregation absorbs it.
 
 from __future__ import annotations
 
+import json
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -33,6 +36,38 @@ from pyspark.sql import functions as F
 
 DAMPING = 0.85
 BASE = 0.15  # (1 - d), additive form (PageRank.java:319)
+
+
+# ---------------------------------------------------------------------------
+# persisted checkpoint/resume (P7, jobs/PageRank.java:30-106, 429-486): the
+# reference copies the rank state into a persistent KVS table plus a
+# checkpoint row {iteration, state, maxDiff, percentConverged}; resume scans
+# for the highest complete iteration and continues from it. Spark analog:
+# ranks parquet per checkpoint + a jsonl manifest, resume = read latest.
+# ---------------------------------------------------------------------------
+
+def _pr_manifest_path(state_dir: str) -> str:
+    return os.path.join(state_dir, "_checkpoints.jsonl")
+
+
+def last_checkpoint(state_dir: str) -> dict | None:
+    """Highest complete checkpoint row, or None (PageRank.java:36-57)."""
+    path = _pr_manifest_path(state_dir)
+    best: dict | None = None
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                row = json.loads(line)
+                if row.get("status") == "done" and (
+                    best is None or row["iteration"] > best["iteration"]
+                ):
+                    best = row
+    return best
+
+
+def _append_checkpoint(state_dir: str, row: dict) -> None:
+    with open(_pr_manifest_path(state_dir), "a") as f:
+        f.write(json.dumps(row) + "\n")
 
 
 @dataclass
@@ -56,12 +91,23 @@ def run_pagerank(
     percent_required: float = 100.0,
     checkpoint_every: int = 5,
     fixed_iterations: int | None = None,
+    state_dir: str | None = None,
+    fail_after_iteration: int | None = None,
 ) -> tuple[DataFrame, list[PageRankStats]]:
     """Returns (ranks DataFrame (doc_id, rank), per-iteration stats).
 
     ``fixed_iterations`` disables the convergence test and runs exactly n
     iterations (used by the oracle-gated query, which unrolls the same n
     iterations in SQL).
+
+    ``state_dir`` enables persisted checkpoint/resume (P7): every
+    checkpoint_every iterations the ranks land as parquet under
+    state_dir/iter=NNNNN plus a manifest row; a re-run with the same
+    state_dir resumes from the highest complete checkpoint instead of
+    restarting a long run from scratch (jobs/PageRank.java:30-106,429-486).
+    float64 parquet round-trips exactly, so a resumed run is bit-identical
+    to an uninterrupted one. ``fail_after_iteration`` injects a crash right
+    after that iteration completes (resume tests).
     """
     nodes = docs.select(F.col(doc_id_col).cast("string").alias("doc_id")).distinct()
     edges = dedupe_links(
@@ -74,11 +120,20 @@ def run_pagerank(
     edges = edges.join(out_deg, "src").persist()
     edges.count()  # materialize once
 
-    ranks = nodes.select("doc_id", F.lit(1.0).alias("rank")).persist()
+    start_iter = 0
+    ranks = None
+    if state_dir is not None:
+        os.makedirs(state_dir, exist_ok=True)
+        ckpt = last_checkpoint(state_dir)
+        if ckpt is not None:
+            start_iter = int(ckpt["iteration"])
+            ranks = docs.sparkSession.read.parquet(ckpt["path"]).persist()
+    if ranks is None:
+        ranks = nodes.select("doc_id", F.lit(1.0).alias("rank")).persist()
     history: list[PageRankStats] = []
 
     n_iter = fixed_iterations if fixed_iterations is not None else max_iterations
-    for it in range(1, n_iter + 1):
+    for it in range(start_iter + 1, n_iter + 1):
         contribs = (
             edges.join(ranks, edges["src"] == ranks["doc_id"])
             .select(
@@ -96,8 +151,23 @@ def run_pagerank(
             )
         )
         if checkpoint_every and it % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
+            if state_dir is not None:
+                # persisted checkpoint: parquet write + manifest commit;
+                # the read-back also cuts lineage (replaces localCheckpoint)
+                path = os.path.join(state_dir, f"iter={it:05d}")
+                new_ranks.write.mode("overwrite").parquet(path)
+                new_ranks = docs.sparkSession.read.parquet(path)
+                _append_checkpoint(
+                    state_dir, {"iteration": it, "status": "done", "path": path}
+                )
+            else:
+                new_ranks = new_ranks.localCheckpoint(eager=False)
         new_ranks = new_ranks.persist()
+
+        if fail_after_iteration is not None and it >= fail_after_iteration:
+            new_ranks.count()
+            edges.unpersist()
+            raise RuntimeError("injected failure for pagerank resume test")
 
         if fixed_iterations is None:
             # P6: one aggregate pass computes maxDiff + percentConverged

@@ -3,6 +3,7 @@
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from distributed_search_engine_spark.operators.pagerank import (
     extract_import_refs,
@@ -88,3 +89,50 @@ def test_import_extraction():
     md = "see [docs](https://x.y) and [other](rel/path.md)"
     assert extract_import_refs(md, "md") == ["https://x.y", "rel/path.md"]
     assert extract_import_refs("anything", "rs") == []
+
+
+def test_persisted_checkpoint_resume_bit_identical(spark, tmp_path):
+    """Kill a run mid-flight; resuming from the persisted state must yield
+    the same ranks as an uninterrupted run — to the last bit (P7,
+    jobs/PageRank.java:30-106,429-486)."""
+    from distributed_search_engine_spark.operators.pagerank import (
+        last_checkpoint,
+        run_pagerank,
+        synthetic_links,
+    )
+
+    docs = spark.range(40).select(F.col("id").cast("string").alias("doc_id"))
+    links = synthetic_links(docs)
+    state = str(tmp_path / "pr_state")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pagerank(
+            docs, links, fixed_iterations=6, checkpoint_every=2,
+            state_dir=state, fail_after_iteration=3,
+        )
+    ck = last_checkpoint(state)
+    assert ck is not None and ck["iteration"] == 2  # iter 3 crashed post-ckpt-2
+    resumed, hist = run_pagerank(
+        docs, links, fixed_iterations=6, checkpoint_every=2, state_dir=state
+    )
+    assert [h.iteration for h in hist] == [3, 4, 5, 6]  # resumed, not restarted
+    fresh, _ = run_pagerank(docs, links, fixed_iterations=6, checkpoint_every=2)
+    got = {r["doc_id"]: r["rank"] for r in resumed.collect()}
+    want = {r["doc_id"]: r["rank"] for r in fresh.collect()}
+    assert got == want  # exact float equality — parquet round-trips float64
+
+
+def test_resume_past_end_returns_checkpoint(spark, tmp_path):
+    from distributed_search_engine_spark.operators.pagerank import (
+        run_pagerank,
+        synthetic_links,
+    )
+
+    docs = spark.range(20).select(F.col("id").cast("string").alias("doc_id"))
+    links = synthetic_links(docs)
+    state = str(tmp_path / "pr_state2")
+    a, _ = run_pagerank(docs, links, fixed_iterations=3, checkpoint_every=1,
+                        state_dir=state)
+    b, hist = run_pagerank(docs, links, fixed_iterations=3, checkpoint_every=1,
+                           state_dir=state)
+    assert hist == []  # nothing left to do
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
