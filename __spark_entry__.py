@@ -185,6 +185,75 @@ def _q_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# I4 weighted tokenize: both engines derive the SAME deterministic HTML page
+# from documents.text (literal ops below), index it with visible-1.0 /
+# script+style-0.001 weights, and compare weighted_tf / normalized_tf /
+# positions / per-position weights.
+# ---------------------------------------------------------------------------
+
+_HTML_SPEC: list = [
+    "<html><head><title>", ("sub", 1, 30),
+    '</title><meta charset="utf-8"><style>body { color: red; } .c ',
+    ("sub", 1, 25),
+    "</style></head><body><p>", ("full",),
+    '</p><script type="text/javascript">var x = 12; ', ("sub", 31, 40),
+    "</script><!-- note ", ("sub", 5, 10),
+    " --></body></html>",
+]
+
+
+def _html_col() -> F.Column:
+    parts = []
+    for p in _HTML_SPEC:
+        if isinstance(p, str):
+            parts.append(F.lit(p))
+        elif p[0] == "full":
+            parts.append(F.col("text"))
+        else:
+            parts.append(F.substring(F.col("text"), p[1], p[2]))
+    return F.concat(*parts)
+
+
+def _html_sql() -> str:
+    parts = []
+    for p in _HTML_SPEC:
+        if isinstance(p, str):
+            parts.append("'" + p.replace("'", "''") + "'")
+        elif p[0] == "full":
+            parts.append("text")
+        else:
+            parts.append(f"substr(text, {p[1]}, {p[2]})")
+    return "(" + " || ".join(parts) + ")"
+
+
+def _q_weighted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_search_engine_spark.operators.postings import (
+        build_weighted_index,
+    )
+
+    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+        F.col("doc_id").cast("string").alias("doc_id"), _html_col().alias("html")
+    )
+    idx = build_weighted_index(docs, doc_id_col="doc_id", content_col="html")
+    p = idx["postings"]
+    return p.select(
+        "term",
+        "doc_id",
+        "tf",
+        F.round("weighted_tf", 6).alias("weighted_tf"),
+        F.round("normalized_tf", 6).alias("normalized_tf"),
+        F.array_join(F.col("positions").cast("array<string>"), " ").alias("positions"),
+        F.array_join(
+            F.transform(
+                "weights",
+                lambda w: F.when(w == 1.0, F.lit(1000)).otherwise(F.lit(1)).cast("string"),
+            ),
+            " ",
+        ).alias("weights_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # training-data pipeline ops (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
 
@@ -423,6 +492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_3iter": _q_pagerank,
         "pagerank_resume_3iter": _q_pagerank_resume,
         "index_postings_stemmed": _q_postings_stemmed,
+        "index_weighted_postings": _q_weighted_postings,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_signatures": _q_minhash,
         "dedup_lsh_candidates": _q_lsh_pairs,
@@ -464,6 +534,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         # index_postings_stemmed: intentionally no oracle (Porter stemming
         # is not SQL-expressible) -> rows-only check
+        "index_weighted_postings": oracle.weighted_postings_sql(_html_sql()),
         "dedup_exact": oracle.EXACT_DEDUP_SQL,
         "dedup_minhash_signatures": oracle.minhash_sql(16),
         "dedup_lsh_candidates": oracle.lsh_pairs_sql(16, 4),

@@ -66,6 +66,63 @@ def title_col(content: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# I4 weighted tokenize (jobs/Indexer.java:1301-1371): the weighted token
+# stream is [visible tokens | weight 1.0] ++ [script contents' tokens |
+# 0.001] ++ [style contents' tokens | 0.001].
+#  - visible text = page with SCRIPT/STYLE tags+content, HTML comments and
+#    <meta> tags removed, THEN all tags stripped; every non-empty visible
+#    token enters the stream (and consumes a position) even if later
+#    rejected by the worth check.
+#  - metadata tokens shorter than 2 chars never enter the stream at all
+#    (:1348,1365) — they consume NO position, unlike short visible tokens.
+#  - the reference also strips <script type="application/json"> and ld+json
+#    variants separately (:1317-1319), but those run AFTER the blanket
+#    SCRIPT_TAG removal and can never match — omitted here.
+# All three implementations (Spark Column, Python, DuckDB SQL) agree;
+# tests/test_text.py has the 3-way differential.
+# ---------------------------------------------------------------------------
+
+RE_SCRIPT_TAG = "(?is)<script[^>]*>.*?</script>"
+RE_STYLE_TAG = "(?is)<style[^>]*>.*?</style>"
+RE_HTML_COMMENT = "(?s)<!--.*?-->"
+RE_META_TAG = "(?is)<meta[^>]*>"
+RE_SCRIPT_CONTENT = "(?is)<script[^>]*>(.*?)</script>"
+RE_STYLE_CONTENT = "(?is)<style[^>]*>(.*?)</style>"
+
+VISIBLE_WEIGHT = 1.0
+METADATA_WEIGHT = 0.001  # jobs/Indexer.java:1348 (comment says 0.005; code says 0.001)
+
+
+def visible_text_col(content: Column) -> Column:
+    out = content
+    for pat in (RE_SCRIPT_TAG, RE_STYLE_TAG, RE_HTML_COMMENT, RE_META_TAG):
+        out = F.regexp_replace(out, pat, " ")
+    return out
+
+
+def _meta_tokens_col(content: Column, pat: str) -> Column:
+    """array<string>: length>=2 tokens of every <script>/<style> body, in
+    document order (regexp_extract_all keeps match order)."""
+    parts = F.regexp_extract_all(content, F.lit(pat), F.lit(1))
+    return F.flatten(
+        F.transform(parts, lambda s: F.filter(tokens_col(s), lambda t: F.length(t) >= 2))
+    )
+
+
+def weighted_stream_col(content: Column) -> Column:
+    """array<struct<tok: string, weight: double>> — the I4 weighted token
+    stream; 1-based positions are indices into THIS array."""
+    tag = lambda toks, w: F.transform(
+        toks, lambda t: F.struct(t.alias("tok"), F.lit(w).alias("weight"))
+    )
+    return F.concat(
+        tag(tokens_col(visible_text_col(content)), VISIBLE_WEIGHT),
+        tag(_meta_tokens_col(content, RE_SCRIPT_CONTENT), METADATA_WEIGHT),
+        tag(_meta_tokens_col(content, RE_STYLE_CONTENT), METADATA_WEIGHT),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pure-Python equivalents (pandas UDF internals, golden tests, query parsing)
 # ---------------------------------------------------------------------------
 
@@ -111,6 +168,27 @@ def title_py(content: str) -> str:
     return _P_WS.sub(" ", first_line).strip()[:TITLE_MAX_CHARS]
 
 
+_P_SCRIPT_TAG = _re.compile(RE_SCRIPT_TAG)
+_P_STYLE_TAG = _re.compile(RE_STYLE_TAG)
+_P_COMMENT = _re.compile(RE_HTML_COMMENT)
+_P_META = _re.compile(RE_META_TAG)
+_P_SCRIPT_CONTENT = _re.compile(RE_SCRIPT_CONTENT)
+_P_STYLE_CONTENT = _re.compile(RE_STYLE_CONTENT)
+
+
+def weighted_stream_py(content: str) -> list[tuple[str, float]]:
+    """Python twin of weighted_stream_col — the direct port of
+    tokenizeWithWeights (jobs/Indexer.java:1301-1371) for differentials."""
+    visible = content
+    for pat in (_P_SCRIPT_TAG, _P_STYLE_TAG, _P_COMMENT, _P_META):
+        visible = pat.sub(" ", visible)
+    out = [(t, VISIBLE_WEIGHT) for t in tokenize_py(visible)]
+    for pat in (_P_SCRIPT_CONTENT, _P_STYLE_CONTENT):
+        for body in pat.findall(content):
+            out += [(t, METADATA_WEIGHT) for t in tokenize_py(body) if len(t) >= 2]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # SQL templates — the same tokenization for the DuckDB oracle.
 # Written once here so __spark_entry__.oracle_sql() stays in lockstep.
@@ -132,3 +210,39 @@ DUCKDB_WORTH_PRED = (
 
 def duckdb_worth(tok: str) -> str:
     return DUCKDB_WORTH_PRED.format(t=tok)
+
+
+def duckdb_visible_expr(col: str) -> str:
+    out = col
+    for pat in (RE_SCRIPT_TAG, RE_STYLE_TAG, RE_HTML_COMMENT, RE_META_TAG):
+        out = f"regexp_replace({out}, '{pat}', ' ', 'g')"
+    return out
+
+
+def _duckdb_tokens_of(expr: str) -> str:
+    """Token-array expression applicable to an arbitrary sub-expression
+    (e.g. a lambda variable) — same chain as duckdb_tokens_expr, plus the
+    non-empty filter that tokens_col applies."""
+    return (
+        f"list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace({expr},"
+        f" '{RE_HTML_TAGS}', ' ', 'g'), '{RE_NON_ALNUM}', ' ', 'g'))), '{RE_WS}'),"
+        " t -> t <> '')"
+    )
+
+
+def duckdb_weighted_stream_expr(col: str) -> str:
+    """DuckDB twin of weighted_stream_col: list of {'tok','weight'} structs."""
+    vis = (
+        f"list_transform({_duckdb_tokens_of(duckdb_visible_expr(col))},"
+        f" t -> {{'tok': t, 'weight': {VISIBLE_WEIGHT}::double}})"
+    )
+    metas = []
+    for pat in (RE_SCRIPT_CONTENT, RE_STYLE_CONTENT):
+        toks = (
+            f"flatten(list_transform(regexp_extract_all({col}, '{pat}', 1),"
+            f" s -> list_filter({_duckdb_tokens_of('s')}, t -> length(t) >= 2)))"
+        )
+        metas.append(
+            f"list_transform({toks}, t -> {{'tok': t, 'weight': {METADATA_WEIGHT}::double}})"
+        )
+    return f"list_concat(list_concat({vis}, {metas[0]}), {metas[1]})"

@@ -78,6 +78,85 @@ def occurrences(
     )
 
 
+def weighted_occurrences(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """I4 weighted tokenize (jobs/Indexer.java:423-478, 1301-1371):
+    (doc_id, term, pos, weight) over the weighted stream — visible tokens
+    weight 1.0, <script>/<style> body tokens weight 0.001 (len >= 2 only).
+    The 1-based position counter advances for every stream entry, including
+    tokens the worth check later rejects (:455-460). JVM Column path:
+    regexes + posexplode stay in codegen."""
+    docs = filter_indexable(docs, content_col)
+    stream = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.posexplode(T.weighted_stream_col(F.col(content_col))).alias("pos0", "tw"),
+    )
+    return stream.where(T.is_worth_col(F.col("tw.tok"))).select(
+        "doc_id",
+        F.col("tw.tok").alias("term"),
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("tw.weight").alias("weight"),
+    )
+
+
+def aggregate_weighted(occ: DataFrame) -> DataFrame:
+    """ONE shuffle on (term, doc_id): positions sorted, parallel weights in
+    position order, tf = count, weighted_tf = sum of weights computed as
+    n_visible * 1.0 + n_metadata * 0.001 — a count-based form that is
+    order-deterministic (a naive float sum's order varies per engine and
+    can drift an ulp across the 6dp rounding boundary)."""
+    g = occ.groupBy("term", "doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "weight"))).alias("pw"),
+        F.count(F.lit(1)).cast("int").alias("tf"),
+        F.count(F.when(F.col("weight") == T.VISIBLE_WEIGHT, 1)).alias("n_vis"),
+        F.count(F.when(F.col("weight") != T.VISIBLE_WEIGHT, 1)).alias("n_meta"),
+    )
+    return g.select(
+        "term",
+        "doc_id",
+        "tf",
+        (
+            F.col("n_vis") * F.lit(T.VISIBLE_WEIGHT)
+            + F.col("n_meta") * F.lit(T.METADATA_WEIGHT)
+        ).alias("weighted_tf"),
+        F.transform("pw", lambda x: x["pos"]).alias("positions"),
+        F.transform("pw", lambda x: x["weight"].cast("float")).alias("weights"),
+    )
+
+
+def build_weighted_index(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "content",
+    n_salts: int = DEFAULT_SALTS,
+) -> dict[str, DataFrame]:
+    """I4 weighted index build over an HTML corpus (unstemmed — the gated
+    comparison runs like index_postings). Doc stats come from the PLAIN
+    tokenize of the page (jobs/Indexer.java:214-228 runs tokenize(), not
+    tokenizeWithWeights — script/style text counts toward doc_len/max_tf
+    with tags stripped), while postings carry the weighted stream."""
+    occ_plain = occurrences(docs, doc_id_col, content_col)
+    per_td_raw = aggregate_raw(occ_plain).persist()
+    doc_stats = doc_stats_from_raw(docs, per_td_raw, doc_id_col, content_col).persist()
+    per_td = aggregate_weighted(weighted_occurrences(docs, doc_id_col, content_col))
+    term_dict = build_term_dict(per_td.select("term"))
+    capped = apply_caps(per_td, term_dict, n_salts=n_salts)
+    postings = finalize_postings(capped, doc_stats)
+    total_docs = doc_stats.count()
+    term_stats = build_term_stats(postings, total_docs)
+    per_td_raw.unpersist()
+    return {
+        "doc_stats": doc_stats,
+        "postings": postings.drop("is_stop"),
+        "term_stats": term_stats,
+        "term_dict": term_dict,
+        "total_docs": total_docs,
+    }
+
+
 def build_term_dict(occ: DataFrame) -> DataFrame:
     """term_dict(term, stem, is_stop) — the broadcastable term dictionary.
 
@@ -333,7 +412,13 @@ def finalize_postings(per_td: DataFrame, doc_stats: DataFrame) -> DataFrame:
         ).otherwise(0.0).alias("normalized_tf"),
         F.col("doc_len"),
         F.col("positions"),
-        F.transform("positions", lambda _: F.lit(1.0).cast("float")).alias("weights"),
+        # weighted corpora carry true per-position weights; uniform-weight
+        # corpora reconstitute the constant-1.0 array (halves shuffle bytes)
+        (
+            F.col("weights")
+            if "weights" in per_td.columns
+            else F.transform("positions", lambda _: F.lit(1.0).cast("float")).alias("weights")
+        ),
     ]
     if "is_stop" in per_td.columns:
         cols.append(F.col("is_stop"))

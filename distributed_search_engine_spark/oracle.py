@@ -166,6 +166,72 @@ r{k} AS (
     return "".join(parts)
 
 
+def weighted_postings_sql(html_sql: str) -> str:
+    """I4 weighted-tokenize oracle: ``html_sql`` is an expression deriving a
+    deterministic HTML page from documents.text (the Spark query builds the
+    SAME page with the same string ops). Doc stats (max_tf) come from the
+    PLAIN tokenize of the page; postings from the weighted stream —
+    functions/text.duckdb_weighted_stream_expr keeps the two dialects in
+    lockstep (jobs/Indexer.java:214-228, 423-478, 1301-1371)."""
+    from .functions.text import duckdb_weighted_stream_expr
+
+    toks_plain = duckdb_tokens_expr("html")
+    stream = duckdb_weighted_stream_expr("html")
+    worth_tok = duckdb_worth("tok")
+    worth_term = duckdb_worth("term")
+    return f"""
+WITH docs AS (
+  SELECT doc_id::varchar AS doc_id, {html_sql} AS html
+  FROM documents WHERE text IS NOT NULL
+),
+docs2 AS (SELECT doc_id, html FROM docs WHERE length(html) <= {MAX_DOC_CHARS}),
+tokarr AS (SELECT doc_id, {toks_plain} AS toks FROM docs2),
+tokstream AS (
+  SELECT doc_id, unnest(toks) AS tok FROM tokarr
+),
+plain_tf AS (
+  SELECT doc_id, tok AS term, count(*)::int AS tf FROM tokstream
+  WHERE tok <> '' AND {worth_tok} GROUP BY 1, 2
+),
+docstats AS (
+  SELECT d.doc_id, coalesce(s.max_tf, 1) AS max_tf
+  FROM docs2 d LEFT JOIN (
+    SELECT doc_id, greatest(max(tf), 1)::int AS max_tf FROM plain_tf GROUP BY 1
+  ) s USING (doc_id)
+),
+warr AS (SELECT doc_id, {stream} AS ws FROM docs2),
+wstream AS (
+  SELECT doc_id, unnest(ws) AS tw, generate_subscripts(ws, 1) AS pos FROM warr
+),
+wflat AS (
+  SELECT doc_id, tw.tok AS term, pos, tw.weight AS weight FROM wstream
+),
+wworthy AS (SELECT * FROM wflat WHERE {worth_term}),
+wtf AS (
+  SELECT term, doc_id, count(*)::int AS tf,
+         (count(CASE WHEN weight = 1.0 THEN 1 END) * 1.0
+          + count(CASE WHEN weight <> 1.0 THEN 1 END) * 0.001) AS weighted_tf,
+         list(pos ORDER BY pos) AS positions,
+         list(CASE WHEN weight = 1.0 THEN 1000 ELSE 1 END ORDER BY pos) AS wmilli
+  FROM wworthy GROUP BY 1, 2
+  QUALIFY row_number() OVER (
+            PARTITION BY term
+            ORDER BY (count(CASE WHEN weight = 1.0 THEN 1 END) * 1.0
+                      + count(CASE WHEN weight <> 1.0 THEN 1 END) * 0.001) DESC,
+                     doc_id ASC)
+          <= CASE WHEN list_contains([{STOPS_SQL}], term) THEN 5000 ELSE 20000 END
+)
+SELECT t.term, t.doc_id, t.tf,
+       round(t.weighted_tf, 6) AS weighted_tf,
+       round(CASE WHEN t.weighted_tf > 0 AND d.max_tf > 0
+                  THEN 0.4 + 0.6 * t.weighted_tf / d.max_tf ELSE 0.0 END, 6)
+         AS normalized_tf,
+       array_to_string(t.positions, ' ') AS positions,
+       array_to_string(t.wmilli, ' ') AS weights_milli
+FROM wtf t JOIN docstats d USING (doc_id)
+"""
+
+
 def and_phrase_sql(w1: str, w2: str) -> str:
     """Two-term reference-mode: AND filter + phrase x1.5 + all-matched x4.0
     (pagerank 0, no title boost) — Q5/Q7/Q8/Q10 chain."""

@@ -76,3 +76,75 @@ def test_duckdb_tokenizer_parity():
 def test_title():
     assert T.title_py("first  line here\nsecond line") == "first line here"
     assert len(T.title_py("x" * 500)) == 200
+
+
+# ---------------------------------------------------------------------------
+# I4 weighted tokenize (jobs/Indexer.java:1301-1371)
+# ---------------------------------------------------------------------------
+
+HTML = (
+    '<html><head><title>My Doc Title</title><meta charset="utf-8">'
+    "<style>body { color: red; } .cls x</style></head><body><p>visible words "
+    'here a 1 ok</p><script type="text/javascript">var x = 12; '
+    'console.log("hi there");</script><!-- secret comment words -->'
+    "<p>tail</p></body></html>"
+)
+
+
+def test_weighted_stream_three_way_parity(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    py = T.weighted_stream_py(HTML)
+    df = spark.createDataFrame([("d", HTML)], "doc_id string, content string")
+    sp = [
+        (r["tok"], r["weight"])
+        for r in df.select(T.weighted_stream_col(F.col("content")).alias("s"))
+        .collect()[0]["s"]
+    ]
+    dd = [
+        (d["tok"], float(d["weight"]))
+        for d in duckdb.sql(
+            f"SELECT {T.duckdb_weighted_stream_expr('content')} AS s "
+            f"FROM (SELECT '{HTML.replace(chr(39), chr(39)*2)}' AS content)"
+        ).fetchone()[0]
+    ]
+    assert sp == py == dd
+    # comment text never enters the stream; metadata 1-char tokens dropped
+    toks = [t for t, _ in py]
+    assert "secret" not in toks and "x" not in toks
+    # visible before script before style? no — script bodies come before
+    # style bodies per the reference's extraction order
+    assert py[-1] == ("cls", T.METADATA_WEIGHT)  # style body is last
+
+
+def test_weighted_positions_and_scores(spark):
+    """Positions: rejected VISIBLE tokens consume a slot; short metadata
+    tokens never enter the stream. weighted_tf sums 1.0/0.001; max_tf comes
+    from the plain tokenize (script text included, tags stripped)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from distributed_search_engine_spark.operators.postings import (
+        build_weighted_index,
+    )
+
+    html = "<p>a go dup</p><script>x ok dup dup</script>"
+    docs = spark.createDataFrame([("d", html)], "doc_id string, html string")
+    idx = build_weighted_index(docs, content_col="html")
+    rows = {
+        r["term"]: r.asDict()
+        for r in idx["postings"].collect()
+    }
+    # stream: a(1, rejected) go(2) dup(3) | ok(4) dup(5) dup(6)  ('x' skipped)
+    assert list(rows["go"]["positions"]) == [2]
+    assert list(rows["ok"]["positions"]) == [4]
+    assert rows["ok"]["weights"] == [pytest.approx(0.001)]
+    assert list(rows["dup"]["positions"]) == [3, 5, 6]
+    assert rows["dup"]["tf"] == 3
+    assert rows["dup"]["weighted_tf"] == pytest.approx(1.0 + 0.002)
+    # plain tokenize sees: go dup ok dup dup -> max_tf = 3 ('a','x' rejected)
+    ds = idx["doc_stats"].collect()[0]
+    assert ds["max_tf"] == 3
+    assert rows["dup"]["normalized_tf"] == pytest.approx(0.4 + 0.6 * 1.002 / 3)
