@@ -174,6 +174,41 @@ def _q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 
+def _q_pagerank_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1 end-to-end over EXTRACTED (not synthetic) links: derive a code
+    # document per row whose import statements encode the same deterministic
+    # graph as synthetic_links, run the real regex extractor (pandas UDF) +
+    # module-map resolution (Crawler.java:422-491 analog), then PageRank —
+    # hash-matched against the same unrolled-SQL oracle as pagerank_3iter.
+    from distributed_search_engine_spark.operators.pagerank import (
+        extract_links,
+        resolve_links,
+    )
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    code = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.lit("txt "),  # line 1 can never start with import/from
+            F.col("text"),
+            F.lit("\nimport mod_"),
+            ((F.col("doc_id") + 1) % n).cast("string"),
+            F.lit("\nimport mod_"),
+            ((F.col("doc_id") * 3 + 7) % n).cast("string"),
+        ).alias("content"),
+        F.lit("py").alias("lang"),
+    )
+    refs = extract_links(code)
+    module_map = docs.select(
+        F.concat(F.lit("mod_"), F.col("doc_id").cast("string")).alias("module"),
+        F.col("doc_id").alias("dst"),
+    )
+    links = resolve_links(refs, module_map)
+    ranks, _ = run_pagerank(docs, links, fixed_iterations=3)
+    return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
+
+
 def _q_postings_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only check (Porter stemming not expressible in SQL): stem-expanded
     # postings — jobs/Indexer.java:463-475 semantics
@@ -467,10 +502,13 @@ def _q_spellcheck(spark, sf_dir):
 
 
 def _q_snippets(spark, sf_dir):
-    # Q16 (rows-only: python snippet windowing not SQL-expressible)
+    # Q16/Q17: snippet windowing + highlight, oracle-gated (DuckDB
+    # strpos/substr + regexp_replace replicate the 350-char window with
+    # 80-char lookback and the \b<mark>\b wrap). doc_id < 50 is a
+    # deterministic subset (a bare limit() has no defined row order).
     from distributed_search_engine_spark.query.suggest import snippets
 
-    docs = _capped_docs(spark, sf_dir).limit(50)
+    docs = _capped_docs(spark, sf_dir).where(F.col("doc_id") < 50)
     return snippets(docs, "data stream", content_col="text", highlight=True)
 
 
@@ -491,6 +529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25": _q_bm25,
         "pagerank_3iter": _q_pagerank,
         "pagerank_resume_3iter": _q_pagerank_resume,
+        "pagerank_extracted_links": _q_pagerank_extracted,
         "index_postings_stemmed": _q_postings_stemmed,
         "index_weighted_postings": _q_weighted_postings,
         "dedup_exact": _q_dedup_exact,
@@ -532,6 +571,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25": oracle.bm25_sql(["spark", "join"]),
         "pagerank_3iter": oracle.pagerank_sql(3),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
+        "pagerank_extracted_links": oracle.pagerank_sql(3),
         # index_postings_stemmed: intentionally no oracle (Porter stemming
         # is not SQL-expressible) -> rows-only check
         "index_weighted_postings": oracle.weighted_postings_sql(_html_sql()),
@@ -555,7 +595,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": oracle.FINGERPRINT_SQL,
         "suggest_autocomplete": oracle.autocomplete_sql("s", 10),
         "suggest_spellcheck": oracle.spellcheck_sql("strem"),
-        # search_snippets: rows-only (python snippet windowing)
+        "search_snippets": oracle.snippets_sql(["data", "stream"], 50),
         "flame_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
         "flame_sample": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

@@ -262,3 +262,17 @@ def extract_links(docs: DataFrame, content_col: str = "content", lang_col: str =
         _extract, schema="src string, refs array<string>"
     )
     return out.select("src", F.explode("refs").alias("ref"))
+
+
+def resolve_links(refs: DataFrame, module_map: DataFrame) -> DataFrame:
+    """Resolve raw reference strings to doc_ids — the code-corpus analog of
+    the reference's URL normalization before the link graph is built
+    (jobs/Crawler.java:422-491). ``module_map`` is (module, dst): what each
+    document provides (e.g. its package path); refs that resolve to nothing
+    (external/stdlib imports) drop out, exactly as off-crawl URLs do.
+    Equi-join on the ref string — module_map is corpus-sized, so at scale
+    this is one uniform-key shuffle (or a broadcast when the map fits)."""
+    return refs.join(module_map, refs["ref"] == module_map["module"]).select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )

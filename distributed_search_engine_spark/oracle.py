@@ -621,6 +621,60 @@ ORDER BY term LIMIT {limit}
 """
 
 
+def snippets_sql(terms: list[str], max_doc_id: int = 50) -> str:
+    """Q16 snippet window + Q17 highlight twin of query/suggest.snippet_py/
+    highlight_py: strip tags, collapse whitespace, find the earliest term
+    hit (case-insensitive), cut a 350-char window starting 80 chars before
+    it, ellipses at cut edges, then wrap every \\b-term in <mark>."""
+    from .query.suggest import SNIPPET_LOOKBACK, SNIPPET_WINDOW
+
+    inf = 2_147_483_647
+    finds = ", ".join(
+        f"coalesce(nullif(strpos(lower(cleaned), '{t.lower()}'), 0), {inf})"
+        for t in terms
+    )
+    hit1 = finds if len(terms) == 1 else f"least({finds})"
+    snippet = "snip"
+    for t in terms:
+        snippet = (
+            f"regexp_replace({snippet}, '\\b({t})\\b',"
+            f" '<mark>\\1</mark>', 'gi')"
+        )
+    return f"""
+WITH docs AS (
+  SELECT doc_id::varchar AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+    AND doc_id < {max_doc_id}
+),
+c AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS cleaned
+  FROM docs
+),
+h AS (SELECT doc_id, cleaned, {hit1} AS hit1 FROM c),
+w AS (
+  SELECT doc_id, cleaned, hit1,
+         greatest(hit1 - 1 - {SNIPPET_LOOKBACK}, 0) AS s,
+         least(length(cleaned),
+               greatest(hit1 - 1 - {SNIPPET_LOOKBACK}, 0) + {SNIPPET_WINDOW}) AS e
+  FROM h
+),
+snips AS (
+  SELECT doc_id,
+         CASE WHEN hit1 = {inf}
+              THEN substr(cleaned, 1, {SNIPPET_WINDOW})
+                   || CASE WHEN length(cleaned) > {SNIPPET_WINDOW} THEN '...' ELSE '' END
+              ELSE (CASE WHEN s > 0 THEN '...' ELSE '' END)
+                   || substr(cleaned, s + 1, e - s)
+                   || (CASE WHEN e < length(cleaned) THEN '...' ELSE '' END)
+         END AS snip
+  FROM w
+)
+SELECT doc_id, {snippet} AS snippet FROM snips
+"""
+
+
 def spellcheck_sql(word: str, max_distance: int = 2) -> str:
     """Q15: best Levenshtein match within distance 2, deterministic
     (distance asc, term asc) — SearchEngine.java:977-1019."""
