@@ -51,14 +51,107 @@ def _decode_fake(data: bytes) -> tuple[np.ndarray, int, int, int]:
     return px, w, h, nf
 
 
-def decode_real(data: bytes, kind: str):
-    """The real-decoder seam. In production this dispatches to PIL
-    (image), soundfile/librosa (audio), or pyav/ffmpeg (video) — none of
-    which are available in this container."""
-    raise NotImplementedError(
-        f"real {kind} decode requires PIL/soundfile/pyav; this container "
-        "ships the deterministic fake codec only (pack_fake_media)"
+# ---------------------------------------------------------------------------
+# real codecs (pure numpy, no external libs): PPM P6 images and RIFF/WAV
+# PCM16 audio — actual standard binary formats parsed byte-for-byte, so at
+# least one non-stub media path runs end-to-end in this container.
+# Compressed formats (JPEG/PNG/MP3/MP4) remain the PIL/soundfile/pyav seam.
+# ---------------------------------------------------------------------------
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6, maxval 255)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return f"P6\n{w} {h}\n255\n".encode() + np.ascontiguousarray(pixels, dtype=np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Binary PPM (P6) -> ((h, w, 3) uint8, width, height). Tolerates
+    arbitrary whitespace and '#' comments in the header, per the spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM")
+    tokens, i, n = [], 2, len(data)
+    while len(tokens) < 3:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < n and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(int(data[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3), w, h
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono int16 samples -> RIFF/WAVE PCM16."""
+    s = np.ascontiguousarray(samples, dtype="<i2")
+    data = s.tobytes()
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                sample_rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
     )
+    return hdr + data
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF/WAVE PCM16 -> (int16 samples (n, channels), sample_rate,
+    channels). Walks the chunk list (fmt may be followed by LIST etc.)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i, n = 12, len(data)
+    sample_rate = channels = bits = None
+    samples = None
+    while i + 8 <= n:
+        cid = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        body = data[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt != 1 or bits != 16:
+                raise ValueError("only PCM16 supported")
+        elif cid == b"data":
+            samples = np.frombuffer(body, dtype="<i2")
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if samples is None or sample_rate is None:
+        raise ValueError("missing fmt/data chunk")
+    return samples.reshape(-1, channels), sample_rate, channels
+
+
+def decode_real(data: bytes, kind: str):
+    """Real-format decode: returns (flat value array, width, height,
+    n_frames) like _decode_fake, so the feature extractors are
+    format-agnostic. PPM P6 and WAV PCM16 are decoded in pure numpy;
+    compressed formats still need PIL (image), soundfile/librosa (audio) or
+    pyav/ffmpeg (video), which this container does not ship."""
+    if kind == "image" and data[:2] == b"P6":
+        px, w, h = decode_ppm(data)
+        return px.reshape(-1), w, h, 1
+    if kind == "audio" and data[:4] == b"RIFF":
+        s, rate, ch = decode_wav(data)
+        return s.reshape(-1), int(rate), ch, 1
+    raise NotImplementedError(
+        f"compressed {kind} decode requires PIL/soundfile/pyav; this "
+        "container decodes PPM/WAV natively and the deterministic fake "
+        "codec (pack_fake_media) otherwise"
+    )
+
+
+def _decode_any(data: bytes, kind: str):
+    """Dispatch on magic: fake blobs, then the real codecs."""
+    if data[:4] == _MAGIC:
+        return _decode_fake(data)
+    return decode_real(data, kind)
 
 
 def make_synthetic_media(spark: SparkSession, n: int = 30) -> DataFrame:
@@ -96,8 +189,9 @@ def extract_features(media: DataFrame, n_bins: int = 8) -> DataFrame:
                 "feat_mean": [], "feat_std": [], "histogram": [],
             }
             for doc_id, kind, data in zip(pdf["doc_id"], pdf["kind"], pdf["data"]):
-                px, w, h, nf = _decode_fake(bytes(data))
-                hist, _ = np.histogram(px, bins=n_bins, range=(0, 256))
+                px, w, h, nf = _decode_any(bytes(data), kind)
+                rng = (-32768, 32768) if px.dtype == np.int16 else (0, 256)
+                hist, _ = np.histogram(px, bins=n_bins, range=rng)
                 out["doc_id"].append(doc_id)
                 out["kind"].append(kind)
                 out["n_bytes"].append(len(data))

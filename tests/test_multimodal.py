@@ -61,3 +61,70 @@ def test_frame_sampling(spark, media):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError, match="PIL|soundfile|pyav"):
         M.decode_real(b"x", "image")
+
+
+# ---------------------------------------------------------------------------
+# real codecs: PPM P6 + RIFF/WAV PCM16 (pure numpy, actual formats)
+# ---------------------------------------------------------------------------
+
+def test_ppm_roundtrip_and_header_comments():
+    from distributed_search_engine_spark.operators.multimodal import (
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    blob = encode_ppm(img)
+    assert blob[:2] == b"P6"
+    out, w, h = decode_ppm(blob)
+    assert (w, h) == (7, 5) and np.array_equal(out, img)
+    # spec: comments + arbitrary whitespace in header
+    weird = b"P6 # a comment\n 7\t5 # more\n255\n" + img.tobytes()
+    out2, w2, h2 = decode_ppm(weird)
+    assert (w2, h2) == (7, 5) and np.array_equal(out2, img)
+
+
+def test_wav_roundtrip():
+    from distributed_search_engine_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32767, size=800, dtype=np.int16)
+    blob = encode_wav(s, sample_rate=8000)
+    out, rate, ch = decode_wav(blob)
+    assert rate == 8000 and ch == 1
+    assert np.array_equal(out.reshape(-1), s)
+
+
+def test_extract_features_over_real_formats(spark):
+    """End-to-end: real PPM/WAV blobs flow through the same mapInPandas
+    feature extractor as the fake codec (magic dispatch)."""
+    from distributed_search_engine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_ppm,
+        encode_wav,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    wav = rng.integers(-2000, 2000, size=1600, dtype=np.int16)
+    rows = [
+        ("p1", "image", bytearray(encode_ppm(img)), (8, 8, 0, 1, "ppm")),
+        ("w1", "audio", bytearray(encode_wav(wav, 16000)), (0, 0, 16000, 1, "wav")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["doc_id"]: r.asDict() for r in extract_features(media).collect()}
+    assert feats["p1"]["feat_mean"] == pytest.approx(float(img.mean()))
+    assert feats["w1"]["feat_mean"] == pytest.approx(float(wav.mean()))
+    assert abs(sum(feats["p1"]["histogram"]) - 1.0) < 1e-9
+
+
+def test_compressed_formats_still_raise(spark):
+    from distributed_search_engine_spark.operators.multimodal import decode_real
+
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG\r\n\x1a\n....", "image")
