@@ -78,3 +78,38 @@ def test_snippets_df(spark):
     out = {r["doc_id"]: r["snippet"] for r in snippets(docs, "stream").collect()}
     assert "stream" in out["1"]
     assert out["3"]  # falls back to head of doc
+
+
+# ---------------------------------------------------------------------------
+# Q13: driver-side result cache (frontend/SearchEngine.java:21-23,69-97)
+# ---------------------------------------------------------------------------
+
+def test_result_cache_hits_evicts_and_paginates(spark):
+    from distributed_search_engine_spark.corpus import ingest, make_corpus
+    from distributed_search_engine_spark.query.cache import CachedSearchEngine
+    from distributed_search_engine_spark.query.engine import SearchIndex
+
+    idx = build_index(ingest(make_corpus(spark, n_docs=40, seed=11)))
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    eng = CachedSearchEngine(spark, sidx, k=20, mode="bm25", max_size=2)
+    p1 = eng.search_page("spark compute", page=1, page_size=5)
+    assert eng.misses == 1 and eng.hits == 0
+    # repeated query (case/space-normalized key): served from cache
+    p1b = eng.search_page("  SPARK Compute ", page=1, page_size=5)
+    assert eng.hits == 1 and p1b == p1
+    # pagination slices the cached full list without recompute
+    p2 = eng.search_page("spark compute", page=2, page_size=5)
+    assert eng.hits == 2
+    full = eng._cache[eng.cache_key("spark compute")]
+    assert p1 + p2 == list(full[:10])
+    assert eng.search_page("spark compute", page=99) == []  # beyond results
+    assert eng.cached_result_count("spark compute") == len(full)
+    # FIFO eviction at max_size=2
+    eng.search_page("engine", page=1)
+    eng.search_page("index", page=1)   # evicts 'spark compute'
+    assert eng.cached_result_count("spark compute") == 0
+    assert eng.misses == 3
