@@ -174,6 +174,54 @@ def _q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))
 
 
+def _segment_index(spark: SparkSession, sf_dir: str):
+    # build-once physical segments for the segment-backed gated queries
+    key = (sf_dir, "segments")
+    if key not in _INDEX_CACHE:
+        import tempfile
+
+        from distributed_search_engine_spark.index.segments import (
+            assign_docnums,
+            build_segments,
+            segment_search_index,
+        )
+
+        idx = _index(spark, sf_dir, with_stems=False)
+        ds = assign_docnums(idx["doc_stats"], n_partitions=8).persist()
+        avgdl = float(ds.agg(F.avg("doc_len")).collect()[0][0])
+        out = tempfile.mkdtemp(prefix="dse_gate_segs_") + "/index"
+        build_segments(
+            idx["postings"], idx["term_stats"], ds, out, avgdl,
+            n_partitions=16, batch_partitions=16,
+        )
+        _INDEX_CACHE[key] = segment_search_index(
+            spark, out, ds, idx["term_stats"], idx["term_dict"],
+            idx["total_docs"], n_partitions=16,
+        )
+    return _INDEX_CACHE[key]
+
+
+def _q_tfidf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME reference-mode query as search_tfidf_single, but every
+    # posting lookup is a partition-pruned compressed-segment read
+    # (decode -> docnum join); shares search_tfidf_single's oracle SQL —
+    # the segment round-trip must be score-invariant to the last 6dp
+    sidx = _segment_index(spark, sf_dir)
+    res = search(
+        spark, sidx, "data", k=1_000_000, mode="reference", use_title_boost=False
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sidx = _segment_index(spark, sf_dir)
+    res = search(
+        spark, sidx, "data stream", k=1_000_000, mode="reference",
+        use_title_boost=False,
+    )
+    return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_pagerank_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1 end-to-end over EXTRACTED (not synthetic) links: derive a code
     # document per row whose import statements encode the same deterministic
@@ -527,6 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf_single": _q_tfidf_single,
         "search_and_phrase": _q_and_phrase,
         "search_bm25": _q_bm25,
+        "search_tfidf_segments": _q_tfidf_segments,
+        "search_phrase_segments": _q_phrase_segments,
         "pagerank_3iter": _q_pagerank,
         "pagerank_resume_3iter": _q_pagerank_resume,
         "pagerank_extracted_links": _q_pagerank_extracted,
@@ -569,6 +619,8 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_single": oracle.tfidf_single_sql("data"),
         "search_and_phrase": oracle.and_phrase_sql("data", "stream"),
         "search_bm25": oracle.bm25_sql(["spark", "join"]),
+        "search_tfidf_segments": oracle.tfidf_single_sql("data"),
+        "search_phrase_segments": oracle.and_phrase_sql("data", "stream"),
         "pagerank_3iter": oracle.pagerank_sql(3),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
