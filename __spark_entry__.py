@@ -401,6 +401,12 @@ def _q_ann_lsh(spark, sf_dir):
     return S.ann_lsh_topk(_emb(spark, sf_dir), query_id=0, k=10, n_dims=64)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    return S.ann_ivf_topk(
+        _emb(spark, sf_dir), query_id=0, k=10, n_centroids=16, n_probe=4
+    )
+
+
 def _q_lang_id(spark, sf_dir):
     return TA.lang_id(_capped_docs(spark, sf_dir))
 
@@ -591,6 +597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_cosine": _q_neardup_emb,
         "ann_bruteforce_top10": _q_ann_brute,
         "ann_lsh_top10": _q_ann_lsh,
+        "ann_ivf_top10": _q_ann_ivf,
         "text_lang_id": _q_lang_id,
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
@@ -641,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_bruteforce_top10": oracle.ann_bruteforce_sql(0, 10),
         "ann_lsh_top10": oracle.ann_lsh_sql(_lsh_plane_weights(), 0, 10),
+        "ann_ivf_top10": oracle.ann_ivf_sql(0, 10, 16, 4),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
         "text_quality_score": oracle.quality_sql(),
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,

@@ -117,3 +117,81 @@ def ann_lsh_topk(
     )
     scored = cands.select("id", _cosine(F.col("v"), F.col("qv")).alias("cosine"))
     return _ranked_topk(scored, k)
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the classic coarse-quantize-then-probe
+    scale path.
+
+    Coarse centroids are the vectors with id < n_centroids — deterministic
+    sampled seeds (no k-means iterations, so the SQL oracle can derive the
+    identical centroids from the same table; sampling training points is
+    standard IVF practice). Every vector is assigned to its best centroid
+    by cosine (ties -> smaller centroid id) via an array_max over literal
+    centroid arrays — a pure map stage, NO shuffle for assignment. The
+    query probes its n_probe best centroids and reranks exactly inside
+    those lists only: the scan shrinks ~n_probe/n_centroids vs brute force.
+    At scale: n_centroids ~ sqrt(N); persist `assigned` partitioned by
+    cluster so probes are partition-pruned scans, exactly like the term
+    segments.
+
+    Recall < 1 by design; oracle twin = oracle.ann_ivf_sql (identical
+    centroid choice, assignment arithmetic and tie-breaks, so both engines
+    return the same approximate set)."""
+    import math
+
+    v = _as_double(emb, id_col, vec_col)
+    cent_rows = sorted(
+        v.where(F.col("id") < n_centroids).collect(), key=lambda r: r["id"]
+    )
+    cents = [(int(r["id"]), [float(x) for x in r["v"]]) for r in cent_rows]
+
+    def _fold_dot(xs: list[float], ys: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(xs, ys):  # sequential left fold == the SQL fold
+            acc += a * b
+        return acc
+
+    cent_norms = {c: math.sqrt(_fold_dot(cv, cv)) for c, cv in cents}
+
+    norm_v = F.sqrt(
+        F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    entries = []
+    for c, cv in cents:
+        w = F.array(*[F.lit(x) for x in cv])
+        dot = F.aggregate(
+            F.zip_with(F.col("v"), w, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cos = dot / (norm_v * F.lit(cent_norms[c]))
+        entries.append(F.struct(cos.alias("cos"), F.lit(-c).alias("negc")))
+    best = F.array_max(F.array(*entries))
+    assigned = v.select("id", "v", (-best["negc"]).alias("cluster"))
+
+    # query-side probe list (driver arithmetic mirrors the SQL fold exactly)
+    qv = [float(x) for x in v.where(F.col("id") == query_id).collect()[0]["v"]]
+    nq = math.sqrt(_fold_dot(qv, qv))
+    affs = sorted(
+        ((_fold_dot(qv, cv) / (nq * cent_norms[c]), -c) for c, cv in cents),
+        reverse=True,
+    )
+    probes = [-negc for _, negc in affs[:n_probe]]
+
+    q = v.where(F.col("id") == query_id).select(F.col("v").alias("qv"))
+    cands = assigned.where(
+        F.col("cluster").isin(probes) & (F.col("id") != query_id)
+    )
+    scored = cands.crossJoin(F.broadcast(q)).select(
+        "id", _cosine(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    return _ranked_topk(scored, k)

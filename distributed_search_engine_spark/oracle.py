@@ -520,6 +520,54 @@ SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank 
 """
 
 
+def ann_ivf_sql(
+    query_id: int = 0, k: int = 10, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    """IVF ANN twin of similarity.ann_ivf_topk: centroids = vectors with
+    id < n_centroids; assignment by cosine (ties -> smaller centroid id);
+    query probes its n_probe best centroids; exact rerank inside."""
+    dot_vc = _fold_sum(
+        "list_transform(generate_series(1, len(a.v)), i -> a.v[i] * cent.cv[i])"
+    )
+    nv = f"sqrt({_fold_sum('list_transform(a.v, x -> x * x)')})"
+    nc = f"sqrt({_fold_sum('list_transform(cent.cv, x -> x * x)')})"
+    dot_q = _fold_sum(
+        "list_transform(generate_series(1, len(a.v)), i -> a.v[i] * q.qv[i])"
+    )
+    nq = f"sqrt({_fold_sum('list_transform(q.qv, x -> x * x)')})"
+    return _VEC_CTE + f""",
+cent AS (SELECT id AS c, v AS cv FROM v WHERE id < {n_centroids}),
+aff AS (
+  SELECT a.id, cent.c, {dot_vc} / ({nv} * {nc}) AS cos
+  FROM v a, cent
+),
+assigned AS (
+  SELECT id, c AS cluster FROM (
+    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY cos DESC, c ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c FROM (
+    SELECT c, row_number() OVER (ORDER BY cos DESC, c ASC) AS rn
+    FROM aff WHERE id = {query_id}
+  ) WHERE rn <= {n_probe}
+),
+q AS (SELECT v AS qv FROM v WHERE id = {query_id}),
+scored AS (
+  SELECT a.id, {dot_q} / ({nv} * {nq}) AS cosine
+  FROM v a JOIN assigned s ON s.id = a.id
+  JOIN probes p ON s.cluster = p.c, q
+  WHERE a.id <> {query_id}
+),
+ranked AS (
+  SELECT id, cosine, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def lang_id_sql(wordlists: dict[str, list[str]]) -> str:
     values = ", ".join(
         f"('{lang}', '{w}')" for lang, ws in sorted(wordlists.items()) for w in ws

@@ -266,3 +266,35 @@ def test_ann_topk_plan_uses_take_ordered(spark, emb):
     assert "TakeOrderedAndProject" in plan
     plan2 = plan_of(S.ann_lsh_topk(emb, query_id=0, k=3, n_dims=4))
     assert "TakeOrderedAndProject" in plan2
+
+
+def test_ann_ivf_subset_and_recall(spark):
+    """IVF results are exact cosines over a probed subset: every returned
+    (id, cosine) appears in brute force with the identical value, and with
+    all clusters probed IVF == brute force exactly."""
+    rng = __import__("random").Random(9)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    brute = {r["id"]: r["cosine"] for r in S.ann_bruteforce_topk(emb, 0, k=59).collect()}
+    ivf = S.ann_ivf_topk(emb, 0, k=10, n_centroids=8, n_probe=2).collect()
+    assert 0 < len(ivf) <= 10
+    for r in ivf:
+        assert brute[r["id"]] == r["cosine"]  # exact rerank, 6dp-rounded both
+    full = S.ann_ivf_topk(emb, 0, k=10, n_centroids=8, n_probe=8).collect()
+    want = S.ann_bruteforce_topk(emb, 0, k=10).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in want]
+
+
+def test_ann_ivf_assignment_has_no_shuffle(spark):
+    """Centroid assignment is a pure map stage: no Exchange before the
+    cluster filter."""
+    from tests.test_plans import plan_of
+
+    rows = [(i, [float((i * j) % 5) - 2.0 for j in range(4)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(
+        S.ann_ivf_topk(emb, 0, k=3, n_centroids=4, n_probe=2)
+    )
+    assert "CartesianProduct" not in plan
