@@ -82,3 +82,62 @@ def test_token_trends_windowed(spark, tmp_path):
     assert got[(1, "alpha")] == 1
     assert got[(0, "beta")] == 1
     assert got[(1, "gamma")] == 1
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: sessions close in-batch when
+    a later event exceeds the gap, and state survives a query RESTART via
+    the checkpoint (exactly-once across runs)."""
+    from distributed_search_engine_spark.streaming.sessions import sessionize_stream
+
+    t0 = datetime.datetime(2026, 1, 1, 0, 0, 0)
+    inp = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    schema = "user_id long, ts timestamp, value double"
+    batch1 = [
+        (1, t0, 1.0),
+        (1, t0 + datetime.timedelta(seconds=10), 2.0),
+        (1, t0 + datetime.timedelta(seconds=2000), 4.0),  # closes session 1
+        (2, t0, 8.0),  # stays open
+    ]
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(inp)
+
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")  # recoverable sink (memory is not)
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    got = {(r["user_id"], r["n_events"]): r for r in run()}
+    assert (1, 2) in got  # session t0..t0+10 closed by the t0+2000 event
+    s = got[(1, 2)]
+    assert s["total_value"] == 3.0
+    assert s["session_start"] == t0
+    assert s["session_end"] == t0 + datetime.timedelta(seconds=10)
+    # the post-drain no-data batch advances the watermark to t0+2000,
+    # which passes user 2's timeout (t0+1800): their idle session closes by
+    # EventTimeTimeout. User 1's second session (start t0+2000) stays open.
+    assert (2, 1) in got and got[(2, 1)]["total_value"] == 8.0
+    assert len(got) == 2
+
+    # restart with a later event: state recovered from the checkpoint, the
+    # open user-1 session (started t0+2000) closes
+    batch2 = [(1, t0 + datetime.timedelta(seconds=10_000), 16.0)]
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(inp)
+    all2 = run()
+    assert len(all2) == 3  # the two from run 1 plus exactly one new row
+    got2 = {
+        (r["user_id"], r["n_events"], r["session_start"]): r for r in all2
+    }
+    closed2 = got2[(1, 1, t0 + datetime.timedelta(seconds=2000))]
+    assert closed2["total_value"] == 4.0
