@@ -118,6 +118,32 @@ def main() -> None:
     timings["query_bm25_df_x5"] = time.time() - t0
 
     shutil.rmtree(seg_dir, ignore_errors=True)
+
+    # q7: shuffle-dominated scale point — a deterministic 60k-doc synthetic
+    # corpus (executor-side generation, fixed seed) so round-over-round
+    # comparisons include a workload where fixed costs don't dominate.
+    # Skip with SPARK_GRAFT_BENCH_BIG=0.
+    big_docs_per_sec = None
+    if os.environ.get("SPARK_GRAFT_BENCH_BIG", "1") != "0":
+        from distributed_search_engine_spark.corpus import (
+            ingest,
+            make_corpus_distributed,
+        )
+
+        n_big = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_DOCS", "60000"))
+        big = ingest(
+            make_corpus_distributed(
+                spark, n_big, seed=42, n_partitions=max(2 * cores, 16)
+            )
+        ).persist()
+        big.count()  # materialize generation outside the timed window
+        t0 = time.time()
+        bidx = build_index(big, doc_id_col="doc_id", content_col="content")
+        n_big_postings = bidx["postings"].count()
+        timings["index_build_60k"] = time.time() - t0
+        big_docs_per_sec = n_big / timings["index_build_60k"]
+        big.unpersist()
+
     total = sum(timings.values())
     print(
         json.dumps(
@@ -131,6 +157,11 @@ def main() -> None:
                 "n_docs": n_docs,
                 "n_postings": n_postings,
                 "index_docs_per_sec": round(docs_per_sec, 1),
+                **(
+                    {"index_docs_per_sec_60k": round(big_docs_per_sec, 1)}
+                    if big_docs_per_sec is not None
+                    else {}
+                ),
             }
         )
     )
