@@ -671,17 +671,19 @@ ORDER BY term LIMIT {limit}
 
 def snippets_sql(terms: list[str], max_doc_id: int = 50) -> str:
     """Q16 snippet window + Q17 highlight twin of query/suggest.snippet_py/
-    highlight_py: strip tags, collapse whitespace, find the earliest term
-    hit (case-insensitive), cut a 350-char window starting 80 chars before
-    it, ellipses at cut edges, then wrap every \\b-term in <mark>."""
-    from .query.suggest import SNIPPET_LOOKBACK, SNIPPET_WINDOW
+    highlight_py: script/style/comment/tag strip, whitespace collapse, ''
+    under 50 chars, hit = FIRST query term (query order, len >= 2) found —
+    the reference's loop breaks on the first found term
+    (SearchEngine.java:1072-1080) — 350-char window 80 chars before it,
+    ellipses at cut edges, then wrap every \\b-term in <mark>."""
+    from .query.suggest import SNIPPET_LOOKBACK, SNIPPET_MIN_TEXT, SNIPPET_WINDOW
 
-    inf = 2_147_483_647
-    finds = ", ".join(
-        f"coalesce(nullif(strpos(lower(cleaned), '{t.lower()}'), 0), {inf})"
+    # first-found-term (query order), not earliest position: ordered COALESCE
+    hit1 = "coalesce(" + ", ".join(
+        f"nullif(strpos(lower(cleaned), '{t.lower()}'), 0)"
         for t in terms
-    )
-    hit1 = finds if len(terms) == 1 else f"least({finds})"
+        if len(t) >= 2
+    ) + ", 0)"
     snippet = "snip"
     for t in terms:
         snippet = (
@@ -696,26 +698,29 @@ WITH docs AS (
 ),
 c AS (
   SELECT doc_id,
-         trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                             '\\s+', ' ', 'g')) AS cleaned
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(text, '(?is)<script[^>]*?>[\\s\\S]*?</script>', ' ', 'g'),
+           '(?is)<style[^>]*?>[\\s\\S]*?</style>', ' ', 'g'),
+           '(?is)<!--.*?-->', ' ', 'g'),
+           '<[^>]+>', ' ', 'g'),
+           '\\s+', ' ', 'g')) AS cleaned
   FROM docs
 ),
 h AS (SELECT doc_id, cleaned, {hit1} AS hit1 FROM c),
 w AS (
-  SELECT doc_id, cleaned, hit1,
-         greatest(hit1 - 1 - {SNIPPET_LOOKBACK}, 0) AS s,
-         least(length(cleaned),
-               greatest(hit1 - 1 - {SNIPPET_LOOKBACK}, 0) + {SNIPPET_WINDOW}) AS e
+  SELECT doc_id, cleaned,
+         CASE WHEN hit1 > 0 THEN greatest(hit1 - 1 - {SNIPPET_LOOKBACK}, 0)
+              ELSE 0 END AS s
   FROM h
 ),
 snips AS (
   SELECT doc_id,
-         CASE WHEN hit1 = {inf}
-              THEN substr(cleaned, 1, {SNIPPET_WINDOW})
-                   || CASE WHEN length(cleaned) > {SNIPPET_WINDOW} THEN '...' ELSE '' END
+         CASE WHEN length(cleaned) < {SNIPPET_MIN_TEXT} THEN ''
               ELSE (CASE WHEN s > 0 THEN '...' ELSE '' END)
-                   || substr(cleaned, s + 1, e - s)
-                   || (CASE WHEN e < length(cleaned) THEN '...' ELSE '' END)
+                   || substr(cleaned, s + 1,
+                             least(length(cleaned), s + {SNIPPET_WINDOW}) - s)
+                   || (CASE WHEN least(length(cleaned), s + {SNIPPET_WINDOW})
+                            < length(cleaned) THEN '...' ELSE '' END)
          END AS snip
   FROM w
 )

@@ -80,27 +80,39 @@ def spellcheck_query(
 
 SNIPPET_WINDOW = 350  # SearchEngine.java:1084-1089
 SNIPPET_LOOKBACK = 80
+SNIPPET_MIN_TEXT = 50  # SearchEngine.java:1064
 
 
 def snippet_py(content: str, query_terms: list[str]) -> str:
-    """First-query-term 350-char window starting 80 chars before the hit,
-    with ellipses (SearchEngine.java:1049-1095). Operates on the cleaned
-    text (tags stripped) like the reference."""
+    """Exact port of extractPreview (SearchEngine.java:1049-1095):
+    script/style/comment/tag strip + whitespace collapse; texts under 50
+    chars yield ''; the hit is the FIRST query term (in query order, len >=
+    2) found anywhere — NOT the earliest position across terms (:1072-1080,
+    the loop breaks on the first found term); 350-char window from 80 chars
+    before the hit (or from the start when nothing matches), ellipses at
+    cut edges. The reference's (script|style) backreference pattern is
+    expanded into two patterns so the SQL oracle (RE2: no backrefs) can
+    mirror it."""
     if not content:
         return ""
     import re
 
-    cleaned = re.sub(r"<[^>]*>", " ", content)
+    cleaned = re.sub(r"(?is)<script[^>]*?>[\s\S]*?</script>", " ", content)
+    cleaned = re.sub(r"(?is)<style[^>]*?>[\s\S]*?</style>", " ", cleaned)
+    cleaned = re.sub(r"(?is)<!--.*?-->", " ", cleaned)
+    cleaned = re.sub(r"<[^>]+>", " ", cleaned)
     cleaned = re.sub(r"\s+", " ", cleaned).strip()
+    if len(cleaned) < SNIPPET_MIN_TEXT:
+        return ""
     low = cleaned.lower()
     hit = -1
     for t in query_terms:
-        i = low.find(t.lower())
-        if i >= 0 and (hit < 0 or i < hit):
-            hit = i
-    if hit < 0:
-        return cleaned[:SNIPPET_WINDOW] + ("..." if len(cleaned) > SNIPPET_WINDOW else "")
-    start = max(0, hit - SNIPPET_LOOKBACK)
+        if len(t) >= 2:
+            i = low.find(t.lower())
+            if i >= 0:
+                hit = i
+                break
+    start = max(0, hit - SNIPPET_LOOKBACK) if hit >= 0 else 0
     end = min(len(cleaned), start + SNIPPET_WINDOW)
     out = cleaned[start:end]
     if start > 0:

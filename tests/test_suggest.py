@@ -77,7 +77,9 @@ def test_snippets_df(spark):
     docs = spark.createDataFrame(DOCS, "doc_id string, content string")
     out = {r["doc_id"]: r["snippet"] for r in snippets(docs, "stream").collect()}
     assert "stream" in out["1"]
-    assert out["3"]  # falls back to head of doc
+    # doc 3's cleaned text is under 50 chars -> '' (SearchEngine.java:1064)
+    assert out["3"] == ""
+    assert len(DOCS[2][1]) < 50
 
 
 # ---------------------------------------------------------------------------
@@ -113,3 +115,16 @@ def test_result_cache_hits_evicts_and_paginates(spark):
     eng.search_page("index", page=1)   # evicts 'spark compute'
     assert eng.cached_result_count("spark compute") == 0
     assert eng.misses == 3
+
+
+def test_snippet_first_term_in_query_order_wins():
+    """SearchEngine.java:1072-1080 breaks on the FIRST query term found —
+    not the earliest hit position across terms."""
+    content = "x" * 60 + " bravo " + "y" * 200 + " alpha " + "z" * 200
+    # 'alpha' is the first QUERY term and appears later in the text than
+    # 'bravo' — the window must center on alpha's position anyway
+    s = snippet_py(content, ["alpha", "bravo"])
+    assert "alpha" in s and s.startswith("...")
+    assert "bravo" not in s
+    # 1-char query terms are skipped by the len>=2 guard
+    assert snippet_py(content, ["x"])[:3] != "..."  # no hit -> head window
