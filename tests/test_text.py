@@ -148,3 +148,47 @@ def test_weighted_positions_and_scores(spark):
     ds = idx["doc_stats"].collect()[0]
     assert ds["max_tf"] == 3
     assert rows["dup"]["normalized_tf"] == pytest.approx(0.4 + 0.6 * 1.002 / 3)
+
+
+def test_weighted_index_flows_into_reference_scoring(spark):
+    """The 0.001 script weight must reach reference-mode scores: a term that
+    appears only inside <script> scores ~0.4-floor normalized_tf, far below
+    the same term visible in another doc."""
+    import math
+
+    import pytest
+    from distributed_search_engine_spark.operators.postings import (
+        build_weighted_index,
+    )
+    from distributed_search_engine_spark.query.engine import SearchIndex, search
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "<p>filler words here</p><script>zeta zeta</script>"),
+            ("b", "<p>zeta filler words</p>"),
+        ],
+        "doc_id string, html string",
+    )
+    idx = build_weighted_index(docs, content_col="html")
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    res = {r["doc_id"]: r["score"] for r in
+           search(spark, sidx, "zeta", mode="reference", use_title_boost=False).collect()}
+    p = {(r["term"], r["doc_id"]): r for r in idx["postings"].collect()}
+    # doc a: zeta twice in script -> weighted_tf 0.002; plain max_tf counts
+    # script text too: filler/words/here/zeta*2 -> max_tf = 2
+    assert p[("zeta", "a")]["weighted_tf"] == pytest.approx(0.002)
+    assert p[("zeta", "a")]["normalized_tf"] == pytest.approx(0.4 + 0.6 * 0.002 / 2)
+    # doc b: visible once, max_tf 1
+    assert p[("zeta", "b")]["weighted_tf"] == pytest.approx(1.0)
+    assert p[("zeta", "b")]["normalized_tf"] == pytest.approx(1.0)
+    # zeta is in both docs so idf = ln(2/2) = 0 and both reference-mode
+    # scores are exactly 0 — the searchable surface still returns both docs
+    # with the deterministic (score desc, doc_id asc) order
+    assert list(res) == ["a", "b"] and all(v == 0.0 for v in res.values())
+    assert math.isclose(
+        p[("zeta", "a")]["normalized_tf"] * math.log(2 / 2), 0.0
+    )
