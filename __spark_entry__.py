@@ -407,6 +407,14 @@ def _q_ann_ivf(spark, sf_dir):
     )
 
 
+def _q_knn_join(spark, sf_dir):
+    return S.knn_join(_emb(spark, sf_dir), k=5, n_dims=64)
+
+
+def _q_distinct_sketch(spark, sf_dir):
+    return TA.distinct_token_sketch(_capped_docs(spark, sf_dir), m=1024)
+
+
 def _q_lang_id(spark, sf_dir):
     return TA.lang_id(_capped_docs(spark, sf_dir))
 
@@ -598,6 +606,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce_top10": _q_ann_brute,
         "ann_lsh_top10": _q_ann_lsh,
         "ann_ivf_top10": _q_ann_ivf,
+        "ann_knn_join": _q_knn_join,
+        "text_distinct_sketch": _q_distinct_sketch,
         "text_lang_id": _q_lang_id,
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
@@ -649,6 +659,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_top10": oracle.ann_bruteforce_sql(0, 10),
         "ann_lsh_top10": oracle.ann_lsh_sql(_lsh_plane_weights(), 0, 10),
         "ann_ivf_top10": oracle.ann_ivf_sql(0, 10, 16, 4),
+        "ann_knn_join": oracle.knn_join_sql(
+            _lsh_plane_weights(D.NEARDUP_BANDS * D.NEARDUP_PLANES),
+            D.NEARDUP_BANDS,
+            D.NEARDUP_PLANES,
+            5,
+        ),
+        "text_distinct_sketch": oracle.distinct_sketch_sql(1024),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
         "text_quality_score": oracle.quality_sql(),
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,

@@ -119,6 +119,59 @@ def ann_lsh_topk(
     return _ranked_topk(scored, k)
 
 
+def knn_join(
+    emb: DataFrame,
+    k: int = 5,
+    n_dims: int = 64,
+    n_bands: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN self-join: (id, neighbor_id, cosine, rank) — the
+    per-vector top-k neighbors among multi-band sign-LSH bucket candidates.
+    THE workhorse of embedding-based dedup/clustering over a whole corpus:
+    instead of one query at a time, every vector gets its neighbor list in
+    one pass.
+
+    Plan shape: banding explode (n_bands rows/vector) -> bucket equi-join
+    (the only pair-generating shuffle) -> exact cosine on candidates ->
+    per-id top-k via a window PARTITIONED by id (bounded per key by its
+    bucket population — never a global sort). Candidates are generated in
+    both directions so every vector gets neighbors. Recall follows the LSH
+    parameters, like embedding_neardup (dedup.py) — same banding, same
+    oracle arithmetic."""
+    from .dedup import _vec_pairs_cosine, embedding_neardup
+
+    v = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    # candidate pairs once (id_a < id_b), scored exactly, then mirrored
+    pairs = embedding_neardup(
+        emb, threshold=-1.0, id_col=id_col, vec_col=vec_col,
+        n_dims=n_dims, n_bands=n_bands, n_planes=n_planes,
+    )
+    both = pairs.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("nb"), "cosine"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("nb"))
+    return (
+        both.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "id",
+            F.col("nb").alias("neighbor_id"),
+            F.round("cosine", 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     query_id: int,

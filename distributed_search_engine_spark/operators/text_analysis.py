@@ -148,3 +148,41 @@ def fingerprint(
     return all_docs.join(rolled, "doc_id", "left").select(
         "doc_id", F.coalesce("fingerprint", F.lit(0)).alias("fingerprint")
     )
+
+
+def distinct_token_sketch(
+    docs: DataFrame,
+    m: int = 1024,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """One-row (n_buckets, occupied, estimate): vocabulary-size estimation
+    by linear counting (Whang et al., TODS 1990) — hash every worthy token
+    into one of m buckets via md5 (engine-portable), count occupied buckets
+    V, estimate = m * ln(m / (m - V)).
+
+    Why not HLL: Spark's approx_count_distinct has engine-private
+    internals, so no SQL oracle could reproduce it; linear counting with a
+    portable hash is bit-deterministic in BOTH engines while exercising the
+    same sketch-shaped plan (hash -> tiny fixed-size state).
+
+    Scale shape: the distinct runs over at most m values after map-side
+    partial dedup — state is O(m) per partition regardless of corpus size,
+    the defining property of a sketch."""
+    t = _tok_df(docs, doc_id_col, content_col).where(T.is_worth_col(F.col("tok")))
+    buckets = t.select(
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(m)
+        ).alias("bucket")
+    ).distinct()
+    return buckets.agg(F.count(F.lit(1)).cast("long").alias("occupied")).select(
+        F.lit(m).cast("long").alias("n_buckets"),
+        "occupied",
+        F.round(
+            F.when(
+                F.col("occupied") < m,
+                F.lit(float(m)) * F.log(F.lit(float(m)) / (m - F.col("occupied"))),
+            ).otherwise(F.lit(float("inf"))),
+            6,
+        ).alias("estimate"),
+    )

@@ -520,6 +520,60 @@ SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank 
 """
 
 
+def knn_join_sql(
+    plane_weights: list[list[float]], n_bands: int, n_planes: int, k: int = 5
+) -> str:
+    """k-NN self-join twin of similarity.knn_join: same multi-band sign-LSH
+    candidates as embedding_neardup_lsh_sql, mirrored to both directions,
+    per-id rank window."""
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT id, {b} AS band_id, "
+        f"{_bucket_sql(plane_weights[b * n_planes:(b + 1) * n_planes])} AS bucket FROM v"
+        for b in range(n_bands)
+    )
+    dot = _fold_sum("list_transform(generate_series(1, len(av)), i -> av[i] * bv[i])")
+    na = f"sqrt({_fold_sum('list_transform(av, x -> x * x)')})"
+    nb = f"sqrt({_fold_sum('list_transform(bv, x -> x * x)')})"
+    return _VEC_CTE + f""",
+banded AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.id < b.id
+),
+pe AS (
+  SELECT c.id_a, c.id_b, va.v AS av, vb.v AS bv
+  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+),
+scored AS (SELECT id_a, id_b, {dot} / ({na} * {nb}) AS cosine FROM pe),
+both_dirs AS (
+  SELECT id_a AS id, id_b AS nb, cosine FROM scored
+  UNION ALL
+  SELECT id_b AS id, id_a AS nb, cosine FROM scored
+),
+ranked AS (
+  SELECT id, nb, cosine,
+         row_number() OVER (PARTITION BY id ORDER BY cosine DESC, nb ASC) AS rank
+  FROM both_dirs
+)
+SELECT id, nb AS neighbor_id, round(cosine, 6) AS cosine, rank::int AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def distinct_sketch_sql(m: int = 1024) -> str:
+    """Linear-counting twin of text_analysis.distinct_token_sketch."""
+    return base_ctes() + f""",
+b AS (
+  SELECT DISTINCT ('0x' || substr(md5(term), 1, 8))::bigint % {m} AS bucket
+  FROM worthy
+)
+SELECT {m}::bigint AS n_buckets, count(*)::bigint AS occupied,
+       round({m}.0 * ln({m}.0 / ({m} - count(*))), 6) AS estimate
+FROM b
+"""
+
+
 def ann_ivf_sql(
     query_id: int = 0, k: int = 10, n_centroids: int = 16, n_probe: int = 4
 ) -> str:
