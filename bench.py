@@ -123,7 +123,6 @@ def main() -> None:
     # corpus (executor-side generation, fixed seed) so round-over-round
     # comparisons include a workload where fixed costs don't dominate.
     # Skip with SPARK_GRAFT_BENCH_BIG=0.
-    big_docs_per_sec = None
     if os.environ.get("SPARK_GRAFT_BENCH_BIG", "1") != "0":
         from distributed_search_engine_spark.corpus import (
             ingest,
@@ -143,6 +142,13 @@ def main() -> None:
         timings["index_build_60k"] = time.time() - t0
         big_docs_per_sec = n_big / timings["index_build_60k"]
         big.unpersist()
+        extra_big = {
+            "n_docs_60k": n_big,
+            "n_postings_60k": n_big_postings,
+            "index_docs_per_sec_60k": round(big_docs_per_sec, 1),
+        }
+    else:
+        extra_big = {}
 
     total = sum(timings.values())
     print(
@@ -157,11 +163,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "n_postings": n_postings,
                 "index_docs_per_sec": round(docs_per_sec, 1),
-                **(
-                    {"index_docs_per_sec_60k": round(big_docs_per_sec, 1)}
-                    if big_docs_per_sec is not None
-                    else {}
-                ),
+                **extra_big,
             }
         )
     )

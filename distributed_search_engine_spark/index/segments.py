@@ -40,8 +40,14 @@ SEGMENT_SCHEMA = (
     "n_docs int, "
     "blocks array<struct<last_docnum: long, max_score: double, "
     "docs: binary, tfs: binary, dls: binary>>, "
-    "norm_tfs binary, positions binary"
+    "positions binary"
 )
+
+# normalized_tf is NOT persisted: for uniform-weight corpora (weight 1.0 —
+# everything the segment layer serves today) it is a pure function of the
+# stored tf and the doc's max_tf, so the decode path recomputes it with the
+# exact finalize_postings expression after the docnum join (bit-identical,
+# zero segment bytes). A weighted corpus would persist weighted_tf here.
 
 MANIFEST_COLS = [
     "partition_id", "status", "input_rows", "output_rows", "bytes", "wall_ms",
@@ -73,7 +79,6 @@ def _pa_segment_fields():
                 )
             ),
         ),
-        ("norm_tfs", pa.binary()),
         ("positions", pa.binary()),
     ]
 
@@ -133,7 +138,6 @@ def _encode_partition(batch_iter, avgdl: float):
     docnums = tbl.column("docnum").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
     tfs_all = tbl.column("tf").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
     dls_all = tbl.column("doc_len").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
-    ntfs_all = tbl.column("normalized_tf").chunk(0).to_numpy(zero_copy_only=False)
     dfs_all = tbl.column("df").chunk(0).to_numpy(zero_copy_only=False)
     idf_all = tbl.column("idf").chunk(0).to_numpy(zero_copy_only=False)
     idfb_all = tbl.column("idf_bm25").chunk(0).to_numpy(zero_copy_only=False)
@@ -160,7 +164,7 @@ def _encode_partition(batch_iter, avgdl: float):
 
     out = {k: [] for k in (
         "part", "term", "df", "idf", "idf_bm25", "is_stop", "n_docs",
-        "blocks", "norm_tfs", "positions",
+        "blocks", "positions",
     )}
     term_str = terms.take(pa.array(gstart)).to_pylist()
     for gi, (s, e) in enumerate(zip(gstart.tolist(), gend.tolist())):
@@ -189,10 +193,6 @@ def _encode_partition(batch_iter, avgdl: float):
         out["is_stop"].append(bool(stop_all[s]))
         out["n_docs"].append(n)
         out["blocks"].append(blocks)
-        # raw little-endian float64: reference-mode scoring decoded from
-        # segments must be bit-identical to the logical postings (a 1e-6
-        # quantization here would shift 6dp-rounded tfidf products)
-        out["norm_tfs"].append(ntfs_all[s:e].astype("<f8").tobytes())
         out["positions"].append(encode_positions_flat(pflat, plens))
     yield pa.RecordBatch.from_arrays(
         [pa.array(out[name], type=typ) for name, typ in _PA_SEGMENT_FIELDS],
@@ -245,12 +245,19 @@ def build_segments(
     if not todo:
         return
 
+    # slim projection BEFORE the encoder shuffle: the logical postings
+    # carry weights/normalized_tf/weighted_tf columns the encoder never
+    # reads — dropping them here cuts encoder-shuffle bytes substantially
+    # (weights alone is an array as long as positions)
     enriched = (
-        postings.join(
-            doc_stats_with_docnum.select("doc_id", "docnum"), "doc_id"
-        )
+        postings.select("term", "doc_id", "tf", "doc_len", "positions")
+        .join(doc_stats_with_docnum.select("doc_id", "docnum"), "doc_id")
         .join(term_stats.select("term", "df", "idf", "idf_bm25", "is_stop"), "term")
         .withColumn("part", F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int"))
+        .select(
+            "part", "term", "docnum", "tf", "doc_len", "positions",
+            "df", "idf", "idf_bm25", "is_stop",
+        )
     ).persist()
 
     batches_done = 0
@@ -321,7 +328,7 @@ def read_segments_for_terms(
 # ---------------------------------------------------------------------------
 
 DECODED_POSTINGS_SCHEMA = (
-    "term string, docnum long, tf int, doc_len int, normalized_tf double, "
+    "term string, docnum long, tf int, doc_len int, "
     "positions array<int>, idf double, idf_bm25 double, is_stop boolean"
 )
 
@@ -339,7 +346,7 @@ def _decode_rows(batch_iter):
         out = {
             k: []
             for k in (
-                "term", "docnum", "tf", "doc_len", "normalized_tf",
+                "term", "docnum", "tf", "doc_len",
                 "positions", "idf", "idf_bm25", "is_stop",
             )
         }
@@ -353,13 +360,11 @@ def _decode_rows(batch_iter):
             dnum = np.concatenate(docs) if docs else np.empty(0, np.uint64)
             tf = np.concatenate(tfs) if tfs else np.empty(0, np.uint64)
             dl = np.concatenate(dls) if dls else np.empty(0, np.uint64)
-            ntf = np.frombuffer(bytes(r["norm_tfs"]), dtype="<f8")
             plists = decode_positions(bytes(r["positions"]), n)
             out["term"] += [r["term"]] * n
             out["docnum"] += dnum.astype(np.int64).tolist()
             out["tf"] += tf.astype(np.int32).tolist()
             out["doc_len"] += dl.astype(np.int32).tolist()
-            out["normalized_tf"] += ntf.tolist()
             out["positions"] += [p.astype(np.int32).tolist() for p in plists]
             out["idf"] += [r["idf"]] * n
             out["idf_bm25"] += [r["idf_bm25"]] * n
@@ -370,7 +375,6 @@ def _decode_rows(batch_iter):
                 pa.array(out["docnum"], type=pa.int64()),
                 pa.array(out["tf"], type=pa.int32()),
                 pa.array(out["doc_len"], type=pa.int32()),
-                pa.array(out["normalized_tf"], type=pa.float64()),
                 pa.array(out["positions"], type=pa.list_(pa.int32())),
                 pa.array(out["idf"], type=pa.float64()),
                 pa.array(out["idf_bm25"], type=pa.float64()),
@@ -383,7 +387,7 @@ def _decode_rows(batch_iter):
 def decode_segments(seg_df: DataFrame) -> DataFrame:
     """Explode compressed segment rows back into logical posting rows."""
     cols = seg_df.select(
-        "term", "n_docs", "blocks", "norm_tfs", "positions",
+        "term", "n_docs", "blocks", "positions",
         "idf", "idf_bm25", "is_stop",
     )
     return cols.mapInArrow(_decode_rows, schema=DECODED_POSTINGS_SCHEMA)
@@ -401,9 +405,18 @@ def read_postings_for_terms(
     decode -> one join on docnum against the docnum map; the decoded side
     is candidate-sized, the map side broadcasts when it fits)."""
     seg = read_segments_for_terms(spark, out_dir, terms, n_partitions)
-    return decode_segments(seg).join(
-        docnum_to_doc.select("doc_id", "docnum"), "docnum"
+    dec = decode_segments(seg).join(
+        docnum_to_doc.select("doc_id", "docnum", "max_tf"), "docnum"
     ).drop("docnum")
+    # EXACT finalize_postings expression (uniform-weight corpora:
+    # weighted_tf == tf) — bit-identical normalized_tf without storing it
+    wtf = F.col("tf").cast("double")
+    return dec.withColumn(
+        "normalized_tf",
+        F.when(
+            (wtf > 0) & (F.col("max_tf") > 0), 0.4 + 0.6 * wtf / F.col("max_tf")
+        ).otherwise(0.0),
+    ).drop("max_tf")
 
 
 def segment_search_index(

@@ -101,10 +101,10 @@ def test_resume_after_injected_failure(spark, built, tmp_path):
     assert sorted(read_manifest(out2)) == list(range(N_PARTS))
     # identical logical content vs the one-shot build
     a = spark.read.parquet(out + "/data").select(
-        "term", "n_docs", F.col("norm_tfs").alias("n1")
+        "term", "n_docs", F.col("positions").alias("n1")
     )
     b = spark.read.parquet(out2 + "/data").select(
-        "term", F.col("n_docs").alias("nd2"), F.col("norm_tfs").alias("n2")
+        "term", F.col("n_docs").alias("nd2"), F.col("positions").alias("n2")
     )
     j = a.join(b, "term", "full")
     assert j.where(
