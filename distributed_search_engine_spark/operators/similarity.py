@@ -141,7 +141,7 @@ def knn_join(
     both directions so every vector gets neighbors. Recall follows the LSH
     parameters, like embedding_neardup (dedup.py) — same banding, same
     oracle arithmetic."""
-    from .dedup import _vec_pairs_cosine, embedding_neardup
+    from .dedup import embedding_neardup
 
     v = emb.select(
         F.col(id_col).cast("long").alias("id"),
