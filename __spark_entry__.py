@@ -314,11 +314,14 @@ def _q_weighted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_weighted_index,
     )
 
-    docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
-        F.col("doc_id").cast("string").alias("doc_id"), _html_col().alias("html")
-    )
-    idx = build_weighted_index(docs, doc_id_col="doc_id", content_col="html")
-    p = idx["postings"]
+    key = (sf_dir, "weighted")
+    if key not in _INDEX_CACHE:
+        docs = _docs(spark, sf_dir).where(F.col("text").isNotNull()).select(
+            F.col("doc_id").cast("string").alias("doc_id"), _html_col().alias("html")
+        )
+        idx = build_weighted_index(docs, doc_id_col="doc_id", content_col="html")
+        _INDEX_CACHE[key] = idx["postings"].persist()
+    p = _INDEX_CACHE[key]
     return p.select(
         "term",
         "doc_id",
