@@ -550,6 +550,44 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _q_source_roundtrip(fmt: str):
+    # source/sink layer: write events as <fmt>, read back with an explicit
+    # schema, aggregate — must hash-match the direct-parquet oracle
+    # (proves lossless round-trip incl. micro-precision timestamps and
+    # shortest-round-trip doubles)
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from distributed_search_engine_spark import sources as SRC
+
+        e = _t(spark, sf_dir, "events")
+        path = tempfile.mkdtemp(prefix=f"dse_src_{fmt}_") + "/t"
+        rt = SRC.roundtrip(spark, e, path, fmt, EVENTS_SCHEMA)
+        return rt.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+            F.round(
+                F.max(F.col("ts").cast("timestamp").cast("double")), 6
+            ).alias("max_epoch"),
+        )
+
+    return q
+
+
+_SOURCE_ROUNDTRIP_ORACLE = (
+    "SELECT event_type, count(*)::bigint AS n, "
+    "round(sum(value), 6) AS total_value, "
+    "round(epoch(max(ts)), 6) AS max_epoch "
+    "FROM events GROUP BY 1"
+)
+
+
 def _q_autocomplete(spark, sf_dir):
     # Q14 over the unstemmed dictionary (prefix 's')
     from distributed_search_engine_spark.query.suggest import autocomplete
@@ -627,6 +665,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flame_groupby_concat": _q_flame_groupby_concat,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
+        "source_csv_roundtrip": _q_source_roundtrip("csv"),
+        "source_json_roundtrip": _q_source_roundtrip("json"),
+        "source_orc_roundtrip": _q_source_roundtrip("orc"),
     }
 
 
@@ -714,6 +755,9 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::bigint AS n, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
+        "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
+        "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "events_sessionize": (
             "WITH g AS (SELECT user_id, event_id, "
             "epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap "

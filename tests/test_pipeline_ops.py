@@ -298,3 +298,26 @@ def test_ann_ivf_assignment_has_no_shuffle(spark):
         S.ann_ivf_topk(emb, 0, k=3, n_centroids=4, n_probe=2)
     )
     assert "CartesianProduct" not in plan
+
+
+def test_source_roundtrips_preserve_rows(spark, tmp_path):
+    """csv/json/orc write->read with explicit schema must reproduce every
+    row exactly, including micro-precision timestamps and doubles."""
+    import datetime
+
+    from distributed_search_engine_spark import sources as SRC
+
+    rows = [
+        (1, datetime.datetime(2026, 1, 1, 0, 0, 0, 123456), "a,b\"c", 0.1 + 0.2),
+        (2, datetime.datetime(2026, 1, 1, 23, 59, 59, 999999), None, -1e-9),
+    ]
+    schema = "id long, ts timestamp_ntz, s string, v double"
+    df = spark.createDataFrame(rows, schema)
+    want = sorted([tuple(r) for r in df.collect()])
+    for fmt in ("csv", "json", "orc"):
+        back = SRC.roundtrip(spark, df, str(tmp_path / fmt), fmt, schema)
+        assert sorted([tuple(r) for r in back.collect()]) == want, fmt
+    with __import__("pytest").raises(ValueError):
+        SRC.read_table(spark, "x", "csv")  # schema required
+    with __import__("pytest").raises(RuntimeError):
+        SRC.read_table(spark, "cat.db.t", "iceberg")  # documented seam
