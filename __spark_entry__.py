@@ -201,6 +201,21 @@ def _segment_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
+BATCH_QUERIES = [["data", "stream"], ["spark", "join"], ["hash", "merge"], ["window"]]
+
+
+def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # batch multi-query BM25: the whole query set in ONE job (postings
+    # joined once against all queries' expansions); stem-fixpoint terms so
+    # the unstemmed oracle mirrors the expansion exactly
+    from distributed_search_engine_spark.query.engine import search_bm25_batch
+
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    return search_bm25_batch(
+        spark, sidx, [" ".join(t) for t in BATCH_QUERIES], k=10
+    )
+
+
 def _q_tfidf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME reference-mode query as search_tfidf_single, but every
     # posting lookup is a partition-pruned compressed-segment read
@@ -630,6 +645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf_single": _q_tfidf_single,
         "search_and_phrase": _q_and_phrase,
         "search_bm25": _q_bm25,
+        "search_bm25_batch": _q_bm25_batch,
         "search_tfidf_segments": _q_tfidf_segments,
         "search_phrase_segments": _q_phrase_segments,
         "pagerank_3iter": _q_pagerank,
@@ -680,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_single": oracle.tfidf_single_sql("data"),
         "search_and_phrase": oracle.and_phrase_sql("data", "stream"),
         "search_bm25": oracle.bm25_sql(["spark", "join"]),
+        "search_bm25_batch": oracle.bm25_batch_sql(BATCH_QUERIES, 10),
         "search_tfidf_segments": oracle.tfidf_single_sql("data"),
         "search_phrase_segments": oracle.and_phrase_sql("data", "stream"),
         "pagerank_3iter": oracle.pagerank_sql(3),

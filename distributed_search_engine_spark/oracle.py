@@ -132,6 +132,37 @@ GROUP BY p.doc_id
 """
 
 
+def bm25_batch_sql(queries: list[list[str]], k: int = 10) -> str:
+    """Batch BM25 twin of engine.search_bm25_batch for stem-fixpoint query
+    terms: per-query contrib UNION ALL, per-(query, doc) sum, per-query
+    rank over the 6dp-ROUNDED score (order-deterministic across engines)."""
+    branches = []
+    for terms in queries:
+        label = " ".join(terms).replace("'", "''")
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        branches.append(f"""
+  SELECT '{label}' AS query, p.doc_id,
+         ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0)
+         / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.doc_len
+            / (SELECT avgdl FROM nstats))) AS contrib
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})""")
+    union = "\n  UNION ALL\n".join(branches)
+    return base_ctes() + f""",
+hits AS ({union}),
+agg AS (
+  SELECT query, doc_id, round(sum(contrib), 6) AS score
+  FROM hits GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+SELECT query, doc_id, score, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
 def pagerank_sql(iterations: int = 3) -> str:
     """Unrolled PageRank over the deterministic synthetic link graph
     (operators/pagerank.py synthetic_links): each doc -> (id+1)%N and

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.stemmer import porter_stem
@@ -370,6 +370,84 @@ def search(
         agg.select("doc_id", "score", "tfidf", "pagerank", "title")
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
+    )
+
+
+def search_bm25_batch(
+    spark: SparkSession,
+    index: SearchIndex,
+    queries: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """(query, doc_id, score, rank): BM25 top-k for a whole query SET in
+    ONE Spark job — the batch-throughput form the reference cannot express
+    (its frontend scores one query per HTTP request, SearchEngine.java:66).
+
+    Plan shape: every query's expansion rows carry a query column; the
+    postings table is joined ONCE against the broadcast union of all
+    expansions; per-(query, doc, orig) dedup and per-(query, doc) summation
+    are ordinary partial-aggregated groupBys; top-k is a window PARTITIONED
+    by query (bounded per query — never global). Ranking uses the
+    6dp-ROUNDED score (ties -> doc_id asc): sums of doubles are
+    order-sensitive in the last ulp, so an unrounded sort could rank
+    near-ties differently run to run.
+
+    Queries that tokenize to nothing or to a lone stop word contribute no
+    rows (Q2 short-circuit)."""
+    rows: list[tuple[str, str, str, int]] = []
+    all_stems: set[str] = set()
+    parsed: list[tuple[str, list[str]]] = []
+    for q in queries:
+        terms = tokenize_query(q)
+        if not terms or (len(terms) == 1 and terms[0] in STOP_WORDS):
+            continue
+        parsed.append((q, terms))
+        all_stems |= {
+            porter_stem(t) for t in terms
+            if t not in STOP_WORDS and porter_stem(t) != t
+        }
+    if not parsed:
+        return spark.createDataFrame(
+            [], "query string, doc_id string, score double, rank int"
+        )
+    related = _related_words(index, all_stems)
+    for q, terms in parsed:
+        for term, orig, priority in expand_terms(terms, related):
+            rows.append((q, term, orig, priority))
+    exp_df = spark.createDataFrame(
+        rows, "query string, term string, orig string, priority int"
+    )
+    base = index.lookup_postings(sorted({r[1] for r in rows}))
+    cand = base.join(F.broadcast(exp_df), "term")
+    if "idf_bm25" not in base.columns:
+        cand = cand.join(
+            F.broadcast(index.term_stats.select("term", "idf_bm25")), "term"
+        )
+    avgdl = index.avgdl or 1.0
+    tf = F.col("best.tf")
+    dl = F.col("best.doc_len")
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(avgdl))
+    per_doc_orig = cand.groupBy("query", "doc_id", "orig").agg(
+        F.min(
+            F.struct(
+                F.col("priority"), F.col("term"),
+                F.col("tf"), F.col("doc_len"), F.col("idf_bm25"),
+            )
+        ).alias("best")
+    )
+    scored = per_doc_orig.select(
+        "query",
+        "doc_id",
+        (F.col("best.idf_bm25") * tf * (BM25_K1 + 1.0) / denom).alias("contrib"),
+    )
+    agg = scored.groupBy("query", "doc_id").agg(
+        F.round(F.sum("contrib"), 6).alias("score")
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query", "doc_id", "score", "rank")
     )
 
 

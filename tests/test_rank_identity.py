@@ -78,3 +78,35 @@ def test_match_rate_is_100_percent(spark, setup):
         if got == want:
             matches += 1
     assert matches == len(ranking_queries)  # 100% match rate
+
+
+def test_batch_bm25_matches_per_query(spark):
+    """One-job batch scoring must equal the per-query BM25 engine for every
+    query in the set (6dp-rounded scores; identical rank order)."""
+    from distributed_search_engine_spark.corpus import ingest, make_corpus
+    from distributed_search_engine_spark.operators.postings import build_index
+    from distributed_search_engine_spark.query.engine import (
+        SearchIndex,
+        search,
+        search_bm25_batch,
+    )
+
+    idx = build_index(ingest(make_corpus(spark, n_docs=80, seed=13)))
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    queries = ["spark compute", "partition", "the", "computing engine"]
+    batch = search_bm25_batch(spark, sidx, queries, k=7).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query"], []).append((r["doc_id"], r["score"], r["rank"]))
+    assert "the" not in by_q  # lone stop word short-circuits
+    for q in ["spark compute", "partition", "computing engine"]:
+        want = [
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(spark, sidx, q, k=7, mode="bm25").collect()
+        ]
+        got = [(d, s) for d, s, _ in sorted(by_q[q], key=lambda t: t[2])]
+        assert got == want, q
