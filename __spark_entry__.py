@@ -565,6 +565,91 @@ def _q_events_sessionize(spark, sf_dir):
     )
 
 
+def _q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # as-of join (an operator Spark lacks natively): each 'purchase' event
+    # picks up the most recent prior-or-equal 'view' event's (ts, value)
+    # per user. Composition of existing ops: ONE pass — a last(ignorenulls)
+    # running window over the per-user event stream, then filter; no
+    # self-join, no range explosion. DuckDB twin uses the same window.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    view_struct = F.when(
+        F.col("event_type") == "view", F.struct(F.col("ts"), F.col("value"))
+    )
+    out = (
+        e.withColumn("last_view", F.last(view_struct, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.col("ts").cast("timestamp").cast("double"), 6).alias("ts_epoch"),
+            F.round(
+                F.col("last_view.ts").cast("timestamp").cast("double"), 6
+            ).alias("view_ts_epoch"),
+            F.round("last_view.value", 6).alias("view_value"),
+        )
+    )
+    return out
+
+
+_EVENTS_ASOF_ORACLE = """
+WITH t AS (
+  SELECT event_id, user_id, event_type, epoch(ts) AS ep,
+         last_value(CASE WHEN event_type = 'view' THEN epoch(ts) END IGNORE NULLS)
+           OVER w AS view_ep,
+         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+           OVER w AS view_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, round(ep, 6) AS ts_epoch,
+       round(view_ep, 6) AS view_ts_epoch,
+       round(view_value, 6) AS view_value
+FROM t WHERE event_type = 'purchase'
+"""
+
+
+def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable-style rollup: the DAY aggregate is computed FROM the HOUR
+    # materialization (count/sum re-aggregate losslessly; avg derived at
+    # the end) — the continuous-aggregate reuse pattern, NOT a rescan of
+    # the raw events. Oracle aggregates the raw table directly: equality
+    # proves the rollup is exact.
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("value").alias("sv"),
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", F.col("hour")).alias("day"), "event_type"
+    ).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.round(F.sum("sv"), 6).alias("total_value"),
+    )
+    return daily.select(
+        F.round(F.col("day").cast("timestamp").cast("double"), 6).alias("day_epoch"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+_EVENTS_ROLLUP_ORACLE = """
+SELECT round(epoch(date_trunc('day', ts)), 6) AS day_epoch, event_type,
+       count(*)::bigint AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 EVENTS_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
@@ -681,6 +766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flame_groupby_concat": _q_flame_groupby_concat,
         "events_windowed_agg": _q_events_windowed,
         "events_sessionize": _q_events_sessionize,
+        "events_asof_join": _q_events_asof,
+        "events_rollup_day": _q_events_rollup,
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
@@ -772,6 +859,8 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::bigint AS n, round(sum(value), 6) AS total_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "events_asof_join": _EVENTS_ASOF_ORACLE,
+        "events_rollup_day": _EVENTS_ROLLUP_ORACLE,
         "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
