@@ -117,6 +117,13 @@ def main() -> None:
         search(spark, sidx, q, k=20, mode="bm25").collect()
     timings["query_bm25_df_x5"] = time.time() - t0
 
+    # q6b: the same 10 queries as ONE batch job (multi-query throughput)
+    from distributed_search_engine_spark.query.engine import search_bm25_batch
+
+    t0 = time.time()
+    search_bm25_batch(spark, sidx, QUERY_SET, k=20).collect()
+    timings["query_bm25_batch_x10"] = time.time() - t0
+
     shutil.rmtree(seg_dir, ignore_errors=True)
 
     # q7: shuffle-dominated scale point — a deterministic 60k-doc synthetic
