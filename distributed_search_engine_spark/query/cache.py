@@ -73,6 +73,8 @@ class CachedSearchEngine:
             ).collect()
             self._put(key, rows)
         cached = self._cache[key]
+        if page < 1:
+            return []  # pages are 1-based; negatives would slice from the end
         start = (page - 1) * page_size
         if start >= len(cached):
             return []  # page beyond available results (:87-89)

@@ -66,6 +66,11 @@ class SearchIndex:
     def lookup_postings(self, terms: list[str]) -> DataFrame:
         if self.postings_for_terms is not None:
             return self.postings_for_terms(terms)
+        if self.postings is None:
+            raise ValueError(
+                "SearchIndex needs either a postings DataFrame or a "
+                "postings_for_terms provider"
+            )
         return self.postings.where(F.col("term").isin(terms))
 
     @property

@@ -59,6 +59,10 @@ def main() -> int:
     qs, osql = E.queries(), E.oracle_sql()
     only = set(sys.argv[2:])
     if only:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"unknown query name(s): {sorted(unknown)}")
+            return 2  # a typo must not print ALL OK over zero queries
         qs = {k: v for k, v in qs.items() if k in only}
     failures = 0
     for name, fn in qs.items():
