@@ -151,6 +151,21 @@ identity vs the reference formula chain is gated by pytest goldens
 (tests/test_query_golden.py) and the driver's DuckDB oracle
 (CORRECTNESS_r*.json).
 
+
+## Deploy path: spark-submit --py-files (north rule)
+
+Verified end-to-end on a 2-executor local-cluster — the engine imported
+ONLY from the shipped zip (`pkg_from_pyfiles_zip: true` is asserted from
+the module's __file__):
+
+```
+python tools/make_pyfiles_zip.py /tmp/engine.zip
+/opt/spark/bin/spark-submit --master 'local-cluster[2,2,2048]' \
+    --py-files /tmp/engine.zip tools/submit_smoke.py
+# {{"ok": true, "pkg_from_pyfiles_zip": true, "n_docs": 2000,
+#  "n_postings": 266970, "top1": "bc0363...", "executors": "local-cluster[2,2,2048]"}}
+```
+
 Reproduce: `python tools/scaling_bench.py {n_docs} {n_base}`.
 """)
     print(json.dumps(result))
