@@ -62,6 +62,21 @@ class SearchIndex:
     ranks: DataFrame | None = None  # (doc_id, rank)
     postings_for_terms: object | None = None  # Callable[[list[str]], DataFrame]
     _avgdl: float | None = field(default=None, repr=False)
+    # opt-in driver-side stem -> [terms] map: saves one Spark job per query
+    # on the related-words lookup. Only cache when the vocabulary fits the
+    # driver (the reference holds its whole term dictionary in frontend
+    # memory, SearchEngine.java:893-923 — same tradeoff); leave None at
+    # web scale and the lookup stays a pruned distributed scan.
+    _stem_map: dict | None = field(default=None, repr=False)
+
+    def cache_term_dict(self) -> "SearchIndex":
+        """Collect the (stem -> terms) map once for repeated-query
+        workloads (bench / interactive frontends)."""
+        out: dict[str, list[str]] = {}
+        for r in self.term_dict.select("stem", "term").collect():
+            out.setdefault(r["stem"], []).append(r["term"])
+        self._stem_map = out
+        return self
 
     def lookup_postings(self, terms: list[str]) -> DataFrame:
         if self.postings_for_terms is not None:
@@ -146,6 +161,8 @@ def _related_words(index: SearchIndex, stems: set[str]) -> dict[str, list[str]]:
     stem, tiny)."""
     if not stems:
         return {}
+    if index._stem_map is not None:
+        return {s: index._stem_map.get(s, []) for s in stems}
     rows = (
         index.term_dict.where(F.col("stem").isin(list(stems)))
         .select("stem", "term")

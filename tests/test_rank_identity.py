@@ -110,3 +110,23 @@ def test_batch_bm25_matches_per_query(spark):
         ]
         got = [(d, s) for d, s, _ in sorted(by_q[q], key=lambda t: t[2])]
         assert got == want, q
+
+
+def test_cached_term_dict_matches_distributed_lookup(spark):
+    """cache_term_dict must not change any result — same related-words
+    expansion, same scores (reference mode exercises the expansion)."""
+    from distributed_search_engine_spark.corpus import ingest, make_corpus
+    from distributed_search_engine_spark.operators.postings import build_index
+    from distributed_search_engine_spark.query.engine import SearchIndex, search
+
+    idx = build_index(ingest(make_corpus(spark, n_docs=50, seed=21)))
+    def mk():
+        return SearchIndex(
+            postings=idx["postings"], term_stats=idx["term_stats"],
+            doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+            total_docs=idx["total_docs"],
+        )
+    for q in ["computing engine", "spark searches"]:
+        a = [tuple(r) for r in search(spark, mk(), q, k=20, mode="reference").collect()]
+        b = [tuple(r) for r in search(spark, mk().cache_term_dict(), q, k=20, mode="reference").collect()]
+        assert a == b, q
