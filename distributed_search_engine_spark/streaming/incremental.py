@@ -150,3 +150,49 @@ def token_trends(
             "n",
         )
     )
+
+
+def compact_to_segments(
+    spark: SparkSession,
+    state_dir: str,
+    out_dir: str,
+    n_partitions: int = 32,
+):
+    """Compact the CURRENT incremental-index version into compressed query
+    segments (index/segments layout) — the bridge from the streaming write
+    path to the partition-pruned read path. Returns a segment-backed
+    SearchIndex over the compacted segments.
+
+    Idempotent per version: out_dir/v<k> is built once (manifest-resumable
+    inside, like any segment build); re-running after new micro-batches
+    compacts the new CURRENT version into its own directory, so readers
+    keep an immutable segment set per version."""
+    import os as _os
+
+    from ..index.segments import (
+        assign_docnums,
+        build_segments,
+        segment_search_index,
+    )
+    from ..operators.postings import build_term_dict
+
+    cur = read_current_index(spark, state_dir)
+    if cur is None:
+        raise ValueError(f"no CURRENT index version under {state_dir}")
+    seg_dir = _os.path.join(out_dir, f"v{cur['version']}")
+    ds = assign_docnums(cur["doc_stats"], n_partitions=max(4, n_partitions // 4))
+    ds = ds.persist()
+    avgdl_row = ds.agg(F.avg("doc_len")).collect()[0]
+    avgdl = float(avgdl_row[0] or 1.0)
+    stop_lit = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    ts = cur["term_stats"]
+    if "is_stop" not in ts.columns:
+        ts = ts.withColumn("is_stop", F.array_contains(stop_lit, F.col("term")))
+    build_segments(
+        cur["postings"], ts, ds, seg_dir, avgdl,
+        n_partitions=n_partitions, batch_partitions=n_partitions,
+    )
+    term_dict = build_term_dict(cur["postings"].select("term"))
+    return segment_search_index(
+        spark, seg_dir, ds, ts, term_dict, cur["total_docs"], n_partitions
+    )

@@ -141,3 +141,31 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     }
     closed2 = got2[(1, 1, t0 + datetime.timedelta(seconds=2000))]
     assert closed2["total_value"] == 4.0
+
+
+def test_compact_streamed_index_to_segments(spark, tmp_path):
+    """Streaming micro-batches -> incremental versions -> compacted
+    segments: a segment-backed search over the compacted index must see
+    documents from BOTH batches with correct merged stats."""
+    from distributed_search_engine_spark.query.engine import search
+    from distributed_search_engine_spark.streaming.incremental import (
+        compact_to_segments,
+        incremental_index,
+    )
+
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    ckpt, segs = str(tmp_path / "ck"), str(tmp_path / "segs")
+    spark.createDataFrame(BATCH1, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt).awaitTermination(120)
+    spark.createDataFrame(BATCH2, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt).awaitTermination(120)
+
+    sidx = compact_to_segments(spark, state, segs, n_partitions=4)
+    res = search(spark, sidx, "alpha", k=10, mode="bm25").collect()
+    assert {r["doc_id"] for r in res} == {"d1", "d3"}  # both batches served
+    res2 = search(spark, sidx, "delta", k=10, mode="bm25").collect()
+    assert [r["doc_id"] for r in res2] == ["d3"]
