@@ -452,6 +452,25 @@ def _q_fingerprint(spark, sf_dir):
     return TA.fingerprint(_capped_docs(spark, sf_dir))
 
 
+def _q_corpus_clean(spark, sf_dir):
+    # the composed training-data cleaning recipe, one plan: exact-dedup
+    # keeper ∘ quality floor ∘ language allowlist — what a 100 TB corpus
+    # actually runs before tokenizer training. Each stage is its own gated
+    # operator; this query proves they compose.
+    docs = _capped_docs(spark, sf_dir)
+    keep = D.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    q = TA.quality_score(docs).select("doc_id", "quality")
+    lang = TA.lang_id(docs).select("doc_id", "predicted_lang")
+    return (
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(keep, "doc_id", "left_semi")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("predicted_lang") != "unknown"))
+        .select("doc_id", F.round("quality", 6).alias("quality"), "predicted_lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flame dataflow-operator analogs (SURVEY.md §2.1) over the TPC-H-ish tables —
 # each row of the §2.1 table maps to a Spark primitive; these queries prove
@@ -764,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
+        "pipeline_corpus_clean": _q_corpus_clean,
         "suggest_autocomplete": _q_autocomplete,
         "suggest_spellcheck": _q_spellcheck,
         "search_snippets": _q_snippets,
@@ -828,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": oracle.quality_sql(),
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,
         "text_fingerprint": oracle.FINGERPRINT_SQL,
+        "pipeline_corpus_clean": oracle.corpus_clean_sql(TA.LANG_WORDLISTS, 0.5),
         "suggest_autocomplete": oracle.autocomplete_sql("s", 10),
         "suggest_spellcheck": oracle.spellcheck_sql("strem"),
         "search_snippets": oracle.snippets_sql(["data", "stream"], 50),

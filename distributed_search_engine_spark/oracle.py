@@ -735,6 +735,62 @@ FROM docs d LEFT JOIN fp f USING (doc_id)
 # auxiliary query features (query/suggest.py twins)
 # ---------------------------------------------------------------------------
 
+def corpus_clean_sql(
+    wordlists: dict[str, list[str]], min_quality: float = 0.5
+) -> str:
+    """Composite cleaning-pipeline twin of _q_corpus_clean: exact-dedup
+    keeper ∘ quality floor ∘ language allowlist, each stage the same SQL as
+    its stand-alone gated oracle (EXACT_DEDUP_SQL / quality_sql /
+    lang_id_sql), composed into one statement."""
+    stops = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+    values = ", ".join(
+        f"('{lang}', '{w}')" for lang, ws in sorted(wordlists.items()) for w in ws
+    )
+    return base_ctes() + f""",
+keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY sha256(text)),
+tk AS (
+  SELECT doc_id,
+         length(d.text) AS n_chars,
+         length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         list_filter(ta.toks, t -> t <> '') AS toks
+  FROM docs d JOIN tokarr ta USING (doc_id)
+),
+qual AS (
+  SELECT doc_id,
+         round(0.4 * least(len(toks) / 100.0, 1.0)
+               + 0.3 * (1.0 - least(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END * 5.0, 1.0))
+               + 0.3 * least(CASE WHEN len(toks) > 0
+                                  THEN len(list_filter(toks, t -> list_contains([{stops}], t))) / len(toks)
+                                  ELSE 0.0 END * 3.0, 1.0), 6) AS quality
+  FROM tk
+),
+ltoks AS (SELECT doc_id, tok FROM tokstream WHERE tok <> ''),
+wl(lang, word) AS (VALUES {values}),
+ltotals AS (SELECT doc_id, count(*) AS n_tokens FROM ltoks GROUP BY 1),
+lhits AS (
+  SELECT t.doc_id, wl.lang, count(*) AS hits
+  FROM ltoks t JOIN wl ON t.tok = wl.word GROUP BY 1, 2
+),
+lscored AS (
+  SELECT h.doc_id, h.lang, h.hits / tt.n_tokens AS score
+  FROM lhits h JOIN ltotals tt USING (doc_id)
+),
+lbest AS (
+  SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+    FROM lscored
+  ) WHERE rn = 1
+)
+SELECT d.doc_id, q.quality, b.lang AS predicted_lang
+FROM docs d
+JOIN keep k ON k.doc_id = d.doc_id
+JOIN qual q ON q.doc_id = d.doc_id
+JOIN lbest b ON b.doc_id = d.doc_id
+WHERE q.quality >= {min_quality}
+"""
+
+
 def autocomplete_sql(prefix: str, limit: int = 10) -> str:
     """Q14: prefix completion over looksReasonable terms, sorted, limit 10
     (SearchEngine.java:885-971)."""

@@ -98,3 +98,44 @@ def test_index_build_has_no_occurrence_shuffle(spark):
     plan = plan_of(emit_postings_arrow(docs))
     assert "Exchange" not in plan
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan
+
+
+def test_asof_join_plan_has_no_join(spark):
+    """The as-of operator is a single running window over the per-user
+    stream — the plan must contain a Window and NO join of any kind."""
+    import __spark_entry__ as E
+
+    plan = plan_of(E._q_events_asof(spark, "/root/testdata/sf0.001"))
+    assert "Window" in plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+              "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert j not in plan, j
+
+
+def test_batch_bm25_scans_postings_once(spark):
+    """One batch job for many queries: the postings relation must appear
+    exactly once in the scan list (joined against the broadcast union of
+    expansions), not once per query."""
+    from distributed_search_engine_spark.corpus import ingest, make_corpus
+    from distributed_search_engine_spark.operators.postings import build_index
+    from distributed_search_engine_spark.query.engine import (
+        SearchIndex,
+        search_bm25_batch,
+    )
+
+    docs = ingest(make_corpus(spark, n_docs=40, seed=17))
+    idx = build_index(docs)
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    plan3 = plan_of(search_bm25_batch(spark, sidx, ["spark", "partition", "graph"], k=5))
+    plan1 = plan_of(search_bm25_batch(spark, sidx, ["spark"], k=5))
+    assert plan3.count("BroadcastExchange") >= 1  # expansion union broadcast
+    # a per-query loop would repeat the postings subplan once per query;
+    # the batch plan's scan count must NOT grow with the number of queries
+    # (the Unions inside the index lineage itself — hot/cold caps — are
+    # identical in both)
+    for marker in ("InMemoryTableScan", "Union", "HashAggregate"):
+        assert plan3.count(marker) == plan1.count(marker), marker
