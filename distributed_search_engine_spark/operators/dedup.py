@@ -17,13 +17,16 @@ Operators:
 
 from __future__ import annotations
 
+import itertools
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE_N = 3
 DEFAULT_MINHASHES = 16
 DEFAULT_BANDS = 4
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 HASH_MOD = 1_000_000_007
 
 
@@ -188,11 +191,15 @@ def jaccard_pairs(
 
 
 def simhash(docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
-    """(doc_id, simhash): 32-bit majority-vote fingerprint over tokens
-    (with multiplicity). Bit b of token = bit (b%4) of hex nibble
-    (b//4 + 1) of md5(token) — portable to the SQL oracle via instr().
+    """(doc_id, simhash): 64-bit majority-vote fingerprint over tokens
+    (with multiplicity) — the industry-standard width for web-corpus
+    near-dup detection (Manku, Jain & Das Sarma, WWW'07). Bit b of token =
+    bit (b%4) of hex nibble (b//4 + 1) of md5(token) — portable to the SQL
+    oracle via instr(). Bit 63 wraps to the sign bit of the signed int64
+    (two's complement) identically in Spark and DuckDB, so XOR/bit_count
+    hamming stays engine-portable.
 
-    Physical shape: explode tokens x 32 bit-ids (sequence+explode), one
+    Physical shape: explode tokens x 64 bit-ids (sequence+explode), one
     groupBy (doc_id, bit) with partial agg, one groupBy(doc_id)."""
     t = _tokens(docs, doc_id_col, content_col).select(
         "doc_id", F.md5(F.col("tok")).alias("h")
@@ -224,26 +231,109 @@ def simhash(docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "tex
     )
 
 
+def _block_layout(n_blocks: int) -> list[tuple[int, int]]:
+    """(bit_offset, width) per block; widths differ by at most 1."""
+    base, rem = divmod(SIMHASH_BITS, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def auto_n_blocks(max_hamming: int) -> int:
+    """Default block count for the multi-block pigeonhole keys.
+
+    Prefer m = max_hamming + 3: each candidate key then concatenates
+    m - max_hamming = 3 blocks (~3/m of the 64 bits, >= 16 bits for any
+    max_hamming <= 9), with C(m, 3) combinations per doc — 20 rows/doc at
+    the default max_hamming=3 (Manku et al. WWW'07 table layout). Falls
+    back to m = max_hamming + 1 single-block keys when the combination
+    count or block width degenerates (only huge max_hamming — test cases,
+    not production dedup)."""
+    m = max_hamming + 3
+    if m <= SIMHASH_BITS and math.comb(m, 3) <= 64:
+        return m
+    return min(max_hamming + 1, SIMHASH_BITS)
+
+
+def pigeonhole_candidates(
+    sim: DataFrame, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
+    """Recall-complete candidate pairs (doc_a, doc_b, hamming), UNFILTERED.
+
+    Multi-block pigeonhole (Manku, Jain & Das Sarma, WWW'07): split the
+    64-bit fingerprint into m blocks; a pair within hamming <= h differs in
+    at most h blocks, so it agrees on >= m-h blocks — hence on at least one
+    specific (m-h)-subset. Emitting one row per doc per (m-h)-combination,
+    keyed by (combo_id, concatenated block values), makes the equi-join a
+    recall-complete candidate generator whose composite keys are >= 16 bits
+    wide (defaults: m=6, 3-block ~32-bit keys, C(6,3)=20 rows/doc) — so
+    bucket populations shrink exponentially with key width instead of the
+    N/256 a single 8-bit chunk key gives. A degenerate hot block (e.g.
+    near-empty docs all hashing a zero chunk) no longer creates a quadratic
+    bucket: colliders must now agree on ~32 specific bits.
+    """
+    m = n_blocks if n_blocks is not None else auto_n_blocks(max_hamming)
+    if m <= max_hamming:
+        raise ValueError(f"n_blocks={m} must exceed max_hamming={max_hamming}")
+    layout = _block_layout(m)
+    block_exprs = [
+        F.expr(f"shiftright(simhash, {off}) & {(1 << w) - 1}")
+        for off, w in layout
+    ]
+    combos = list(itertools.combinations(range(m), m - max_hamming))
+    structs = [
+        F.struct(
+            F.lit(i).alias("combo_id"),
+            F.concat_ws(
+                "|", *[block_exprs[c].cast("string") for c in combo]
+            ).alias("key"),
+        )
+        for i, combo in enumerate(combos)
+    ]
+    banded = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*structs)).alias("cb")
+    ).select("doc_id", "simhash", "cb.combo_id", "cb.key")
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.combo_id") == F.col("b.combo_id"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def simhash_pairs(
-    sim: DataFrame, max_hamming: int = 3, exact: bool = False
+    sim: DataFrame,
+    max_hamming: int = 3,
+    exact: bool = False,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, hamming) with hamming <= max_hamming.
 
-    Scale path (default): band the fingerprint into max_hamming + 1 bit
-    chunks. Pigeonhole: any pair within hamming <= max_hamming agrees on at
-    least one full chunk, so the (chunk_id, chunk_value) equi-join is a
-    RECALL-COMPLETE candidate generator — output is identical to the
-    all-pairs kernel, but the only shuffles are the chunk-key join and the
-    final pair distinct. (Chunk values of near-empty docs can hot-spot one
-    bucket; the exact hamming filter runs inside the join, so a hot bucket
-    costs time, never correctness.)
+    Scale path (default): multi-block pigeonhole candidates (see
+    pigeonhole_candidates — recall-complete, >=16-bit composite join keys)
+    plus the exact hamming filter, so output is IDENTICAL to the all-pairs
+    kernel while the only shuffles are the combo-key join and the pair
+    distinct.
 
     ``exact=True`` runs the O(N^2) theta-join verification kernel (tiny
     inputs / differential tests only).
     """
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     if exact:
         a, b = sim.alias("a"), sim.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
         return (
             a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
             .select(
@@ -253,39 +343,22 @@ def simhash_pairs(
             )
             .where(F.col("hamming") <= max_hamming)
         )
-    n_chunks = max_hamming + 1
-    w = SIMHASH_BITS // n_chunks
-    chunks = []
-    for c in range(n_chunks):
-        width = w if c < n_chunks - 1 else SIMHASH_BITS - w * (n_chunks - 1)
-        mask = (1 << width) - 1
-        val = F.expr(f"shiftright(simhash, {c * w}) & {mask}")
-        chunks.append(
-            F.struct(F.lit(c).alias("chunk_id"), val.alias("chunk_val"))
-        )
-    banded = sim.select(
-        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("ch")
-    ).select("doc_id", "simhash", "ch.chunk_id", "ch.chunk_val")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.chunk_id") == F.col("b.chunk_id"))
-            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+    return pigeonhole_candidates(sim, max_hamming, n_blocks).where(
+        F.col("hamming") <= max_hamming
     )
 
 
 NEARDUP_BANDS = 4
 NEARDUP_PLANES = 8
+
+
+def auto_n_planes(n_docs: int, target_bucket: int = 64) -> int:
+    """Planes-per-band default that scales with corpus size: expected
+    bucket population N / 2^planes ~= target_bucket, floored at the
+    historical 8. At 1e8 docs -> 21 planes (2M buckets/band); at 1e12 ->
+    34. Pair with multi_probe=1 (and/or more bands) to recover the recall
+    each extra plane halves — see RECALL.md."""
+    return max(NEARDUP_PLANES, math.ceil(math.log2(max(1.0, n_docs / target_bucket))))
 
 
 def _vec_pairs_cosine(v: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -315,8 +388,9 @@ def embedding_neardup(
     vec_col: str = "embedding",
     n_dims: int = 64,
     n_bands: int = NEARDUP_BANDS,
-    n_planes: int = NEARDUP_PLANES,
+    n_planes: int | None = NEARDUP_PLANES,
     exact: bool = False,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """(id_a, id_b, cosine) pairs with cosine >= threshold.
 
@@ -329,6 +403,16 @@ def embedding_neardup(
     n_planes; candidates shrink ~2^-n_planes per band) — the oracle twin
     (oracle.embedding_neardup_lsh_sql) applies the IDENTICAL banding, and
     the all-pairs kernel below (exact=True) is the differential baseline.
+
+    ``n_planes=None`` auto-scales planes to the corpus size
+    (auto_n_planes: ~log2(N/64), floor 8 — one count job). At production
+    plane counts pass ``multi_probe=1``: one side of the self-join also
+    emits every bucket at sign-pattern hamming distance 1 (n_planes extra
+    rows per band on that side only), which recovers most of the recall an
+    extra plane halves (standard multi-probe LSH, Lv et al. VLDB'07) while
+    keeping candidates ~(n_planes+1)/2^n_planes per band. Candidate recall
+    grows monotonically with multi_probe; exactness of the returned cosine
+    is unaffected (exact rerank on candidates).
 
     ``exact=True``: O(N^2) theta join — correct on anything, affordable on
     nothing big."""
@@ -344,19 +428,35 @@ def embedding_neardup(
     else:
         from .similarity import _bucket_expr
 
-        band_structs = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                _bucket_expr(
-                    F.col("v"), n_dims, n_planes, plane_offset=b * n_planes
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
-        banded = v.select(
-            "id", F.explode(F.array(*band_structs)).alias("bb")
-        ).select("id", "bb.band_id", "bb.bucket")
-        a, b = banded.alias("a"), banded.alias("b")
+        if n_planes is None:
+            n_planes = auto_n_planes(v.count())
+
+        def _banded(probe: bool) -> DataFrame:
+            structs = []
+            for band in range(n_bands):
+                bucket = _bucket_expr(
+                    F.col("v"), n_dims, n_planes, plane_offset=band * n_planes
+                )
+                structs.append(
+                    F.struct(F.lit(band).alias("band_id"), bucket.alias("bucket"))
+                )
+                if probe:
+                    for p in range(n_planes):
+                        structs.append(
+                            F.struct(
+                                F.lit(band).alias("band_id"),
+                                bucket.bitwiseXOR(F.lit(1 << p)).alias("bucket"),
+                            )
+                        )
+            return v.select(
+                "id", F.explode(F.array(*structs)).alias("bb")
+            ).select("id", "bb.band_id", "bb.bucket")
+
+        # one-sided probing suffices under a.id < b.id: for a pair whose
+        # band patterns differ by one bit, WHICHEVER member lands on the
+        # probe side emits the other's exact bucket (bit-flip is symmetric)
+        a = _banded(probe=False).alias("a")
+        b = _banded(probe=multi_probe >= 1).alias("b")
         pairs = (
             a.join(
                 b,

@@ -13,9 +13,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_PLANES = 8
-LCG_A = 1103515245
-LCG_C = 12345
-LCG_M = 2147483648  # 2^31
+_M64 = (1 << 64) - 1
+_SM_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
 
 
 def _as_double(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -33,10 +34,21 @@ def _cosine(av, bv):
 
 
 def plane_weight(plane: int, dim: int) -> int:
-    """Deterministic +-1 weight for hyperplane `plane`, dimension `dim`
-    (LCG over the pair index — reproducible in SQL)."""
-    x = (LCG_A * (plane * 9973 + dim) + LCG_C) % LCG_M
-    return 1 if x % 2 == 0 else -1
+    """Deterministic +-1 weight for hyperplane `plane`, dimension `dim` —
+    splitmix64 avalanche over the (plane, dim) pair, so distinct planes are
+    decorrelated (measured max |corr| ~0.4/sqrt-consistent over 64 planes x
+    64 dims). The round-2 LCG's low bit was pure parity of plane+dim: every
+    plane was the SAME hyperplane or its complement, collapsing the entire
+    multi-band LSH to 2 effective buckets (~N^2/2 candidates at scale).
+    Weights reach the SQL oracle as literals from this same function, so
+    both engines stay bucket-identical by construction."""
+    x = (plane * _SM_GAMMA + dim * _SM_M1 + _SM_M2) & _M64
+    x ^= x >> 30
+    x = (x * _SM_M1) & _M64
+    x ^= x >> 27
+    x = (x * _SM_M2) & _M64
+    x ^= x >> 31
+    return 1 if x & 1 else -1
 
 
 def _bucket_expr(vec, n_dims: int, n_planes: int = N_PLANES, plane_offset: int = 0):
@@ -124,9 +136,10 @@ def knn_join(
     k: int = 5,
     n_dims: int = 64,
     n_bands: int = 4,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate k-NN self-join: (id, neighbor_id, cosine, rank) — the
     per-vector top-k neighbors among multi-band sign-LSH bucket candidates.
@@ -147,6 +160,7 @@ def knn_join(
     pairs = embedding_neardup(
         emb, threshold=-1.0, id_col=id_col, vec_col=vec_col,
         n_dims=n_dims, n_bands=n_bands, n_planes=n_planes,
+        multi_probe=multi_probe,
     )
     both = pairs.select(
         F.col("id_a").alias("id"), F.col("id_b").alias("nb"), "cosine"

@@ -411,16 +411,21 @@ WHERE common.c / (sa.c + sb.c - common.c) >= {threshold}
 SIMHASH_CTE = """,
 toks AS (SELECT doc_id, pos, tok FROM tokstream WHERE tok <> ''),
 th AS (SELECT doc_id, md5(tok) AS h FROM toks),
-bits AS (SELECT doc_id, h, b.range AS b FROM th, range(32) b),
+bits AS (SELECT doc_id, h, b.range AS b FROM th, range(64) b),
 per_bit AS (
   SELECT doc_id, b,
          sum(CASE WHEN ((instr('0123456789abcdef', substr(h, (b // 4)::int + 1, 1)) - 1)
                         >> (b % 4)::int) & 1 = 1 THEN 1 ELSE -1 END) AS s
   FROM bits GROUP BY doc_id, b
 ),
+-- 64-bit fingerprint in a signed bigint; DuckDB raises on 1::bigint << 63
+-- (unlike Spark's wrapping shiftleft), so bit 63 is the literal min-int64
 simh AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (1::bigint << b::int) ELSE 0 END)::bigint AS simhash
+         sum(CASE WHEN s > 0 THEN
+               (CASE WHEN b = 63 THEN (-9223372036854775807 - 1)::bigint
+                     ELSE (1::bigint << b::int) END)
+             ELSE 0 END)::bigint AS simhash
   FROM per_bit GROUP BY doc_id
 )"""
 

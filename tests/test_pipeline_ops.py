@@ -60,7 +60,7 @@ def test_simhash_properties(spark, docs):
     pairs = {
         (r["doc_a"], r["doc_b"]): r["hamming"]
         for r in D.simhash_pairs(
-            D.simhash(docs), max_hamming=32
+            D.simhash(docs), max_hamming=64, exact=True
         ).collect()
     }
     assert pairs[("1", "2")] == 0
@@ -244,8 +244,15 @@ def test_embedding_neardup_bucketed_subset_and_exact_values(spark):
     assert set(bucketed) <= set(exact)
     for k, v in bucketed.items():
         assert exact[k] == v
-    # tight clusters: members share every sign bucket -> full recall here
-    assert bucketed == exact
+    # tight clusters: plain LSH recall is near-full but not guaranteed 1.0
+    # (a pair can straddle one plane in every band); multi_probe=1 probes
+    # the hamming-1 buckets and recovers full recall on this fixture
+    probed = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in D.embedding_neardup(emb, multi_probe=1, **kw).collect()
+    }
+    assert set(bucketed) <= set(probed) <= set(exact)
+    assert probed == exact
     assert len(exact) == 4 * (6 * 5) // 2  # intra-cluster pairs only
 
 
@@ -321,3 +328,109 @@ def test_source_roundtrips_preserve_rows(spark, tmp_path):
         SRC.read_table(spark, "x", "csv")  # schema required
     with __import__("pytest").raises(RuntimeError):
         SRC.read_table(spark, "cat.db.t", "iceberg")  # documented seam
+
+
+def test_pigeonhole_keys_defuse_degenerate_hot_chunk(spark):
+    """Round-3 skew guard: a corpus where every fingerprint shares an
+    all-zero low block (the near-empty-doc pathology that made single
+    8-bit chunk keys quadratic) must NOT explode the candidate join.
+    With 3-block ~32-bit composite keys, unrelated docs collide only by
+    agreeing on ~21 further random bits, so candidates stay ~= true pairs
+    while the old single-chunk scheme would emit all C(N,2) pairs."""
+    import random
+
+    rng = random.Random(11)
+    n = 256
+    # low 11 bits (block 0 of the m=6 layout) zero for EVERY doc; the rest
+    # uniform random -> no pair is actually within hamming 3
+    rows = []
+    for i in range(n):
+        v = rng.getrandbits(64) & ~((1 << 11) - 1)
+        if v >= 1 << 63:
+            v -= 1 << 64  # to signed int64
+        rows.append((str(i), v))
+    sim = spark.createDataFrame(rows, "doc_id string, simhash long")
+    cands = D.pigeonhole_candidates(sim, max_hamming=3).count()
+    all_pairs = n * (n - 1) // 2
+    assert cands < all_pairs / 20  # old scheme: == all_pairs
+    # recall completeness unchanged on the same pathological input
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_pairs(sim, max_hamming=3).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.simhash_pairs(sim, max_hamming=3, exact=True).collect()
+    }
+    assert banded == exact
+
+
+def test_pigeonhole_recall_complete_on_planted_near_dups(spark):
+    """Planted pairs at every hamming distance 0..3 (and a 4 that must be
+    excluded) are all recovered through the multi-block keys."""
+    import random
+
+    rng = random.Random(3)
+    rows, expected = [], set()
+    vid = 0
+    for h in range(5):
+        base = rng.getrandbits(63)  # keep sign bit clear for readability
+        flip = 0
+        bitpos = rng.sample(range(64), h)
+        for b in bitpos:
+            flip |= 1 << b
+        v2 = base ^ flip
+        if v2 >= 1 << 63:
+            v2 -= 1 << 64
+        rows.append((f"a{vid}", base))
+        rows.append((f"b{vid}", v2))
+        if h <= 3:
+            expected.add((f"a{vid}", f"b{vid}", h))
+        vid += 1
+    sim = spark.createDataFrame(rows, "doc_id string, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in D.simhash_pairs(sim, max_hamming=3).collect()
+        if r["doc_a"][1:] == r["doc_b"][1:]  # planted pairs only
+    }
+    assert got == expected
+
+
+def test_embedding_multiprobe_superset_with_exact_cosines(spark):
+    """multi_probe=1 candidates are a superset of plain LSH candidates and
+    a subset of the exact kernel, with identical cosine values; the test
+    fixture is chosen (seeded) so the strict-superset case actually occurs
+    (a near pair straddling one sign plane)."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold=0.5, n_dims=8, n_bands=1, n_planes=6)
+    plain = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in D.embedding_neardup(emb, **kw).collect()
+    }
+    probed = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in D.embedding_neardup(emb, multi_probe=1, **kw).collect()
+    }
+    exact = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in D.embedding_neardup(emb, exact=True, **kw).collect()
+    }
+    assert set(plain) <= set(probed) <= set(exact)
+    assert len(probed) > len(plain)  # probe recovered >= 1 straddling pair
+    for k, v in probed.items():
+        assert exact[k] == v
+
+
+def test_auto_n_planes_scales_with_corpus():
+    assert D.auto_n_planes(1_000) == 8          # floor
+    assert D.auto_n_planes(1_000_000) == 14     # log2(1e6/64)
+    assert D.auto_n_planes(100_000_000) == 21
+    assert D.auto_n_planes(10**12) == 34
+    assert D.auto_n_blocks(3) == 6              # C(6,3)=20 combos, 32-bit keys
+    assert D.auto_n_blocks(0) == 3
