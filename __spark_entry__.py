@@ -750,6 +750,46 @@ def _lsh_plane_weights(n_planes: int = S.N_PLANES) -> list[list[float]]:
     ]
 
 
+def _stem_map_for_oracle() -> list[tuple[str, str]]:
+    """(term, stem) pairs for every non-stop corpus term whose Porter stem
+    differs — materialized from the gate-SF parquet with the SAME duckdb
+    tokenizer the oracle CTEs use, so the vocabulary cannot drift. This is
+    what turns the stemmed-postings check from rows-only into a full
+    hash-gated oracle: stemming stays in Python, the SQL just joins the
+    finite map."""
+    import os
+
+    import duckdb
+
+    from distributed_search_engine_spark.functions.stemmer import porter_stem
+    from distributed_search_engine_spark.functions.stopwords import STOP_WORDS
+    from distributed_search_engine_spark.functions.text import (
+        MAX_DOC_CHARS,
+        duckdb_tokens_expr,
+        duckdb_worth,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    toks = duckdb_tokens_expr("text")
+    rows = duckdb.connect().execute(
+        f"""
+        SELECT DISTINCT tok FROM (
+          SELECT unnest({toks}) AS tok
+          FROM read_parquet('{sf_dir}/documents.parquet')
+          WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+        ) WHERE tok <> '' AND {duckdb_worth('tok')}
+        """
+    ).fetchall()
+    out = []
+    for (t,) in rows:
+        if t in STOP_WORDS:
+            continue
+        s = porter_stem(t)
+        if s != t:
+            out.append((t, s))
+    return sorted(out)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "index_doc_stats": _q_doc_stats,
@@ -819,8 +859,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_3iter": oracle.pagerank_sql(3),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
-        # index_postings_stemmed: intentionally no oracle (Porter stemming
-        # is not SQL-expressible) -> rows-only check
+        "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),
         "index_weighted_postings": oracle.weighted_postings_sql(_html_sql()),
         "dedup_exact": oracle.EXACT_DEDUP_SQL,
         "dedup_minhash_signatures": oracle.minhash_sql(16),

@@ -98,6 +98,48 @@ SELECT term, doc_id, tf, round(normalized_tf, 6) AS normalized_tf, doc_len,
 FROM postings
 """
 
+def stemmed_postings_sql(stem_map: list[tuple[str, str]]) -> str:
+    """Stem-expanded postings (I8 semantics, jobs/Indexer.java:463-475).
+
+    Porter stemming itself is not SQL-expressible, but the (term -> stem)
+    MAP for a finite vocabulary is: the caller materializes it in Python
+    (functions/stemmer.porter_stem over the corpus vocabulary, enumerated
+    with the SAME duckdb tokenizer the oracle uses) and it lands here as an
+    inline VALUES table. The oracle then reproduces with_stem_emissions
+    (operators/postings.py): non-stop terms whose stem differs emit a
+    second posting row under the stem; (term, doc) collisions merge with
+    sorted-position concat + tf sum; the I10 caps QUALIFY mirrors
+    apply_caps on the merged rows (inert below cap-sized corpora)."""
+    if stem_map:
+        pairs = ", ".join(
+            f"('{t}', '{s}')" for t, s in stem_map
+        )
+        stems_cte = f"stems(term, stem) AS (FROM (VALUES {pairs}) v(term, stem))"
+    else:
+        stems_cte = "stems(term, stem) AS (SELECT '', '' WHERE false)"
+    return base_ctes() + f""",
+{stems_cte},
+emission AS (
+  SELECT term, doc_id, tf, positions FROM tf
+  UNION ALL
+  SELECT s.stem AS term, t.doc_id, t.tf, t.positions
+  FROM tf t JOIN stems s USING (term)
+  WHERE NOT list_contains([{STOPS_SQL}], t.term)
+),
+merged AS (
+  SELECT term, doc_id, sum(tf)::int AS tf,
+         list_sort(flatten(list(positions))) AS positions
+  FROM emission GROUP BY 1, 2
+  QUALIFY row_number() OVER (
+            PARTITION BY term ORDER BY sum(tf)::double DESC, doc_id ASC)
+          <= CASE WHEN list_contains([{STOPS_SQL}], term)
+                  THEN 5000 ELSE 20000 END
+)
+SELECT term, doc_id, tf, array_to_string(positions, ' ') AS positions
+FROM merged
+"""
+
+
 TERM_STATS_SQL = base_ctes() + """
 SELECT term, df, round(idf, 6) AS idf, round(idf_bm25, 6) AS idf_bm25
 FROM termstats

@@ -44,6 +44,11 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # the stemmed-postings oracle materializes its (term, stem) map from
+    # this dir (it must see the same vocabulary as the gate tables)
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
     import __spark_entry__ as E
     from distributed_search_engine_spark.session import get_spark
 
