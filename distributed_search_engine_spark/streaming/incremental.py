@@ -1,13 +1,20 @@
-"""Incremental indexing over a document stream.
+"""Incremental indexing over a document stream — LSM-style delta segments.
 
 Batch-incremental design (the Spark-idiomatic analog of the reference's
-resumable bucket loop, jobs/Indexer.java:368-396): each micro-batch builds
-its postings with the same Arrow kernel as the batch indexer, then merges
-into the previous index version with merge_postings (I14 semantics:
-existing (term, doc) entries win, caps re-applied, IDF recomputed from the
-merged df). Index state is versioned — state_dir/v<k>/ plus a CURRENT
-pointer written last — so readers never see a half-written index and the
-streaming checkpoint makes the whole pipeline exactly-once.
+resumable bucket loop, jobs/Indexer.java:368-396), round-3 layout: each
+micro-batch writes ONLY its own postings/doc_stats as an immutable delta
+directory (O(batch) I/O — the round-2 version unioned the full previous
+index and rewrote all three tables every batch, O(index) I/O per batch).
+I14 merge semantics (existing (term, doc) wins, caps re-applied, IDF
+recomputed from merged df — jobs/Indexer.java:947-1174) are applied as a
+LAZY FOLD over base + deltas at read time, and MATERIALIZED every
+``compact_every`` batches into a new base version (classic LSM: write
+amplification is amortized 1/compact_every, read amplification bounded by
+compact_every). The CURRENT pointer — written last, via atomic rename —
+lists the base version and the committed delta batch ids, so readers never
+see a half-written index and the streaming checkpoint keeps the pipeline
+exactly-once (a replayed batch overwrites its own delta dir and its
+manifest append is idempotent).
 """
 
 from __future__ import annotations
@@ -15,50 +22,143 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..functions.stopwords import STOP_WORDS
-from ..operators.postings import build_index, build_term_stats, merge_postings
+from ..operators.postings import (
+    build_index,
+    build_term_dict,
+    build_term_stats,
+    merge_postings,
+)
+
+POSTING_COLS = [
+    "term", "doc_id", "tf", "weighted_tf", "normalized_tf", "doc_len",
+    "positions", "weights",
+]
 
 
-def _current_version(state_dir: str) -> int | None:
+def _current(state_dir: str) -> dict | None:
     path = os.path.join(state_dir, "CURRENT")
     if not os.path.exists(path):
         return None
     with open(path) as f:
-        return json.load(f)["version"]
+        cur = json.load(f)
+    # round-2 layout ({"version": k} only, tables under v<k>/) reads as a
+    # base with no deltas
+    if "deltas" not in cur:
+        cur = {"version": cur["version"], "base": cur["version"], "deltas": [],
+               "legacy": True}
+    return cur
+
+
+def _write_current(state_dir: str, cur: dict) -> None:
+    tmp = os.path.join(state_dir, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        json.dump(cur, f)
+    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+
+
+def _base_dir(state_dir: str, version: int, legacy: bool = False) -> str:
+    return os.path.join(state_dir, f"v{version}" if legacy else f"base/v{version}")
+
+
+def _delta_dir(state_dir: str, batch_id: int) -> str:
+    return os.path.join(state_dir, f"delta/b{batch_id}")
+
+
+def _merge_doc_stats(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Existing docs win (a re-crawled doc keeps its first-indexed stats,
+    like the reference's resume skip)."""
+    tagged = (
+        old.withColumn("_src", F.lit(0))
+        .unionByName(new.withColumn("_src", F.lit(1)))
+    )
+    w = Window.partitionBy("doc_id").orderBy("_src")
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_src", "_rn")
+    )
+
+
+def _fold_index(spark: SparkSession, state_dir: str, cur: dict) -> dict:
+    """Logical (postings, doc_stats) = I14 fold of base + deltas in commit
+    order. Each fold step is the same merge_postings the round-2 eager
+    path ran per batch, so the folded result is IDENTICAL to the old
+    version chain — it just runs at read/compaction time over at most
+    compact_every deltas instead of on every ingest."""
+    parts: list[tuple[DataFrame, DataFrame]] = []
+    if cur.get("base") is not None:
+        b = _base_dir(state_dir, cur["base"], cur.get("legacy", False))
+        parts.append(
+            (
+                spark.read.parquet(os.path.join(b, "postings")),
+                spark.read.parquet(os.path.join(b, "doc_stats")),
+            )
+        )
+    for bid in cur["deltas"]:
+        d = _delta_dir(state_dir, bid)
+        parts.append(
+            (
+                spark.read.parquet(os.path.join(d, "postings")),
+                spark.read.parquet(os.path.join(d, "doc_stats")),
+            )
+        )
+    postings, doc_stats = parts[0]
+    for new_p, new_ds in parts[1:]:
+        term_dict = build_term_dict(
+            postings.select("term").unionByName(new_p.select("term"))
+        )
+        postings = merge_postings(postings, new_p, term_dict).drop("is_stop")
+        doc_stats = _merge_doc_stats(doc_stats, new_ds)
+    return {"postings": postings, "doc_stats": doc_stats}
 
 
 def read_current_index(spark: SparkSession, state_dir: str) -> dict | None:
-    v = _current_version(state_dir)
-    if v is None:
+    cur = _current(state_dir)
+    if cur is None:
         return None
-    base = os.path.join(state_dir, f"v{v}")
-    with open(os.path.join(base, "meta.json")) as f:
-        meta = json.load(f)
+    folded = _fold_index(spark, state_dir, cur)
+    doc_stats = folded["doc_stats"].persist()
+    total_docs = doc_stats.count()
+    stop_lit = F.array(*[F.lit(w) for w in sorted(STOP_WORDS)])
+    term_stats = build_term_stats(
+        folded["postings"].withColumn(
+            "is_stop", F.array_contains(stop_lit, F.col("term"))
+        ),
+        total_docs,
+    )
     return {
-        "postings": spark.read.parquet(os.path.join(base, "postings")),
-        "doc_stats": spark.read.parquet(os.path.join(base, "doc_stats")),
-        "term_stats": spark.read.parquet(os.path.join(base, "term_stats")),
-        "total_docs": meta["total_docs"],
-        "version": v,
+        "postings": folded["postings"],
+        "doc_stats": doc_stats,
+        "term_stats": term_stats,
+        "total_docs": total_docs,
+        "version": cur["version"],
+        "base": cur.get("base"),
+        "deltas": list(cur["deltas"]),
     }
 
 
-def _write_version(state_dir: str, version: int, postings, doc_stats, term_stats, total_docs):
-    base = os.path.join(state_dir, f"v{version}")
-    postings.write.mode("overwrite").parquet(os.path.join(base, "postings"))
+def _compact(spark: SparkSession, state_dir: str, cur: dict) -> dict:
+    """Materialize the fold into a new base version and clear the deltas.
+    The only O(index) write in the pipeline — runs once per compact_every
+    batches, not per batch."""
+    version = cur["version"]
+    folded = _fold_index(spark, state_dir, cur)
+    base = _base_dir(state_dir, version)
+    doc_stats = folded["doc_stats"].persist()
+    total_docs = doc_stats.count()
+    folded["postings"].write.mode("overwrite").parquet(
+        os.path.join(base, "postings")
+    )
     doc_stats.write.mode("overwrite").parquet(os.path.join(base, "doc_stats"))
-    term_stats.write.mode("overwrite").parquet(os.path.join(base, "term_stats"))
     with open(os.path.join(base, "meta.json"), "w") as f:
         json.dump({"version": version, "total_docs": total_docs}, f)
-    # pointer write is the atomic commit point
-    tmp = os.path.join(state_dir, "CURRENT.tmp")
-    with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
-    os.replace(tmp, os.path.join(state_dir, "CURRENT"))
+    doc_stats.unpersist()
+    return {"version": version, "base": version, "deltas": []}
 
 
 def incremental_index(
@@ -70,52 +170,48 @@ def incremental_index(
     doc_id_col: str = "doc_id",
     content_col: str = "content",
     available_now: bool = True,
+    compact_every: int = 4,
 ):
     """Start the incremental indexing stream; returns the StreamingQuery.
 
-    With available_now=True the stream drains everything currently in
-    input_path and stops — the test/bootstrap mode; in production leave it
-    False for continuous micro-batches."""
+    Per micro-batch I/O is O(batch): the batch's postings/doc_stats land as
+    an immutable delta dir named by batch_id (idempotent on replay); every
+    ``compact_every`` committed deltas, the I14 fold is materialized into a
+    new base and the deltas retire. With available_now=True the stream
+    drains everything currently in input_path and stops — the
+    test/bootstrap mode; in production leave it False for continuous
+    micro-batches."""
     os.makedirs(state_dir, exist_ok=True)
     stream = spark.readStream.schema(schema).parquet(input_path)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        cur = _current(state_dir)
+        if cur is not None and batch_id in cur["deltas"]:
+            return  # replayed batch already committed (exactly-once)
         new_idx = build_index(batch_df, doc_id_col, content_col)
-        cur = read_current_index(spark, state_dir)
+        ddir = _delta_dir(state_dir, batch_id)
+        new_idx["postings"].select(*POSTING_COLS).write.mode("overwrite").parquet(
+            os.path.join(ddir, "postings")
+        )
+        new_idx["doc_stats"].write.mode("overwrite").parquet(
+            os.path.join(ddir, "doc_stats")
+        )
+        with open(os.path.join(ddir, "meta.json"), "w") as f:
+            json.dump({"batch_id": batch_id, "batch_docs": new_idx["total_docs"]}, f)
         if cur is None:
-            version = 0
-            postings = new_idx["postings"]
-            doc_stats = new_idx["doc_stats"]
-            total_docs = new_idx["total_docs"]
-            term_stats = new_idx["term_stats"]
+            cur = {"version": 0, "base": None, "deltas": [batch_id]}
         else:
-            version = cur["version"] + 1
-            postings = merge_postings(
-                cur["postings"], new_idx["postings"], new_idx["term_dict"]
-            ).drop("is_stop")
-            # doc stats: existing docs win (same doc re-crawled keeps its
-            # first-indexed stats, like the reference's resume skip)
-            doc_stats = (
-                cur["doc_stats"].withColumn("_src", F.lit(0))
-                .unionByName(new_idx["doc_stats"].withColumn("_src", F.lit(1)))
-            )
-            from pyspark.sql import Window
-
-            w = Window.partitionBy("doc_id").orderBy("_src")
-            doc_stats = (
-                doc_stats.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_rn") == 1)
-                .drop("_src", "_rn")
-            )
-            total_docs = doc_stats.count()
-            stop_lit = F.array(*[F.lit(wd) for wd in sorted(STOP_WORDS)])
-            term_stats = build_term_stats(
-                postings.withColumn("is_stop", F.array_contains(stop_lit, F.col("term"))),
-                total_docs,
-            )
-        _write_version(state_dir, version, postings, doc_stats, term_stats, total_docs)
+            cur = {
+                "version": cur["version"] + 1,
+                "base": cur.get("base"),
+                "deltas": cur["deltas"] + [batch_id],
+                **({"legacy": True} if cur.get("legacy") else {}),
+            }
+        if len(cur["deltas"]) >= compact_every:
+            cur = _compact(spark, state_dir, cur)
+        _write_current(state_dir, cur)
 
     writer = (
         stream.writeStream.foreachBatch(_process)
@@ -158,7 +254,7 @@ def compact_to_segments(
     out_dir: str,
     n_partitions: int = 32,
 ):
-    """Compact the CURRENT incremental-index version into compressed query
+    """Compact the CURRENT incremental-index state into compressed query
     segments (index/segments layout) — the bridge from the streaming write
     path to the partition-pruned read path. Returns a segment-backed
     SearchIndex over the compacted segments.
@@ -174,7 +270,6 @@ def compact_to_segments(
         build_segments,
         segment_search_index,
     )
-    from ..operators.postings import build_term_dict
 
     cur = read_current_index(spark, state_dir)
     if cur is None:

@@ -169,3 +169,89 @@ def test_compact_streamed_index_to_segments(spark, tmp_path):
     assert {r["doc_id"] for r in res} == {"d1", "d3"}  # both batches served
     res2 = search(spark, sidx, "delta", k=10, mode="bm25").collect()
     assert [r["doc_id"] for r in res2] == ["d3"]
+
+
+def _dir_bytes(path):
+    import os
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_incremental_delta_io_bounded_by_batch(spark, tmp_path):
+    """Round-3 LSM guard: ingesting a SMALL batch after a LARGE one must
+    write O(small batch) bytes — a delta dir proportional to the batch —
+    not rewrite the whole index (the round-2 behavior). Also: the large
+    batch's delta is immutable (byte-identical after the second run)."""
+    import os
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    big = [(f"d{i}", f"token{i} alpha beta gamma delta " * 30) for i in range(200)]
+    spark.createDataFrame(big, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt).awaitTermination(180)
+    d0 = os.path.join(state, "delta", "b0")
+    b0_bytes = _dir_bytes(d0)
+    assert b0_bytes > 0
+
+    small = [("x1", "alpha omega"), ("x2", "beta omega")]
+    spark.createDataFrame(small, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt).awaitTermination(180)
+    assert _dir_bytes(d0) == b0_bytes  # delta 0 untouched
+    d1_bytes = _dir_bytes(os.path.join(state, "delta", "b1"))
+    # batch-2 write is bounded by the batch, not the index (200 docs vs 2)
+    assert d1_bytes < b0_bytes / 4
+    import json
+
+    with open(os.path.join(state, "CURRENT")) as f:
+        cur = json.load(f)
+    assert cur["base"] is None and cur["deltas"] == [0, 1]
+    # the folded read still serves both batches with I14 semantics
+    idx = read_current_index(spark, state)
+    assert idx["total_docs"] == 202
+    p = {
+        (r["term"], r["doc_id"]): r["tf"]
+        for r in idx["postings"].where(F.col("term") == "omega").collect()
+    }
+    assert p[("omega", "x1")] == 1 and p[("omega", "x2")] == 1
+
+
+def test_incremental_compaction_materializes_fold(spark, tmp_path):
+    """compact_every=2: after the second batch the deltas retire into a
+    base version and the read result is identical to the lazy fold (same
+    I14 semantics the two-batch test asserts)."""
+    import json
+    import math
+    import os
+
+    inp = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(BATCH1, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt, compact_every=2).awaitTermination(180)
+    spark.createDataFrame(BATCH2, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt, compact_every=2).awaitTermination(180)
+    with open(os.path.join(state, "CURRENT")) as f:
+        cur = json.load(f)
+    assert cur == {"version": 1, "base": 1, "deltas": []}
+    idx = read_current_index(spark, state)
+    assert idx["version"] == 1 and idx["total_docs"] == 3
+    p = {(r["term"], r["doc_id"]): r["tf"] for r in idx["postings"].collect()}
+    assert p[("alpha", "d1")] == 2          # I14: existing wins
+    assert ("changed", "d1") in p           # new term of re-seen doc appended
+    assert p[("delta", "d3")] == 1
+    ts = {r["term"]: r for r in idx["term_stats"].collect()}
+    assert ts["alpha"]["df"] == 2
+    assert abs(ts["alpha"]["idf"] - math.log(3 / 2)) < 1e-9
