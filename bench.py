@@ -100,6 +100,20 @@ def main() -> None:
         )
     timings["query_bm25_wand_x10"] = time.time() - t0
 
+    # q4b: executor-side doc-range-sharded top-k over the same pruned
+    # segments — no posting bytes ever reach the driver
+    from distributed_search_engine_spark.index.wand import distributed_topk
+
+    t0 = time.time()
+    for q in QUERY_SET:
+        terms = q.split()
+        seg = read_segments_for_terms(spark, seg_dir, terms, N_SEG_PARTS).select(
+            "term", "idf_bm25", "blocks"
+        )
+        distributed_topk(spark, seg, avgdl, 10, n_ranges=max(4, cores // 4),
+                         max_docnum=n_docs)
+    timings["query_wand_dist_x10"] = time.time() - t0
+
     # q5: full reference-mode scoring chain (DataFrame path)
     sidx = SearchIndex(
         postings=idx["postings"], term_stats=idx["term_stats"],
@@ -146,9 +160,54 @@ def main() -> None:
         big.count()  # materialize generation outside the timed window
         t0 = time.time()
         bidx = build_index(big, doc_id_col="doc_id", content_col="content")
+        bidx["postings"] = bidx["postings"].persist()
         n_big_postings = bidx["postings"].count()
         timings["index_build_60k"] = time.time() - t0
         big_docs_per_sec = n_big / timings["index_build_60k"]
+
+        # query stages against the 60k index (round-3: per-round query
+        # numbers on a non-trivial index, not just the 5k sf0.1 one)
+        bds = assign_docnums(bidx["doc_stats"], n_partitions=max(4, cores // 4)).persist()
+        bavgdl = float(bds.agg(F.avg("doc_len")).collect()[0][0])
+        bseg_dir = tempfile.mkdtemp(prefix="dse_segs60k_")
+        t0 = time.time()
+        build_segments(
+            bidx["postings"], bidx["term_stats"], bds, bseg_dir, bavgdl,
+            n_partitions=N_SEG_PARTS, batch_partitions=N_SEG_PARTS,
+        )
+        timings["segments_build_60k"] = time.time() - t0
+        t0 = time.time()
+        for q in QUERY_SET:
+            terms = q.split()
+            rows = [
+                r.asDict()
+                for r in read_segments_for_terms(spark, bseg_dir, terms, N_SEG_PARTS)
+                .select("idf_bm25", "blocks")
+                .collect()
+            ]
+            wand_topk(
+                [{"idf_bm25": r["idf_bm25"], "blocks": [b.asDict() for b in r["blocks"]]} for r in rows],
+                bavgdl, 10,
+            )
+        timings["query_wand_60k_x10"] = time.time() - t0
+        t0 = time.time()
+        for q in QUERY_SET:
+            terms = q.split()
+            seg = read_segments_for_terms(spark, bseg_dir, terms, N_SEG_PARTS).select(
+                "term", "idf_bm25", "blocks"
+            )
+            distributed_topk(spark, seg, bavgdl, 10, n_ranges=max(4, cores // 4),
+                             max_docnum=n_big)
+        timings["query_wand_dist_60k_x10"] = time.time() - t0
+        bsidx = SearchIndex(
+            postings=bidx["postings"], term_stats=bidx["term_stats"],
+            doc_stats=bidx["doc_stats"], term_dict=bidx["term_dict"],
+            total_docs=bidx["total_docs"],
+        ).cache_term_dict()
+        t0 = time.time()
+        search_bm25_batch(spark, bsidx, QUERY_SET, k=20).collect()
+        timings["query_bm25_batch_60k_x10"] = time.time() - t0
+        shutil.rmtree(bseg_dir, ignore_errors=True)
         big.unpersist()
         extra_big = {
             "n_docs_60k": n_big,

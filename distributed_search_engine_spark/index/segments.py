@@ -118,7 +118,7 @@ def assign_docnums(doc_stats: DataFrame, n_partitions: int = 32) -> DataFrame:
     return out
 
 
-def _encode_partition(batch_iter, avgdl: float):
+def _encode_partition(batch_iter, avgdl: float, rows_acc=None):
     """mapInArrow kernel over ONE term-hash partition: input batches are
     pre-sorted by (term, docnum) (sortWithinPartitions upstream), so term
     runs are contiguous; everything is numpy over zero-copy Arrow buffers —
@@ -133,6 +133,14 @@ def _encode_partition(batch_iter, avgdl: float):
     if n_rows == 0:
         return
     part = tbl.column("part").chunk(0).to_numpy(zero_copy_only=False)
+    if rows_acc is not None:
+        # manifest input_rows lineage metric, collected inside the encode
+        # job itself (round-2 ran a separate count aggregation per batch —
+        # a second full pass over the postings). Accumulator semantics are
+        # metrics-grade: a retried task could double-count, like the
+        # reference's stage timers (jobs/Indexer.java:1261-1265).
+        vals, counts = np.unique(part, return_counts=True)
+        rows_acc.add({int(p): int(c) for p, c in zip(vals, counts)})
     terms = tbl.column("term").chunk(0)
     docnums = tbl.column("docnum").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
     tfs_all = tbl.column("tf").chunk(0).to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -259,20 +267,29 @@ def build_segments(
         )
     ).persist()
 
+    from pyspark.accumulators import AccumulatorParam
+
+    class _DictSumParam(AccumulatorParam):
+        def zero(self, value):
+            return {}
+
+        def addInPlace(self, v1, v2):
+            for k, c in v2.items():
+                v1[k] = v1.get(k, 0) + c
+            return v1
+
+    sc = postings.sparkSession.sparkContext
     batches_done = 0
     for i in range(0, len(todo), batch_partitions):
         batch = todo[i : i + batch_partitions]
         t0 = time.time()
         sub = enriched.where(F.col("part").isin(batch))
-        input_rows = {
-            r["part"]: r["c"]
-            for r in sub.groupBy("part").agg(F.count(F.lit(1)).alias("c")).collect()
-        }
+        rows_acc = sc.accumulator({}, _DictSumParam())
         seg = (
             sub.repartition(max(2 * len(batch), 8), "part")
             .sortWithinPartitions("part", "term", "docnum")
             .mapInArrow(
-                lambda it: _encode_partition(it, avgdl),
+                lambda it: _encode_partition(it, avgdl, rows_acc),
                 schema="part int, " + SEGMENT_SCHEMA,
             )
         )
@@ -283,6 +300,7 @@ def build_segments(
             .parquet(out_dir + "/data")
         )
         wall_ms = int((time.time() - t0) * 1000)
+        input_rows = dict(rows_acc.value)
         rows = []
         for p in batch:
             pdir = os.path.join(out_dir, "data", f"part={p}")
@@ -308,16 +326,90 @@ def build_segments(
     enriched.unpersist()
 
 
+# --- driver-side twin of Spark's xxhash64(string) (XXH64, seed 42) -------
+# so mapping a query's terms to their part= directories costs zero Spark
+# jobs (round-2 launched a tiny job per interactive query just for this);
+# equality with F.xxhash64 is pytest-gated (test_segments.py)
+
+_XXH_MASK = (1 << 64) - 1
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _XXH_MASK
+
+
+def xxhash64_py(data: bytes, seed: int = 42) -> int:
+    """Signed-int64 XXH64 of ``data`` — bit-identical to Spark's
+    ``F.xxhash64`` on a string column (which hashes the UTF-8 bytes with
+    seed 42)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XXH_P1 + _XXH_P2) & _XXH_MASK
+        v2 = (seed + _XXH_P2) & _XXH_MASK
+        v3 = seed
+        v4 = (seed - _XXH_P1) & _XXH_MASK
+        while i <= n - 32:
+            lane = int.from_bytes(data[i : i + 8], "little")
+            v1 = (_rotl64((v1 + lane * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+            lane = int.from_bytes(data[i + 8 : i + 16], "little")
+            v2 = (_rotl64((v2 + lane * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+            lane = int.from_bytes(data[i + 16 : i + 24], "little")
+            v3 = (_rotl64((v3 + lane * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+            lane = int.from_bytes(data[i + 24 : i + 32], "little")
+            v4 = (_rotl64((v4 + lane * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _XXH_MASK
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl64((v * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+            h = (h * _XXH_P1 + _XXH_P4) & _XXH_MASK
+    else:
+        h = (seed + _XXH_P5) & _XXH_MASK
+    h = (h + n) & _XXH_MASK
+    while i <= n - 8:
+        lane = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl64((lane * _XXH_P2) & _XXH_MASK, 31) * _XXH_P1) & _XXH_MASK
+        h = (_rotl64(h, 27) * _XXH_P1 + _XXH_P4) & _XXH_MASK
+        i += 8
+    if i <= n - 4:
+        lane = int.from_bytes(data[i : i + 4], "little")
+        h ^= (lane * _XXH_P1) & _XXH_MASK
+        h = (_rotl64(h, 23) * _XXH_P2 + _XXH_P3) & _XXH_MASK
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XXH_P5) & _XXH_MASK
+        h = (_rotl64(h, 11) * _XXH_P1) & _XXH_MASK
+        i += 1
+    h ^= h >> 33
+    h = (h * _XXH_P2) & _XXH_MASK
+    h ^= h >> 29
+    h = (h * _XXH_P3) & _XXH_MASK
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def term_partition(term: str, n_partitions: int) -> int:
+    """part = pmod(xxhash64(term), n_partitions) — the segment layout key,
+    computed driver-side with zero Spark jobs."""
+    return ((xxhash64_py(term.encode("utf-8")) % n_partitions) + n_partitions) % n_partitions
+
+
 def read_segments_for_terms(
     spark: SparkSession, out_dir: str, terms: list[str], n_partitions: int = 32
 ) -> DataFrame:
     """Partition-pruned read: only the part= directories that can contain
-    the query terms are scanned (check .explain: partition filters on part)."""
+    the query terms are scanned (check .explain: partition filters on part).
+    Term->partition hashing runs driver-side (term_partition) so an
+    interactive query launches exactly one Spark job."""
     df = spark.read.parquet(out_dir + "/data")
-    parts_df = spark.createDataFrame([(t,) for t in terms], "term string").select(
-        F.pmod(F.xxhash64("term"), F.lit(n_partitions)).cast("int").alias("p")
-    )
-    parts = [r["p"] for r in parts_df.distinct().collect()]
+    parts = sorted({term_partition(t, n_partitions) for t in terms})
     return df.where(F.col("part").isin(parts) & F.col("term").isin(terms))
 
 

@@ -156,6 +156,124 @@ def wand_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, flo
     return [(-nd, s) for s, nd in out]
 
 
+def distributed_topk(
+    spark,
+    seg_df,
+    avgdl: float,
+    k: int,
+    n_ranges: int = 8,
+    max_docnum: int | None = None,
+):
+    """Executor-side BM25 top-k over pruned compressed segments — the
+    driver never touches posting bytes (round-2 wand_topk collected every
+    block to the driver; acceptable under the 20k/5k per-term caps, but
+    this removes the driver from the per-query data path entirely).
+
+    Plan shape (all sizes are per-QUERY, i.e. q terms' compressed lists):
+      1. posexplode blocks; first_docnum of block i = last_docnum of block
+         i-1 + 1 (blocks are consecutive chunks of a docnum-sorted list),
+         computed with a per-term lag window over <= q x n_blocks rows.
+      2. assign each block to every doc-range it overlaps (sequence +
+         explode — blocks stay ENCODED; shuffle volume = compressed bytes).
+      3. repartition by range_id: each docnum's full set of per-term
+         contributions lands in exactly one partition (straddling blocks
+         are masked to the range inside the kernel), so per-partition
+         vectorized BM25 accumulation + a local top-k heap is exact.
+      4. global TakeOrderedAndProject merge of the <= n_ranges x k rows.
+
+    Returns [(docnum, score)] == bruteforce_topk/wand_topk output order
+    (score desc, docnum asc). Scales by raising n_ranges with corpus size:
+    per-task work is (query posting bytes) / n_ranges.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    if max_docnum is None:
+        row = seg_df.agg(
+            F.max(F.expr("blocks[size(blocks) - 1].last_docnum")).alias("m")
+        ).collect()[0]
+        if row["m"] is None:
+            return []
+        max_docnum = int(row["m"])
+    range_size = max(1, (max_docnum + n_ranges) // n_ranges)
+
+    b = seg_df.select(
+        "term", "idf_bm25", F.posexplode("blocks").alias("bi", "block")
+    )
+    w = Window.partitionBy("term").orderBy("bi")
+    first = F.coalesce(
+        F.lag(F.col("block.last_docnum")).over(w) + 1, F.lit(0).cast("long")
+    )
+    sharded = (
+        b.withColumn("first_docnum", first)
+        .withColumn(
+            "range_id",
+            F.explode(
+                F.sequence(
+                    (F.col("first_docnum") / range_size).cast("int"),
+                    (F.col("block.last_docnum") / range_size).cast("int"),
+                )
+            ),
+        )
+        .select(
+            "range_id",
+            "idf_bm25",
+            F.col("block.docs").alias("docs"),
+            F.col("block.tfs").alias("tfs"),
+            F.col("block.dls").alias("dls"),
+        )
+    )
+
+    def _score_partition(batch_iter):
+        import pyarrow as pa
+
+        from .codec import decode_docnums, varint_decode
+
+        doc_chunks, score_chunks = [], []
+        for batch in batch_iter:
+            for r in batch.to_pylist():
+                docs = decode_docnums(bytes(r["docs"])).astype(np.int64)
+                lo = r["range_id"] * range_size
+                hi = lo + range_size
+                mask = (docs >= lo) & (docs < hi)
+                if not mask.any():
+                    continue
+                tfs = varint_decode(bytes(r["tfs"])).astype(np.float64)[mask]
+                dls = varint_decode(bytes(r["dls"])).astype(np.float64)[mask]
+                scores = (
+                    r["idf_bm25"]
+                    * tfs
+                    * (BM25_K1 + 1.0)
+                    / (tfs + BM25_K1 * (1.0 - BM25_B + BM25_B * dls / avgdl))
+                )
+                doc_chunks.append(docs[mask])
+                score_chunks.append(scores)
+        if not doc_chunks:
+            return
+        alldocs = np.concatenate(doc_chunks)
+        allscores = np.concatenate(score_chunks)
+        uniq, inv = np.unique(alldocs, return_inverse=True)
+        acc = np.zeros(len(uniq), dtype=np.float64)
+        np.add.at(acc, inv, allscores)
+        # local top-k, deterministic (score desc, docnum asc)
+        order = np.lexsort((uniq, -acc))[:k]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(uniq[order], type=pa.int64()),
+                pa.array(acc[order], type=pa.float64()),
+            ],
+            names=["docnum", "score"],
+        )
+
+    out = (
+        sharded.repartition(n_ranges, "range_id")
+        .mapInArrow(_score_partition, schema="docnum long, score double")
+        .orderBy(F.desc("score"), F.asc("docnum"))
+        .limit(k)
+    )
+    return [(int(r["docnum"]), float(r["score"])) for r in out.collect()]
+
+
 def bruteforce_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, float]]:
     """Reference implementation for differential testing: decode everything,
     accumulate, sort."""

@@ -159,3 +159,32 @@ def test_wand_exact_under_score_ties(seed):
         got = wand_topk(rows, avgdl, k)
         want = bruteforce_topk(rows, avgdl, k)
         assert got == want, (seed, k)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_distributed_topk_matches_bruteforce(seed, spark):
+    """Executor-side doc-range-sharded top-k == driver kernels, including
+    with blocks straddling range boundaries (range_size << block span) and
+    exact score ties resolved (score desc, docnum asc)."""
+    from distributed_search_engine_spark.index.wand import distributed_topk
+
+    rng = np.random.default_rng(seed)
+    avgdl = 120.0
+    rows = _make_seg_rows(
+        rng, n_terms=int(rng.integers(2, 5)), n_docs=5000, avgdl=avgdl
+    )
+    seg_schema = (
+        "term string, idf_bm25 double, "
+        "blocks array<struct<last_docnum: long, max_score: double, "
+        "docs: binary, tfs: binary, dls: binary>>"
+    )
+    seg_df = spark.createDataFrame(
+        [(r["term"], r["idf_bm25"], [tuple(b.values()) for b in r["blocks"]]) for r in rows],
+        seg_schema,
+    )
+    for k, n_ranges in ((1, 4), (10, 8), (100, 3)):
+        got = distributed_topk(spark, seg_df, avgdl, k, n_ranges=n_ranges)
+        want = bruteforce_topk(rows, avgdl, k)
+        assert [d for d, _ in got] == [d for d, _ in want], (seed, k, n_ranges)
+        for (d1, s1), (d2, s2) in zip(got, want):
+            assert abs(s1 - s2) < 1e-9

@@ -206,3 +206,34 @@ def test_segment_backed_search_plan_is_pruned(spark, built):
     plan = plan_of(search(spark, segged, "spark partition", k=10, mode="reference"))
     assert "PartitionFilters" in plan
     assert "part" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_xxhash64_py_matches_spark(spark):
+    """Driver-side term->partition hashing must be bit-identical to the
+    F.xxhash64 the segment writer partitions by."""
+    from distributed_search_engine_spark.index.segments import (
+        term_partition,
+        xxhash64_py,
+    )
+
+    terms = [
+        "", "a", "data", "spark", "alpha", "tok123", "x" * 7, "y" * 8,
+        "z" * 31, "w" * 32, "v" * 100, "café", "ümläut",
+    ]
+    df = spark.createDataFrame([(t,) for t in terms], "t string")
+    got = {r["t"]: r["h"] for r in df.select("t", F.xxhash64("t").alias("h")).collect()}
+    for t in terms:
+        assert xxhash64_py(t.encode("utf-8")) == got[t], t
+    for t in terms:
+        assert 0 <= term_partition(t, 8) < 8
+
+
+def test_manifest_input_rows_from_accumulator(built):
+    """input_rows still lands per partition (now via an accumulator inside
+    the encode job — no second counting pass) and sums to the total
+    posting rows."""
+    _, idx, ds, avgdl, seg_dir = built
+    done = read_manifest(seg_dir)
+    total = sum(row["input_rows"] for row in done.values())
+    assert total == idx["postings"].count()
+    assert all(row["input_rows"] >= 0 for row in done.values())
