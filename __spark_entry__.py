@@ -338,11 +338,20 @@ def _q_weighted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").cast("string").alias("doc_id"), _html_col().alias("html")
         )
         idx = build_weighted_index(docs, doc_id_col="doc_id", content_col="html")
-        _INDEX_CACHE[key] = idx["postings"].persist()
+        # title comes from doc_stats' HTML-aware extractTitle
+        # (jobs/Indexer.java:1404-1430) — hash-gated per posting row
+        _INDEX_CACHE[key] = (
+            idx["postings"]
+            .join(
+                F.broadcast(idx["doc_stats"].select("doc_id", "title")), "doc_id"
+            )
+            .persist()
+        )
     p = _INDEX_CACHE[key]
     return p.select(
         "term",
         "doc_id",
+        "title",
         "tf",
         F.round("weighted_tf", 6).alias("weighted_tf"),
         F.round("normalized_tf", 6).alias("normalized_tf"),

@@ -57,12 +57,23 @@ def is_worth_col(tok: Column) -> Column:
     )
 
 
+RE_TITLE_TAG = "(?is)<title[^>]*>(.*?)</title>"
+
+
 def title_col(content: Column) -> Column:
-    """First-line analog of the reference's <title> extraction
-    (jobs/Indexer.java:1418-1430): first 200 chars of the first line,
-    whitespace-collapsed."""
+    """Reference extractTitle (jobs/Indexer.java:1404-1430): when the
+    content carries an HTML <title> element, its inner text (tags
+    stripped) is the title; otherwise fall back to the first line (the
+    code-corpus rule — a source file's opening line). Either way:
+    whitespace-collapsed, trimmed, first 200 chars. The plain-text
+    fallback is byte-identical to the round-2 rule, so the unstemmed
+    doc-stats oracle over the tag-free synthetic corpus is unaffected."""
+    html_title = F.regexp_extract(content, RE_TITLE_TAG, 1)
     first_line = F.element_at(F.split(content, "\\n"), 1)
-    return F.substring(F.trim(F.regexp_replace(first_line, RE_WS, " ")), 1, TITLE_MAX_CHARS)
+    chosen = F.when(
+        html_title != "", F.regexp_replace(html_title, RE_HTML_TAGS, " ")
+    ).otherwise(first_line)
+    return F.substring(F.trim(F.regexp_replace(chosen, RE_WS, " ")), 1, TITLE_MAX_CHARS)
 
 
 # ---------------------------------------------------------------------------
@@ -163,9 +174,16 @@ def positioned_tokens_py(content: str) -> list[tuple[str, int]]:
     ]
 
 
+_P_TITLE_TAG = _re.compile(RE_TITLE_TAG)
+
+
 def title_py(content: str) -> str:
-    first_line = content.split("\n", 1)[0]
-    return _P_WS.sub(" ", first_line).strip()[:TITLE_MAX_CHARS]
+    m = _P_TITLE_TAG.search(content)
+    if m and m.group(1) != "":
+        chosen = _P_HTML.sub(" ", m.group(1))
+    else:
+        chosen = content.split("\n", 1)[0]
+    return _P_WS.sub(" ", chosen).strip()[:TITLE_MAX_CHARS]
 
 
 _P_SCRIPT_TAG = _re.compile(RE_SCRIPT_TAG)
@@ -210,6 +228,20 @@ DUCKDB_WORTH_PRED = (
 
 def duckdb_worth(tok: str) -> str:
     return DUCKDB_WORTH_PRED.format(t=tok)
+
+
+def duckdb_title_expr(col: str) -> str:
+    """DuckDB twin of title_col: <title> inner text (tags stripped) when
+    present, else first line; ws-collapsed, trimmed, 200 chars."""
+    tt = f"regexp_extract({col}, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    chosen = (
+        f"CASE WHEN {tt} <> '' THEN regexp_replace({tt}, '<[^>]*>', ' ', 'g') "
+        f"ELSE string_split({col}, chr(10))[1] END"
+    )
+    return (
+        f"substr(trim(regexp_replace({chosen}, '\\s+', ' ', 'g')), 1, "
+        f"{TITLE_MAX_CHARS})"
+    )
 
 
 def duckdb_visible_expr(col: str) -> str:

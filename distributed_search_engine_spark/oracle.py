@@ -15,7 +15,12 @@ goldens and rows-only queries() entries.
 from __future__ import annotations
 
 from .functions.stopwords import STOP_WORDS
-from .functions.text import MAX_DOC_CHARS, duckdb_tokens_expr, duckdb_worth
+from .functions.text import (
+    MAX_DOC_CHARS,
+    duckdb_title_expr,
+    duckdb_tokens_expr,
+    duckdb_worth,
+)
 from .query.engine import BM25_B, BM25_K1
 
 STOPS_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
@@ -86,9 +91,9 @@ termstats AS (
 """
 
 
-DOC_STATS_SQL = base_ctes() + """
+DOC_STATS_SQL = base_ctes() + f"""
 SELECT ds.doc_id, ds.doc_len, ds.max_tf,
-       substr(trim(regexp_replace(string_split(d.text, chr(10))[1], '\\s+', ' ', 'g')), 1, 200) AS title
+       {duckdb_title_expr('d.text')} AS title
 FROM docstats ds JOIN docs d USING (doc_id)
 """
 
@@ -294,14 +299,16 @@ wtf AS (
                      doc_id ASC)
           <= CASE WHEN list_contains([{STOPS_SQL}], term) THEN 5000 ELSE 20000 END
 )
-SELECT t.term, t.doc_id, t.tf,
+SELECT t.term, t.doc_id,
+       {duckdb_title_expr('d2.html')} AS title,
+       t.tf,
        round(t.weighted_tf, 6) AS weighted_tf,
        round(CASE WHEN t.weighted_tf > 0 AND d.max_tf > 0
                   THEN 0.4 + 0.6 * t.weighted_tf / d.max_tf ELSE 0.0 END, 6)
          AS normalized_tf,
        array_to_string(t.positions, ' ') AS positions,
        array_to_string(t.wmilli, ' ') AS weights_milli
-FROM wtf t JOIN docstats d USING (doc_id)
+FROM wtf t JOIN docstats d USING (doc_id) JOIN docs2 d2 USING (doc_id)
 """
 
 

@@ -192,3 +192,77 @@ def test_weighted_index_flows_into_reference_scoring(spark):
     assert math.isclose(
         p[("zeta", "a")]["normalized_tf"] * math.log(2 / 2), 0.0
     )
+
+
+def test_html_title_three_way_parity(spark):
+    """<title> extraction (jobs/Indexer.java:1404-1430): Spark Column,
+    Python twin and DuckDB expr agree on HTML, tag-noise titles, empty
+    titles (fallback) and plain text (first-line rule unchanged)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    cases = [
+        HTML,                                     # normal <title>
+        "<html><title> spaced \n title </title><body>x</body></html>",
+        "<html><TITLE>upper case tag</TITLE></html>",      # (?i)
+        "<html><title><b>inner</b> tags</title></html>",   # tags stripped
+        "<html><title></title><body>y</body></html>",      # empty -> fallback
+        "plain first line\nsecond line",                   # no html
+        "t" * 500,                                         # 200-char cap
+    ]
+    df = spark.createDataFrame(
+        [(str(i), c) for i, c in enumerate(cases)], "doc_id string, content string"
+    )
+    got_spark = {
+        r["doc_id"]: r["t"]
+        for r in df.select("doc_id", T.title_col(F.col("content")).alias("t")).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", __import__("pandas").DataFrame(
+        {"doc_id": [str(i) for i in range(len(cases))], "content": cases}
+    ))
+    got_duck = dict(
+        con.execute(
+            f"SELECT doc_id, {T.duckdb_title_expr('content')} FROM docs"
+        ).fetchall()
+    )
+    for i, c in enumerate(cases):
+        want = T.title_py(c)
+        assert got_spark[str(i)] == want, (i, got_spark[str(i)], want)
+        assert got_duck[str(i)] == want, (i, got_duck[str(i)], want)
+    assert T.title_py(HTML) == "My Doc Title"
+
+
+def test_title_boost_over_html_corpus(spark):
+    """End-to-end: an HTML corpus's <title> drives the Q11 title boost —
+    the doc whose title holds the query word first outranks an equal-tf
+    doc whose title lacks it."""
+    from distributed_search_engine_spark.operators.postings import (
+        build_weighted_index,
+    )
+    from distributed_search_engine_spark.query.engine import SearchIndex, search
+
+    mk = lambda title, body: (
+        f"<html><head><title>{title}</title></head><body><p>{body}</p></body></html>"
+    )
+    docs = spark.createDataFrame(
+        [
+            ("d1", mk("zeppelin guide", "zeppelin words words")),
+            ("d2", mk("other things", "zeppelin words words")),
+            ("d3", mk("unrelated", "nothing matching here")),  # keeps idf > 0
+        ],
+        "doc_id string, content string",
+    )
+    idx = build_weighted_index(docs, doc_id_col="doc_id", content_col="content")
+    assert {
+        r["doc_id"]: r["title"] for r in idx["doc_stats"].collect()
+    } == {"d1": "zeppelin guide", "d2": "other things", "d3": "unrelated"}
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    res = search(spark, sidx, "zeppelin", k=10, mode="reference").collect()
+    scores = {r["doc_id"]: r["score"] for r in res}
+    assert scores["d1"] > scores["d2"]  # 3.5x first-word title tier
