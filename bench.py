@@ -160,10 +160,13 @@ def main() -> None:
         big.count()  # materialize generation outside the timed window
         t0 = time.time()
         bidx = build_index(big, doc_id_col="doc_id", content_col="content")
-        bidx["postings"] = bidx["postings"].persist()
         n_big_postings = bidx["postings"].count()
         timings["index_build_60k"] = time.time() - t0
         big_docs_per_sec = n_big / timings["index_build_60k"]
+        # warm the cache for the query stages OUTSIDE the timed build (the
+        # build metric stays comparable with earlier rounds)
+        bidx["postings"] = bidx["postings"].persist()
+        bidx["postings"].count()
 
         # query stages against the 60k index (round-3: per-round query
         # numbers on a non-trivial index, not just the 5k sf0.1 one)
