@@ -194,10 +194,15 @@ def _segment_index(spark: SparkSession, sf_dir: str):
             idx["postings"], idx["term_stats"], ds, out, avgdl,
             n_partitions=16, batch_partitions=16,
         )
-        _INDEX_CACHE[key] = segment_search_index(
-            spark, out, ds, idx["term_stats"], idx["term_dict"],
-            idx["total_docs"], n_partitions=16,
-        )
+        _INDEX_CACHE[key] = {
+            "sidx": segment_search_index(
+                spark, out, ds, idx["term_stats"], idx["term_dict"],
+                idx["total_docs"], n_partitions=16,
+            ),
+            "seg_dir": out,
+            "ds": ds,
+            "avgdl": avgdl,
+        }
     return _INDEX_CACHE[key]
 
 
@@ -224,7 +229,7 @@ def _q_tfidf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # posting lookup is a partition-pruned compressed-segment read
     # (decode -> docnum join); shares search_tfidf_single's oracle SQL —
     # the segment round-trip must be score-invariant to the last 6dp
-    sidx = _segment_index(spark, sf_dir)
+    sidx = _segment_index(spark, sf_dir)["sidx"]
     res = search(
         spark, sidx, "data", k=1_000_000, mode="reference", use_title_boost=False
     )
@@ -232,12 +237,36 @@ def _q_tfidf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sidx = _segment_index(spark, sf_dir)
+    sidx = _segment_index(spark, sf_dir)["sidx"]
     res = search(
         spark, sidx, "data stream", k=1_000_000, mode="reference",
         use_title_boost=False,
     )
     return res.select("doc_id", F.round("score", 6).alias("score"))
+
+
+def _q_bm25_dist_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # executor-side doc-range-sharded BM25 top-k over the compressed
+    # segments (index/wand.distributed_topk) — the scale path where no
+    # posting bytes reach the driver — joined back docnum -> doc_id and
+    # hash-gated against a plain SQL BM25 top-k (rank ties: score desc,
+    # doc_id asc == docnum asc, since docnums are assigned in doc_id order)
+    from distributed_search_engine_spark.index.segments import (
+        read_segments_for_terms,
+    )
+    from distributed_search_engine_spark.index.wand import distributed_topk
+
+    seg = _segment_index(spark, sf_dir)
+    terms = ["data", "stream"]
+    sdf = read_segments_for_terms(spark, seg["seg_dir"], terms, 16).select(
+        "term", "idf_bm25", "blocks"
+    )
+    top = distributed_topk(spark, sdf, seg["avgdl"], k=10, n_ranges=4)
+    rows = [(int(d), float(s), i + 1) for i, (d, s) in enumerate(top)]
+    df = spark.createDataFrame(rows, "docnum long, score double, rank int")
+    return df.join(seg["ds"].select("doc_id", "docnum"), "docnum").select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
 
 
 def _q_pagerank_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,6 +468,12 @@ def _q_ann_ivf(spark, sf_dir):
 
 def _q_knn_join(spark, sf_dir):
     return S.knn_join(_emb(spark, sf_dir), k=5, n_dims=64)
+
+
+def _q_knn_join_probed(spark, sf_dir):
+    # multi-probe LSH (one-sided hamming-1 bucket probes): higher-recall
+    # neighbor lists from the same banding — oracle mirrors the probe
+    return S.knn_join(_emb(spark, sf_dir), k=5, n_dims=64, multi_probe=1)
 
 
 def _q_distinct_sketch(spark, sf_dir):
@@ -811,6 +846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_batch": _q_bm25_batch,
         "search_tfidf_segments": _q_tfidf_segments,
         "search_phrase_segments": _q_phrase_segments,
+        "search_bm25_dist_segments": _q_bm25_dist_segments,
         "pagerank_3iter": _q_pagerank,
         "pagerank_resume_3iter": _q_pagerank_resume,
         "pagerank_extracted_links": _q_pagerank_extracted,
@@ -827,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_top10": _q_ann_lsh,
         "ann_ivf_top10": _q_ann_ivf,
         "ann_knn_join": _q_knn_join,
+        "ann_knn_join_probed": _q_knn_join_probed,
         "text_distinct_sketch": _q_distinct_sketch,
         "text_lang_id": _q_lang_id,
         "text_quality_score": _q_quality,
@@ -865,6 +902,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_batch": oracle.bm25_batch_sql(BATCH_QUERIES, 10),
         "search_tfidf_segments": oracle.tfidf_single_sql("data"),
         "search_phrase_segments": oracle.and_phrase_sql("data", "stream"),
+        "search_bm25_dist_segments": oracle.bm25_topk_sql(["data", "stream"], 10),
         "pagerank_3iter": oracle.pagerank_sql(3),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
@@ -885,6 +923,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_bruteforce_top10": oracle.ann_bruteforce_sql(0, 10),
         "ann_lsh_top10": oracle.ann_lsh_sql(_lsh_plane_weights(), 0, 10),
         "ann_ivf_top10": oracle.ann_ivf_sql(0, 10, 16, 4),
+        "ann_knn_join_probed": oracle.knn_join_sql(
+            _lsh_plane_weights(D.NEARDUP_BANDS * D.NEARDUP_PLANES),
+            D.NEARDUP_BANDS,
+            D.NEARDUP_PLANES,
+            5,
+            multi_probe=1,
+        ),
         "ann_knn_join": oracle.knn_join_sql(
             _lsh_plane_weights(D.NEARDUP_BANDS * D.NEARDUP_PLANES),
             D.NEARDUP_BANDS,

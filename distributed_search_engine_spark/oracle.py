@@ -179,6 +179,32 @@ GROUP BY p.doc_id
 """
 
 
+def bm25_topk_sql(terms: list[str], k: int = 10) -> str:
+    """Ranked BM25 top-k twin of index/wand.distributed_topk over the
+    compressed segments (the executor-side scale path): same scores as
+    bm25_sql, row_number ties broken (score desc, doc_id asc) — docnum
+    order equals doc_id order by construction (segments.assign_docnums)."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    return base_ctes() + f""",
+scores AS (
+  SELECT p.doc_id,
+         sum(ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0)
+             / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.doc_len
+                / (SELECT avgdl FROM nstats)))) AS score
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scores
+)
+SELECT doc_id, round(score, 6) AS score, rank::int AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def bm25_batch_sql(queries: list[list[str]], k: int = 10) -> str:
     """Batch BM25 twin of engine.search_bm25_batch for stem-fixpoint query
     terms: per-query contrib UNION ALL, per-(query, doc) sum, per-query
@@ -530,26 +556,39 @@ def _bucket_sql(plane_ws: list[list[float]], vexpr: str = "v") -> str:
 
 
 def _emb_lsh_ctes(
-    plane_weights: list[list[float]], n_bands: int, n_planes: int
+    plane_weights: list[list[float]], n_bands: int, n_planes: int,
+    multi_probe: int = 0,
 ) -> str:
     """Shared banded/cand/scored CTE chain for the multi-band sign-LSH
     candidate generation — single source of truth for BOTH gated twins
     (embedding_neardup_lsh_sql and knn_join_sql); a banding or fold change
     here changes both, matching the Spark side where knn_join reuses
-    embedding_neardup."""
+    embedding_neardup. ``multi_probe=1`` mirrors the one-sided hamming-1
+    probe: side b of the self-join also emits every bucket with one sign
+    bit flipped (xor with 1<<p)."""
     band_selects = "\nUNION ALL\n".join(
         f"SELECT id, {b} AS band_id, "
         f"{_bucket_sql(plane_weights[b * n_planes:(b + 1) * n_planes])} AS bucket FROM v"
         for b in range(n_bands)
     )
+    if multi_probe >= 1:
+        flips = "\nUNION ALL\n".join(
+            f"SELECT id, band_id, xor(bucket, {1 << p}) AS bucket FROM banded"
+            for p in range(n_planes)
+        )
+        probe_cte = f",\nbanded_probe AS (\nSELECT id, band_id, bucket FROM banded\nUNION ALL\n{flips}\n)"
+        b_side = "banded_probe"
+    else:
+        probe_cte = ""
+        b_side = "banded"
     dot = _fold_sum("list_transform(generate_series(1, len(av)), i -> av[i] * bv[i])")
     na = f"sqrt({_fold_sum('list_transform(av, x -> x * x)')})"
     nb = f"sqrt({_fold_sum('list_transform(bv, x -> x * x)')})"
     return f""",
-banded AS ({band_selects}),
+banded AS ({band_selects}){probe_cte},
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM banded a JOIN banded b
+  FROM banded a JOIN {b_side} b
     ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.id < b.id
 ),
 pe AS (
@@ -617,12 +656,13 @@ SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank 
 
 
 def knn_join_sql(
-    plane_weights: list[list[float]], n_bands: int, n_planes: int, k: int = 5
+    plane_weights: list[list[float]], n_bands: int, n_planes: int, k: int = 5,
+    multi_probe: int = 0,
 ) -> str:
     """k-NN self-join twin of similarity.knn_join: same multi-band sign-LSH
     candidates as embedding_neardup_lsh_sql (shared _emb_lsh_ctes chain),
     mirrored to both directions, per-id rank window."""
-    return _VEC_CTE + _emb_lsh_ctes(plane_weights, n_bands, n_planes) + f""",
+    return _VEC_CTE + _emb_lsh_ctes(plane_weights, n_bands, n_planes, multi_probe) + f""",
 both_dirs AS (
   SELECT id_a AS id, id_b AS nb, cosine FROM scored
   UNION ALL
