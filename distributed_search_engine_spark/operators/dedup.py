@@ -11,7 +11,8 @@ Operators:
   minhash_signatures   — H min-hashes per doc (md5-derived, engine-portable)
   lsh_candidate_pairs  — banding -> bucket join -> distinct pairs
   jaccard_pairs        — exact n-gram jaccard for candidate (or all) pairs
-  simhash              — 32-bit majority-vote fingerprint + hamming pairs
+  simhash              — 64-bit majority-vote fingerprint + hamming pairs
+                         (multi-block pigeonhole candidate keys)
   embedding_neardup    — cosine-similar pairs over an embedding column
 """
 
