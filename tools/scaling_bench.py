@@ -136,6 +136,9 @@ def main() -> None:
         for h in history
     )
     rN, r4N, eff = headline["N"], headline["4N"], headline["scaling_efficiency"]
+    best_n_wall = min(h["N"]["wall_sec"] for h in valid or history)
+    best_4n_wall = min(h["4N"]["wall_sec"] for h in valid or history)
+    cross_eff = best_n_wall / best_4n_wall / 4.0
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers
 
@@ -170,6 +173,11 @@ host gives).
 | when | N wall (s) | 4N wall (s) | engine eff | host control eff | host-valid |
 |---|---|---|---|---|---|
 {hrows}
+
+An efficiency above 1.0 is itself noise (the N phase absorbed more
+residual steal than the 4N phase of the same run). The conservative
+cross-history estimate pairs the best N wall with the best 4N wall ever
+observed: eff = {best_n_wall} / {best_4n_wall} / 4 = {cross_eff:.3f}.
 
 Both levels take the best wall of the same number of identical runs: this
 KVM sandbox shows visible steal time with ~10-13% wall variance between
