@@ -170,9 +170,10 @@ def distributed_topk(
     this removes the driver from the per-query data path entirely).
 
     Plan shape (all sizes are per-QUERY, i.e. q terms' compressed lists):
-      1. posexplode blocks; first_docnum of block i = last_docnum of block
-         i-1 + 1 (blocks are consecutive chunks of a docnum-sorted list),
-         computed with a per-term lag window over <= q x n_blocks rows.
+      1. first_docnum of block i = last_docnum of block i-1 + 1 (blocks
+         are consecutive chunks of a docnum-sorted list), computed
+         MAP-SIDE with an indexed transform over the blocks array — no
+         window, no extra shuffle — then posexplode.
       2. assign each block to every doc-range it overlaps (sequence +
          explode — blocks stay ENCODED; shuffle volume = compressed bytes).
       3. repartition by range_id: each docnum's full set of per-term
@@ -180,13 +181,13 @@ def distributed_topk(
          are masked to the range inside the kernel), so per-partition
          vectorized BM25 accumulation + a local top-k heap is exact.
       4. global TakeOrderedAndProject merge of the <= n_ranges x k rows.
+    The only shuffles are the range repartition and the final k-row merge.
 
     Returns [(docnum, score)] == bruteforce_topk/wand_topk output order
     (score desc, docnum asc). Scales by raising n_ranges with corpus size:
     per-task work is (query posting bytes) / n_ranges.
     """
     import pyspark.sql.functions as F
-    from pyspark.sql import Window
 
     if max_docnum is None:
         row = seg_df.agg(
@@ -197,20 +198,23 @@ def distributed_topk(
         max_docnum = int(row["m"])
     range_size = max(1, (max_docnum + n_ranges) // n_ranges)
 
-    b = seg_df.select(
-        "term", "idf_bm25", F.posexplode("blocks").alias("bi", "block")
+    with_first = seg_df.select(
+        "idf_bm25",
+        F.expr(
+            "transform(blocks, (b, i) -> struct("
+            "CASE WHEN i = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE blocks[i - 1].last_docnum + 1 END AS first_docnum, "
+            "b.last_docnum AS last_docnum, "
+            "b.docs AS docs, b.tfs AS tfs, b.dls AS dls))"
+        ).alias("blocks"),
     )
-    w = Window.partitionBy("term").orderBy("bi")
-    first = F.coalesce(
-        F.lag(F.col("block.last_docnum")).over(w) + 1, F.lit(0).cast("long")
-    )
+    b = with_first.select("idf_bm25", F.explode("blocks").alias("block"))
     sharded = (
-        b.withColumn("first_docnum", first)
-        .withColumn(
+        b.withColumn(
             "range_id",
             F.explode(
                 F.sequence(
-                    (F.col("first_docnum") / range_size).cast("int"),
+                    (F.col("block.first_docnum") / range_size).cast("int"),
                     (F.col("block.last_docnum") / range_size).cast("int"),
                 )
             ),
