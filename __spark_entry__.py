@@ -484,6 +484,13 @@ def _q_lang_id(spark, sf_dir):
     return TA.lang_id(_capped_docs(spark, sf_dir))
 
 
+def _q_lang_id_ngram(spark, sf_dir):
+    # char-trigram Naive-Bayes language ID (add-1 smoothed, per-language
+    # models from LANG_TRAIN) — the real-classifier upgrade of the
+    # wordlist heuristic; oracle inlines the identical log-prob table
+    return TA.lang_id_ngram(_capped_docs(spark, sf_dir))
+
+
 def _q_quality(spark, sf_dir):
     return TA.quality_score(_capped_docs(spark, sf_dir))
 
@@ -866,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join_probed": _q_knn_join_probed,
         "text_distinct_sketch": _q_distinct_sketch,
         "text_lang_id": _q_lang_id,
+        "text_lang_id_ngram": _q_lang_id_ngram,
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
@@ -938,6 +946,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_distinct_sketch": oracle.distinct_sketch_sql(1024),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
+        "text_lang_id_ngram": oracle.lang_id_ngram_sql(
+            *TA.trigram_model(), TA.LANG_NGRAM_MIN_MATCH
+        ),
         "text_quality_score": oracle.quality_sql(),
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,
         "text_fingerprint": oracle.FINGERPRINT_SQL,

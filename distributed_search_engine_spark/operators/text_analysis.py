@@ -27,6 +27,149 @@ LANG_WORDLISTS: dict[str, list[str]] = {
 FINGERPRINT_MOD = 1_000_000_007
 BPE_ISH_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+# Training snippets for the char-trigram Naive-Bayes language scorer
+# (lang_id_ngram) — a real (if small) generative model, replacing the
+# wordlist heuristic's hard dependency on function-word hits. Both engines
+# tokenize the training text with the SAME tokenizer as the documents, so
+# the derived table is engine-neutral by construction.
+LANG_TRAIN: dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog and runs through the "
+        "green fields while the morning sun rises over the quiet hills "
+        "people often say that reading books is the best way to learn new "
+        "things about the world and its many wonderful places everyone "
+        "should try to write a little every day because practice makes "
+        "perfect and there is nothing better than doing the work yourself"
+    ),
+    "es": (
+        "el rapido zorro marron salta sobre el perro perezoso y corre por "
+        "los campos verdes mientras el sol de la manana sube sobre las "
+        "colinas tranquilas la gente dice que leer libros es la mejor "
+        "manera de aprender cosas nuevas sobre el mundo y sus muchos "
+        "lugares maravillosos todos deberian intentar escribir un poco "
+        "cada dia porque la practica hace al maestro y no hay nada mejor"
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux et "
+        "court dans les champs verts pendant que le soleil du matin se "
+        "leve sur les collines tranquilles les gens disent que lire des "
+        "livres est la meilleure facon de apprendre de nouvelles choses "
+        "sur le monde et ses nombreux endroits merveilleux tout le monde "
+        "devrait essayer de ecrire un peu chaque jour car la pratique"
+    ),
+    "de": (
+        "der schnelle braune fuchs springt uber den faulen hund und lauft "
+        "durch die grunen felder wahrend die morgensonne uber den stillen "
+        "hugeln aufgeht die leute sagen dass das lesen von buchern der "
+        "beste weg ist um neue dinge uber die welt und ihre vielen "
+        "wunderbaren orte zu lernen jeder sollte versuchen jeden tag ein "
+        "wenig zu schreiben denn ubung macht den meister und nichts ist"
+    ),
+}
+
+# below this matched-trigram ratio the doc is "unknown" (gibberish /
+# non-latin text shares almost no trigrams with any training snippet)
+LANG_NGRAM_MIN_MATCH = 0.2
+
+
+def trigram_model() -> tuple[list[tuple[str, str, float]], dict[str, float]]:
+    """Add-1-smoothed char-trigram log-probability table over the union
+    vocabulary of all training snippets, plus the per-language default
+    log-prob for unseen trigrams. Plain floats with full repr precision —
+    the SQL oracle inlines the identical literals, so both engines sum
+    the same doubles (6dp rounding absorbs sum-order ulps)."""
+    import math
+
+    from ..functions.text import tokenize_py
+
+    counts: dict[str, tuple[dict[str, int], int]] = {}
+    vocab: set[str] = set()
+    for lang, txt in LANG_TRAIN.items():
+        s = " ".join(tokenize_py(txt))
+        tris = [s[i : i + 3] for i in range(len(s) - 2)]
+        c: dict[str, int] = {}
+        for t in tris:
+            c[t] = c.get(t, 0) + 1
+        counts[lang] = (c, len(tris))
+        vocab |= set(c)
+    V = len(vocab)
+    table: list[tuple[str, str, float]] = []
+    default: dict[str, float] = {}
+    for lang in sorted(counts):
+        c, n = counts[lang]
+        default[lang] = math.log(1.0 / (n + V))
+        for t in sorted(vocab):
+            table.append((lang, t, math.log((c.get(t, 0) + 1.0) / (n + V))))
+    return table, default
+
+
+def lang_id_ngram(
+    docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(doc_id, predicted_lang, lang_score): argmax average char-trigram
+    log-likelihood under the add-1-smoothed per-language models
+    (trigram_model). Docs with no trigrams, or whose matched-trigram ratio
+    is below LANG_NGRAM_MIN_MATCH, are 'unknown'.
+
+    Physical shape: normalize (tokenize + single-space join) map-side,
+    explode trigrams, ONE broadcast join against the ~4xV-row model table,
+    groupBy (doc, lang) partial-agg sums, tiny per-doc argmax window."""
+    table, default = trigram_model()
+    spark = docs.sparkSession
+    tbl = spark.createDataFrame(table, "lang string, tri string, logp double")
+    dflt = spark.createDataFrame(
+        sorted(default.items()), "lang string, dflt double"
+    )
+    c = F.col(content_col)
+    s_df = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.concat_ws(" ", T.tokens_col(c)).alias("s"),
+    )
+    tri = (
+        s_df.where(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("s") - 2),
+                    lambda i: F.col("s").substr(i, F.lit(3)),
+                )
+            ).alias("tri"),
+        )
+    )
+    n_tri = tri.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    matched = (
+        tri.join(F.broadcast(tbl), "tri")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("logp").alias("m"), F.count(F.lit(1)).alias("mc"))
+    )
+    scored = (
+        n_tri.crossJoin(F.broadcast(dflt))
+        .join(matched, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                (F.coalesce(F.col("m"), F.lit(0.0))
+                 + (F.col("n") - F.coalesce(F.col("mc"), F.lit(0))) * F.col("dflt"))
+                / F.col("n")
+            ).alias("score"),
+            (F.coalesce(F.col("mc"), F.lit(0)) / F.col("n")).alias("match_ratio"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .where(F.col("match_ratio") >= LANG_NGRAM_MIN_MATCH)
+    )
+    all_docs = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    return all_docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("lang"), F.lit("unknown")).alias("predicted_lang"),
+        F.round(F.coalesce(F.col("score"), F.lit(0.0)), 6).alias("lang_score"),
+    )
+
 
 def _tok_df(docs: DataFrame, doc_id_col: str, content_col: str) -> DataFrame:
     return docs.select(

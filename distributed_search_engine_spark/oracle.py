@@ -767,6 +767,60 @@ FROM docs d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """
 
 
+def lang_id_ngram_sql(
+    table: list[tuple[str, str, float]],
+    default: dict[str, float],
+    min_match: float,
+) -> str:
+    """Char-trigram Naive-Bayes twin of text_analysis.lang_id_ngram: the
+    identical add-1-smoothed log-prob literals (full-precision repr) are
+    inlined, so both engines sum the same doubles; trigrams come from the
+    same tokenize-and-space-join normalization as the Spark side."""
+    toks = duckdb_tokens_expr("text")
+    tbl_vals = ", ".join(
+        f"('{lang}', '{tri}', {logp!r})" for lang, tri, logp in table
+    )
+    dflt_vals = ", ".join(
+        f"('{lang}', {d!r})" for lang, d in sorted(default.items())
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id::varchar AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+),
+s AS (SELECT doc_id, array_to_string({toks}, ' ') AS s FROM docs),
+pos AS (
+  SELECT doc_id, s, unnest(generate_series(1, length(s) - 2)) AS i
+  FROM s WHERE length(s) >= 3
+),
+tri AS (SELECT doc_id, substr(s, i::int, 3) AS tri FROM pos),
+tbl(lang, tri, logp) AS (VALUES {tbl_vals}),
+dflt(lang, d) AS (VALUES {dflt_vals}),
+n AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY 1),
+matched AS (
+  SELECT t.doc_id, b.lang, sum(b.logp) AS m, count(*) AS mc
+  FROM tri t JOIN tbl b USING (tri) GROUP BY 1, 2
+),
+scored AS (
+  SELECT n.doc_id, d.lang,
+         (coalesce(ma.m, 0.0) + (n.n - coalesce(ma.mc, 0)) * d.d) / n.n AS score,
+         coalesce(ma.mc, 0) / n.n AS mr
+  FROM n CROSS JOIN dflt d
+  LEFT JOIN matched ma ON ma.doc_id = n.doc_id AND ma.lang = d.lang
+),
+best AS (
+  SELECT doc_id, lang, score, mr,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+  FROM scored
+),
+sel AS (SELECT * FROM best WHERE rn = 1 AND mr >= {min_match})
+SELECT d.doc_id,
+       coalesce(sel.lang, 'unknown') AS predicted_lang,
+       round(coalesce(sel.score, 0.0), 6) AS lang_score
+FROM docs d LEFT JOIN sel USING (doc_id)
+"""
+
+
 QUALITY_SQL = base_ctes() + """,
 tk AS (
   SELECT doc_id,

@@ -434,3 +434,24 @@ def test_auto_n_planes_scales_with_corpus():
     assert D.auto_n_planes(10**12) == 34
     assert D.auto_n_blocks(3) == 6              # C(6,3)=20 combos, 32-bit keys
     assert D.auto_n_blocks(0) == 3
+
+
+def test_lang_id_ngram_classifies_and_rejects_gibberish(spark):
+    """Char-trigram NB model: correct language on held-out sentences that
+    share no full words requirement with the wordlist heuristic, and
+    'unknown' on gibberish / empty (match-ratio threshold)."""
+    docs = spark.createDataFrame(
+        [
+            ("1", "this sentence was never in the training text but looks english"),
+            ("2", "esta frase nunca estuvo en el texto pero parece espanola"),
+            ("3", "cette phrase nouvelle ressemble beaucoup au francais"),
+            ("4", "diese neue satzprobe sieht ziemlich deutsch aus"),
+            ("5", "zzz qqq xxx vvv kkk"),
+            ("6", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["predicted_lang"] for r in TA.lang_id_ngram(docs).collect()}
+    assert out["1"] == "en" and out["2"] == "es"
+    assert out["3"] == "fr" and out["4"] == "de"
+    assert out["5"] == "unknown" and out["6"] == "unknown"
