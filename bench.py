@@ -210,6 +210,20 @@ def main() -> None:
         t0 = time.time()
         search_bm25_batch(spark, bsidx, QUERY_SET, k=20).collect()
         timings["query_bm25_batch_60k_x10"] = time.time() - t0
+        # same batch through the SEGMENT-backed index: postings arrive via
+        # partition-pruned compressed-segment decode — the path that holds
+        # at 100 TB, where the logical postings can't live in memory
+        from distributed_search_engine_spark.index.segments import (
+            segment_search_index,
+        )
+
+        bseg_sidx = segment_search_index(
+            spark, bseg_dir, bds, bidx["term_stats"], bidx["term_dict"],
+            bidx["total_docs"], n_partitions=N_SEG_PARTS,
+        ).cache_term_dict()
+        t0 = time.time()
+        search_bm25_batch(spark, bseg_sidx, QUERY_SET, k=20).collect()
+        timings["query_bm25_batch_60k_seg_x10"] = time.time() - t0
         shutil.rmtree(bseg_dir, ignore_errors=True)
         big.unpersist()
         extra_big = {
