@@ -91,6 +91,49 @@ def decode_ppm(data: bytes) -> tuple[np.ndarray, int, int]:
     return px.reshape(h, w, 3), w, h
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BGR byte order, bottom-up rows, rows padded to 4 bytes)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    bgr = np.ascontiguousarray(pixels[::-1, :, ::-1], dtype=np.uint8)  # bottom-up, BGR
+    if pad:
+        rows = np.zeros((h, row_raw + pad), dtype=np.uint8)
+        rows[:, :row_raw] = bgr.reshape(h, row_raw)
+        body = rows.tobytes()
+    else:
+        body = bgr.tobytes()
+    off = 14 + 40
+    hdr = (
+        b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    )
+    return hdr + body
+
+
+def decode_bmp(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Uncompressed 24-bit BMP -> ((h, w, 3) uint8 RGB, width, height).
+    Handles both bottom-up (positive height) and top-down (negative
+    height) row order and 4-byte row padding."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    off = struct.unpack("<I", data[10:14])[0]
+    hdr_size, w, h = struct.unpack("<Iii", data[14:26])
+    planes, bpp, compression = struct.unpack("<HHI", data[26:34])
+    if hdr_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BITMAPINFOHEADER BMPs")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(data, dtype=np.uint8, count=stride * h, offset=off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return np.ascontiguousarray(rows[:, :, ::-1]), w, h  # BGR -> RGB
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """Mono int16 samples -> RIFF/WAVE PCM16."""
     s = np.ascontiguousarray(samples, dtype="<i2")
@@ -136,6 +179,9 @@ def decode_real(data: bytes, kind: str):
     pyav/ffmpeg (video), which this container does not ship."""
     if kind == "image" and data[:2] == b"P6":
         px, w, h = decode_ppm(data)
+        return px.reshape(-1), w, h, 1
+    if kind == "image" and data[:2] == b"BM":
+        px, w, h = decode_bmp(data)
         return px.reshape(-1), w, h, 1
     if kind == "audio" and data[:4] == b"RIFF":
         s, rate, ch = decode_wav(data)

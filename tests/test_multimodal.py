@@ -128,3 +128,56 @@ def test_compressed_formats_still_raise(spark):
 
     with pytest.raises(NotImplementedError):
         decode_real(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_bmp_roundtrip_padding_and_row_order():
+    """24-bit BMP codec: byte-exact roundtrip at widths that do and do not
+    need 4-byte row padding, plus a hand-built top-down (negative height)
+    variant."""
+    import struct
+
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(3)
+    for w in (4, 5, 6, 7):  # strides 12, 16(pad 1), 20(pad 2), 24(pad 3)... 15->16, 18->20, 21->24
+        img = rng.integers(0, 256, size=(3, w, 3), dtype=np.uint8)
+        blob = encode_bmp(img)
+        out, ww, hh = decode_bmp(blob)
+        assert (ww, hh) == (w, 3)
+        assert np.array_equal(out, img)
+    # top-down: flip the height sign and the row order in the body
+    img = rng.integers(0, 256, size=(2, 4, 3), dtype=np.uint8)
+    blob = bytearray(encode_bmp(img))
+    h = struct.unpack("<i", blob[22:26])[0]
+    blob[22:26] = struct.pack("<i", -h)
+    off = struct.unpack("<I", blob[10:14])[0]
+    stride = 4 * 3
+    body = bytes(blob[off:])
+    rows = [body[i * stride:(i + 1) * stride] for i in range(2)]
+    blob[off:] = b"".join(reversed(rows))
+    out, ww, hh = decode_bmp(bytes(blob))
+    assert np.array_equal(out, img)
+
+
+def test_extract_features_from_bmp_blob(spark):
+    """The mapInPandas feature extractor consumes a real BMP through the
+    magic dispatch, same as PPM."""
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        encode_bmp,
+        extract_features,
+    )
+
+    img = np.full((4, 6, 3), 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [("b1", "image", bytearray(encode_bmp(img)))],
+        "doc_id string, kind string, data binary",
+    )
+    row = extract_features(df).collect()[0]
+    assert row["feat_mean"] == 100.0 and row["feat_std"] == 0.0
