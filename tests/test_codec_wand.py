@@ -188,3 +188,27 @@ def test_distributed_topk_matches_bruteforce(seed, spark):
         assert [d for d, _ in got] == [d for d, _ in want], (seed, k, n_ranges)
         for (d1, s1), (d2, s2) in zip(got, want):
             assert abs(s1 - s2) < 1e-9
+
+
+def test_distributed_topk_edge_cases(spark):
+    """Empty segment set -> []; k larger than corpus -> all docs ranked;
+    single-term single-block input."""
+    from distributed_search_engine_spark.index.wand import distributed_topk
+
+    seg_schema = (
+        "term string, idf_bm25 double, "
+        "blocks array<struct<last_docnum: long, max_score: double, "
+        "docs: binary, tfs: binary, dls: binary>>"
+    )
+    empty = spark.createDataFrame([], seg_schema)
+    assert distributed_topk(spark, empty, 100.0, 10) == []
+
+    rng = np.random.default_rng(9)
+    rows = _make_seg_rows(rng, n_terms=1, n_docs=50, avgdl=100.0)
+    seg_df = spark.createDataFrame(
+        [(r["term"], r["idf_bm25"], [tuple(b.values()) for b in r["blocks"]]) for r in rows],
+        seg_schema,
+    )
+    got = distributed_topk(spark, seg_df, 100.0, 10_000, n_ranges=3)
+    want = bruteforce_topk(rows, 100.0, 10_000)
+    assert [d for d, _ in got] == [d for d, _ in want]

@@ -455,3 +455,36 @@ def test_lang_id_ngram_classifies_and_rejects_gibberish(spark):
     assert out["1"] == "en" and out["2"] == "es"
     assert out["3"] == "fr" and out["4"] == "de"
     assert out["5"] == "unknown" and out["6"] == "unknown"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pigeonhole_property_random_fingerprints(spark, seed):
+    """Property: banded == exact for random 64-bit fingerprints across
+    max_hamming radii (auto block counts m=h+3 and the m=h+1 fallback)."""
+    import random
+
+    rng = random.Random(seed)
+    unsigned = []
+    for i in range(80):
+        v = rng.getrandbits(64)
+        # plant some near-dups of earlier docs (XOR in unsigned space)
+        if i % 7 == 0 and unsigned:
+            base = unsigned[rng.randrange(len(unsigned))]
+            v = base ^ (1 << rng.randrange(64)) ^ (1 << rng.randrange(64))
+        unsigned.append(v)
+    rows = [
+        (str(i), v - (1 << 64) if v >= 1 << 63 else v)
+        for i, v in enumerate(unsigned)
+    ]
+    sim = spark.createDataFrame(rows, "doc_id string, simhash long").persist()
+    for mh in (1, 2, 4, 5):
+        banded = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in D.simhash_pairs(sim, max_hamming=mh).collect()
+        }
+        exact = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in D.simhash_pairs(sim, max_hamming=mh, exact=True).collect()
+        }
+        assert banded == exact, (seed, mh)
+    sim.unpersist()
