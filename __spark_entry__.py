@@ -484,6 +484,35 @@ def _q_lang_id(spark, sf_dir):
     return TA.lang_id(_capped_docs(spark, sf_dir))
 
 
+def _q_pii(spark, sf_dir):
+    # PII scrub: deterministically augment each doc with doc-derived
+    # email/ip + a fixed phone (the synthetic corpus has no real PII),
+    # then count + redact — clean_text/counts hash-gated per doc
+    docs = _capped_docs(spark, sf_dir)
+    aug = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id").cast("int") % 256).cast("string"),
+            F.lit(".7 call +1 555 123 4567"),
+        ).alias("text"),
+    )
+    return TA.redact_pii(aug)
+
+
+def _q_repetition(spark, sf_dir):
+    # Gopher/C4 repetition signals over line-doubled docs (deterministic
+    # duplicate lines so dup_line_ratio is non-trivial)
+    docs = _capped_docs(spark, sf_dir)
+    doubled = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.col("text"), F.lit("\n"), F.col("text")).alias("text"),
+    )
+    return TA.repetition_stats(doubled)
+
+
 def _q_lang_id_ngram(spark, sf_dir):
     # char-trigram Naive-Bayes language ID (add-1 smoothed, per-language
     # models from LANG_TRAIN) — the real-classifier upgrade of the
@@ -874,6 +903,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinct_sketch": _q_distinct_sketch,
         "text_lang_id": _q_lang_id,
         "text_lang_id_ngram": _q_lang_id_ngram,
+        "text_pii_redact": _q_pii,
+        "text_repetition_stats": _q_repetition,
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
@@ -946,6 +977,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_distinct_sketch": oracle.distinct_sketch_sql(1024),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
+        "text_pii_redact": oracle.pii_sql(),
+        "text_repetition_stats": oracle.repetition_sql(),
         "text_lang_id_ngram": oracle.lang_id_ngram_sql(
             *TA.trigram_model(), TA.LANG_NGRAM_MIN_MATCH
         ),

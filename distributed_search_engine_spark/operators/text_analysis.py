@@ -264,6 +264,98 @@ def token_counts(
     )
 
 
+# PII patterns (RE2/Java/DuckDB-compatible: no backrefs, no lookaround).
+# Deliberately conservative — a production pipeline would tune these; the
+# operator shape (count + redact in one JVM-side pass) is the point.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+PII_IP_RE = (
+    "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+)
+
+
+def redact_pii(
+    docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(doc_id, clean_text, n_emails, n_phones, n_ips): count and redact
+    emails / phone numbers / IPv4 addresses — the standard pre-training
+    scrub pass. One map stage, all JVM-side regexes (no Python, no
+    shuffle); order of redaction is email -> phone -> ip so the counts
+    refer to the ORIGINAL text (counted before any rewriting)."""
+    c = F.col(content_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0)))
+    n_ips = F.size(F.regexp_extract_all(c, F.lit(PII_IP_RE), F.lit(0)))
+    clean = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "<PHONE>")
+    clean = F.regexp_replace(clean, PII_IP_RE, "<IP>")
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        clean.alias("clean_text"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_lines, dup_line_ratio, top_token_ratio, top_bigram_ratio):
+    Gopher/C4-style repetition signals for corpus filtering (Rae et al.
+    2021 §A1.1): fraction of non-empty lines that are duplicates of an
+    earlier line, and the fraction of tokens covered by the most frequent
+    token / adjacent bigram. All computed with groupBy partial aggregation
+    on (doc, line|token|bigram) keys — no windows over whole documents."""
+    ids = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"), F.col(content_col).alias("_c"))
+    lines = ids.select(
+        "doc_id", F.explode(F.split("_c", "\\n")).alias("line")
+    ).where(F.trim("line") != "")
+    line_stats = (
+        lines.groupBy("doc_id", "line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_lines"),
+            (F.sum("c") - F.count(F.lit(1))).alias("dup_lines"),
+        )
+    )
+    toks = _tok_df(docs, doc_id_col, content_col)
+    tok_top = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_toks"), F.max("c").alias("top_tok"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id", "pos", F.concat_ws(" ", "tok", F.lead("tok").over(w)).alias("bigram"),
+        F.lead("tok").over(w).alias("_nxt"),
+    ).where(F.col("_nxt").isNotNull())
+    bi_top = (
+        bi.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bi"), F.max("c").alias("top_bi"))
+    )
+    all_docs = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    out = (
+        all_docs.join(line_stats, "doc_id", "left")
+        .join(tok_top, "doc_id", "left")
+        .join(bi_top, "doc_id", "left")
+    )
+    ratio = lambda num, den: F.when(
+        F.coalesce(F.col(den), F.lit(0)) > 0, F.col(num) / F.col(den)
+    ).otherwise(0.0)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("int").alias("n_lines"),
+        F.round(ratio("dup_lines", "n_lines"), 6).alias("dup_line_ratio"),
+        F.round(ratio("top_tok", "n_toks"), 6).alias("top_token_ratio"),
+        F.round(ratio("top_bi", "n_bi"), 6).alias("top_bigram_ratio"),
+    )
+
+
 def fingerprint(
     docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
 ) -> DataFrame:

@@ -821,6 +821,90 @@ FROM docs d LEFT JOIN sel USING (doc_id)
 """
 
 
+def pii_sql() -> str:
+    """Twin of text_analysis.redact_pii over deterministically PII-augmented
+    docs (the synthetic corpus carries no real PII, so both engines append
+    the same doc-derived email/ip/phone before scrubbing). Counts are on
+    the ORIGINAL (augmented) text; redaction order email -> phone -> ip.
+    DuckDB regexp_replace needs the explicit 'g' flag (Spark's is global
+    by default)."""
+    from .operators.text_analysis import PII_EMAIL_RE, PII_IP_RE, PII_PHONE_RE
+
+    aug = (
+        "(text || ' contact user' || doc_id || '@example.com or 10.0.' || "
+        "(doc_id::int % 256)::varchar || '.7 call +1 555 123 4567')"
+    )
+    clean = (
+        f"regexp_replace(regexp_replace(regexp_replace(t, '{PII_EMAIL_RE}', "
+        f"'<EMAIL>', 'g'), '{PII_PHONE_RE}', '<PHONE>', 'g'), '{PII_IP_RE}', "
+        f"'<IP>', 'g')"
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id::varchar AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+),
+a AS (SELECT doc_id, {aug} AS t FROM docs)
+SELECT doc_id,
+       {clean} AS clean_text,
+       len(regexp_extract_all(t, '{PII_EMAIL_RE}'))::int AS n_emails,
+       len(regexp_extract_all(t, '{PII_PHONE_RE}'))::int AS n_phones,
+       len(regexp_extract_all(t, '{PII_IP_RE}'))::int AS n_ips
+FROM a
+"""
+
+
+def repetition_sql() -> str:
+    """Twin of text_analysis.repetition_stats over line-doubled docs
+    (text || newline || text — deterministic duplicate lines so the
+    dup-line signal is non-trivial on the synthetic corpus)."""
+    toks = duckdb_tokens_expr("t")
+    return f"""
+WITH docs AS (
+  SELECT doc_id::varchar AS doc_id, text FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+),
+a AS (SELECT doc_id, (text || chr(10) || text) AS t FROM docs),
+lines AS (
+  SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM a
+),
+nl AS (SELECT doc_id, line FROM lines WHERE trim(line) <> ''),
+line_stats AS (
+  SELECT doc_id, sum(c)::bigint AS n_lines, (sum(c) - count(*))::bigint AS dup_lines
+  FROM (SELECT doc_id, line, count(*) AS c FROM nl GROUP BY 1, 2) GROUP BY 1
+),
+tokarr AS (SELECT doc_id, {toks} AS toks FROM a),
+tokstream AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM tokarr
+),
+tk AS (SELECT doc_id, tok, pos FROM tokstream WHERE tok <> ''),
+tok_top AS (
+  SELECT doc_id, sum(c)::bigint AS n_toks, max(c)::bigint AS top_tok
+  FROM (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2) GROUP BY 1
+),
+bi AS (
+  SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+  FROM tk
+),
+bi_top AS (
+  SELECT doc_id, sum(c)::bigint AS n_bi, max(c)::bigint AS top_bi
+  FROM (SELECT doc_id, bigram, count(*) AS c FROM bi WHERE nxt IS NOT NULL GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ls.n_lines, 0)::int AS n_lines,
+       round(CASE WHEN coalesce(ls.n_lines, 0) > 0 THEN ls.dup_lines / ls.n_lines ELSE 0.0 END, 6) AS dup_line_ratio,
+       round(CASE WHEN coalesce(tt.n_toks, 0) > 0 THEN tt.top_tok / tt.n_toks ELSE 0.0 END, 6) AS top_token_ratio,
+       round(CASE WHEN coalesce(bt.n_bi, 0) > 0 THEN bt.top_bi / bt.n_bi ELSE 0.0 END, 6) AS top_bigram_ratio
+FROM docs d
+LEFT JOIN line_stats ls USING (doc_id)
+LEFT JOIN tok_top tt USING (doc_id)
+LEFT JOIN bi_top bt USING (doc_id)
+"""
+
+
 QUALITY_SQL = base_ctes() + """,
 tk AS (
   SELECT doc_id,

@@ -488,3 +488,39 @@ def test_pigeonhole_property_random_fingerprints(spark, seed):
         }
         assert banded == exact, (seed, mh)
     sim.unpersist()
+
+
+def test_redact_pii(spark):
+    docs = spark.createDataFrame(
+        [
+            ("1", "mail a.b+c@test.org and 192.168.0.1 or call +1 555 123 4567 now"),
+            ("2", "no pii here at all"),
+            ("3", "two mails x@y.io z@w.co one ip 10.0.0.7"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in TA.redact_pii(docs).collect()}
+    assert out["1"]["n_emails"] == 1 and out["1"]["n_ips"] == 1 and out["1"]["n_phones"] == 1
+    assert "<EMAIL>" in out["1"]["clean_text"] and "<IP>" in out["1"]["clean_text"]
+    assert "<PHONE>" in out["1"]["clean_text"]
+    assert "test.org" not in out["1"]["clean_text"]
+    assert out["2"]["clean_text"] == "no pii here at all"
+    assert out["2"]["n_emails"] == out["2"]["n_phones"] == out["2"]["n_ips"] == 0
+    assert out["3"]["n_emails"] == 2 and out["3"]["n_ips"] == 1
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            ("1", "same line\nsame line\nother line"),   # 1 dup of 3 lines
+            ("2", "aa aa aa aa bb"),                      # top token 4/5, top bigram 3/4
+            ("3", ""),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in TA.repetition_stats(docs).collect()}
+    assert out["1"]["n_lines"] == 3
+    assert out["1"]["dup_line_ratio"] == round(1 / 3, 6)
+    assert out["2"]["top_token_ratio"] == 0.8
+    assert out["2"]["top_bigram_ratio"] == 0.75  # 'aa aa' x3 of 4 bigrams
+    assert out["3"]["n_lines"] == 0 and out["3"]["dup_line_ratio"] == 0.0
