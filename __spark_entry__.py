@@ -484,6 +484,14 @@ def _q_lang_id(spark, sf_dir):
     return TA.lang_id(_capped_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    # benchmark-decontamination pass: flag training docs sharing any
+    # trigram with the "benchmark" subset (doc_id < 25 of the same table)
+    docs = _capped_docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id").cast("int") < 25)
+    return D.decontaminate(docs, bench, n=3)
+
+
 def _q_pii(spark, sf_dir):
     # PII scrub: deterministically augment each doc with doc-derived
     # email/ip + a fixed phone (the synthetic corpus has no real PII),
@@ -903,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinct_sketch": _q_distinct_sketch,
         "text_lang_id": _q_lang_id,
         "text_lang_id_ngram": _q_lang_id_ngram,
+        "dedup_decontaminate": _q_decontaminate,
         "text_pii_redact": _q_pii,
         "text_repetition_stats": _q_repetition,
         "text_quality_score": _q_quality,
@@ -977,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_distinct_sketch": oracle.distinct_sketch_sql(1024),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
+        "dedup_decontaminate": oracle.decontaminate_sql(25, 3),
         "text_pii_redact": oracle.pii_sql(),
         "text_repetition_stats": oracle.repetition_sql(),
         "text_lang_id_ngram": oracle.lang_id_ngram_sql(

@@ -191,6 +191,46 @@ def jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    n: int = DEFAULT_SHINGLE_N,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_hit_shingles, hit_ratio, contaminated): flag training
+    docs sharing any word n-gram with a benchmark/eval set — the standard
+    pre-training decontamination pass (e.g. GPT-3 appendix C: 13-gram
+    overlap; n is a parameter, tests use small n on tiny fixtures).
+
+    Plan shape: shingle both sides, distinct the benchmark's shingle set
+    (small — broadcast when it fits), ONE equi-join on the shingle, per-doc
+    counts vs the doc's total shingles. No pairwise doc join: work is
+    O(|train shingles| + |bench shingles|) plus the join on matching
+    shingles only."""
+    t_sh = shingles(train, n, doc_id_col, content_col)
+    b_sh = shingles(bench, n, doc_id_col, content_col).select("shingle").distinct()
+    totals = t_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        t_sh.join(b_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_shingles"))
+    )
+    all_docs = train.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    out = all_docs.join(totals, "doc_id", "left").join(hits, "doc_id", "left")
+    nh = F.coalesce(F.col("n_hit_shingles"), F.lit(0))
+    return out.select(
+        "doc_id",
+        nh.cast("int").alias("n_hit_shingles"),
+        F.round(
+            F.when(F.coalesce(F.col("n_shingles"), F.lit(0)) > 0,
+                   nh / F.col("n_shingles")).otherwise(0.0),
+            6,
+        ).alias("hit_ratio"),
+        (nh > 0).alias("contaminated"),
+    )
+
+
 def simhash(docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
     """(doc_id, simhash): 64-bit majority-vote fingerprint over tokens
     (with multiplicity) — the industry-standard width for web-corpus

@@ -380,6 +380,26 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE lastlead IS NOT NULL)
 """
 
 
+def decontaminate_sql(bench_max_doc_id: int = 25, n: int = 3) -> str:
+    """Twin of dedup.decontaminate with the benchmark set = docs whose
+    doc_id < bench_max_doc_id (a deterministic subset of the same table,
+    like the snippets gate's semantic filter)."""
+    return _shingle_ctes(n) + f""",
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id::int < {bench_max_doc_id}),
+totals AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hit FROM sh s JOIN bsh USING (shingle)
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(h.n_hit, 0)::int AS n_hit_shingles,
+       round(CASE WHEN coalesce(t.n_sh, 0) > 0
+                  THEN coalesce(h.n_hit, 0) / t.n_sh ELSE 0.0 END, 6) AS hit_ratio,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM docs d LEFT JOIN totals t USING (doc_id) LEFT JOIN hits h USING (doc_id)
+"""
+
+
 EXACT_DEDUP_SQL = f"""
 SELECT sha256(text) AS content_sha,
        min(doc_id::varchar) AS keep_doc_id,

@@ -524,3 +524,19 @@ def test_repetition_stats(spark):
     assert out["2"]["top_token_ratio"] == 0.8
     assert out["2"]["top_bigram_ratio"] == 0.75  # 'aa aa' x3 of 4 bigrams
     assert out["3"]["n_lines"] == 0 and out["3"]["dup_line_ratio"] == 0.0
+
+
+def test_decontaminate_flags_overlap(spark, docs):
+    """Docs sharing any trigram with the benchmark are flagged; the
+    benchmark member itself is fully contaminated; disjoint docs clean."""
+    bench = spark.createDataFrame(
+        [("b1", "the quick brown fox jumps")], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in D.decontaminate(docs, bench, n=3).collect()}
+    # docs 1/2/3 share 'the quick brown' etc.; doc 4 shares nothing
+    assert out["1"]["contaminated"] and out["2"]["contaminated"] and out["3"]["contaminated"]
+    assert not out["4"]["contaminated"]
+    assert out["4"]["n_hit_shingles"] == 0
+    # doc1 has 7 trigrams, bench covers the first 3
+    assert out["1"]["n_hit_shingles"] == 3
+    assert out["1"]["hit_ratio"] == round(3 / 7, 6)
