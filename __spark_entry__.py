@@ -484,6 +484,23 @@ def _q_lang_id(spark, sf_dir):
     return TA.lang_id(_capped_docs(spark, sf_dir))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    # domain-mixing sampler: per-source deterministic hash fractions —
+    # kept rows + per-source kept counts hash-gated (both engines apply
+    # the identical md5-uniform arithmetic)
+    from pyspark.sql import Window as W
+
+    fractions = {"src0": 0.8, "src1": 0.5, "src2": 0.1, "src3": 0.0}
+    docs = _capped_docs(spark, sf_dir)
+    kept = TA.stratified_sample(docs, fractions, group_col="source",
+                                default_fraction=0.25)
+    return kept.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.count(F.lit(1)).over(W.partitionBy("source")).cast("int").alias("n_kept_in_source"),
+    )
+
+
 def _q_decontaminate(spark, sf_dir):
     # benchmark-decontamination pass: flag training docs sharing any
     # trigram with the "benchmark" subset (doc_id < 25 of the same table)
@@ -912,6 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_lang_id,
         "text_lang_id_ngram": _q_lang_id_ngram,
         "dedup_decontaminate": _q_decontaminate,
+        "pipeline_stratified_sample": _q_stratified_sample,
         "text_pii_redact": _q_pii,
         "text_repetition_stats": _q_repetition,
         "text_quality_score": _q_quality,
@@ -987,6 +1005,9 @@ def oracle_sql() -> dict[str, str]:
         "text_distinct_sketch": oracle.distinct_sketch_sql(1024),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
         "dedup_decontaminate": oracle.decontaminate_sql(25, 3),
+        "pipeline_stratified_sample": oracle.stratified_sample_sql(
+            {"src0": 0.8, "src1": 0.5, "src2": 0.1, "src3": 0.0}, 0.25
+        ),
         "text_pii_redact": oracle.pii_sql(),
         "text_repetition_stats": oracle.repetition_sql(),
         "text_lang_id_ngram": oracle.lang_id_ngram_sql(

@@ -356,6 +356,32 @@ def repetition_stats(
     )
 
 
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    seed: str = "mix1",
+) -> DataFrame:
+    """Deterministic per-group sampling — the domain-mixing primitive of a
+    training-data pipeline (sample source A at 80%, B at 10%, ...).
+
+    Keep iff u(doc) < fraction[group], where u = first 8 hex chars of
+    md5(seed || ':' || doc_id) / 16^8 — a pure map-side filter with NO
+    shuffle and NO RNG state: the same doc always lands the same way, so
+    mixtures are reproducible across runs/engines (the SQL oracle applies
+    the identical arithmetic). Unknown groups get default_fraction."""
+    frac = F.lit(default_fraction)
+    for g, f in sorted(fractions.items()):
+        frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("double") / F.lit(float(16 ** 8))
+    )
+    return docs.where(u < frac)
+
+
 def fingerprint(
     docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text"
 ) -> DataFrame:

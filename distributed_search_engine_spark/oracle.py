@@ -380,6 +380,28 @@ sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE lastlead IS NOT NULL)
 """
 
 
+def stratified_sample_sql(
+    fractions: dict[str, float], default_fraction: float = 0.0, seed: str = "mix1"
+) -> str:
+    """Twin of text_analysis.stratified_sample over the documents table:
+    identical md5-derived uniform and per-source fractions."""
+    case = "CASE"
+    for g, f in sorted(fractions.items()):
+        case += f" WHEN source = '{g}' THEN {float(f)!r}"
+    case += f" ELSE {float(default_fraction)!r} END"
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || doc_id::varchar), 1, 8))::bigint"
+        f" / {float(16 ** 8)!r})"
+    )
+    return f"""
+SELECT doc_id::varchar AS doc_id, source,
+       count(*) OVER (PARTITION BY source)::int AS n_kept_in_source
+FROM documents
+WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+  AND {u} < {case}
+"""
+
+
 def decontaminate_sql(bench_max_doc_id: int = 25, n: int = 3) -> str:
     """Twin of dedup.decontaminate with the benchmark set = docs whose
     doc_id < bench_max_doc_id (a deterministic subset of the same table,

@@ -540,3 +540,28 @@ def test_decontaminate_flags_overlap(spark, docs):
     # doc1 has 7 trigrams, bench covers the first 3
     assert out["1"]["n_hit_shingles"] == 3
     assert out["1"]["hit_ratio"] == round(3 / 7, 6)
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    rows = [(i, f"doc {i}", "a" if i % 2 == 0 else "b") for i in range(2000)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = TA.stratified_sample(docs, {"a": 0.5, "b": 0.0}, group_col="source")
+    got = kept.groupBy("source").count().collect()
+    by = {r["source"]: r["count"] for r in got}
+    assert "b" not in by  # fraction 0 -> nothing kept
+    assert 400 < by["a"] < 600  # ~50% of the 1000 'a' docs
+    # deterministic: a second run keeps the exact same ids
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"]
+        for r in TA.stratified_sample(docs, {"a": 0.5, "b": 0.0}, group_col="source").collect()
+    )
+    assert ids1 == ids2
+    # different seed -> different (but same-sized ballpark) sample
+    ids3 = sorted(
+        r["doc_id"]
+        for r in TA.stratified_sample(
+            docs, {"a": 0.5, "b": 0.0}, group_col="source", seed="other"
+        ).collect()
+    )
+    assert ids3 != ids1
