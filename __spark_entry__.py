@@ -576,6 +576,30 @@ def _q_corpus_clean(spark, sf_dir):
     )
 
 
+def _q_corpus_clean_v2(spark, sf_dir):
+    # round-3 composed cleaning recipe in ONE plan: exact-dedup keeper
+    # ∘ decontamination ceiling (hit_ratio <= 0.5 vs the doc_id<25 bench)
+    # ∘ repetition ceiling (top_token_ratio <= 0.12) ∘ per-source
+    # stratified sampling — every stage is its own gated operator; this
+    # proves the composition stays one Catalyst plan end to end
+    docs = _capped_docs(spark, sf_dir)
+    keep = D.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    bench = docs.where(F.col("doc_id").cast("int") < 25)
+    deco = D.decontaminate(docs, bench, n=3).select("doc_id", "hit_ratio")
+    rep = TA.repetition_stats(docs).select("doc_id", "top_token_ratio")
+    sampled = TA.stratified_sample(
+        docs, {"src0": 1.0, "src1": 1.0, "src2": 0.5}, group_col="source",
+        default_fraction=0.75,
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "source")
+    return (
+        sampled.join(keep, "doc_id", "left_semi")
+        .join(deco, "doc_id")
+        .join(rep, "doc_id")
+        .where((F.col("hit_ratio") <= 0.5) & (F.col("top_token_ratio") <= 0.12))
+        .select("doc_id", "source", "hit_ratio", "top_token_ratio")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flame dataflow-operator analogs (SURVEY.md §2.1) over the TPC-H-ish tables —
 # each row of the §2.1 table maps to a Spark primitive; these queries prove
@@ -936,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "text_fingerprint": _q_fingerprint,
         "pipeline_corpus_clean": _q_corpus_clean,
+        "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
         "suggest_autocomplete": _q_autocomplete,
         "suggest_spellcheck": _q_spellcheck,
         "search_snippets": _q_snippets,
@@ -1005,6 +1030,7 @@ def oracle_sql() -> dict[str, str]:
         "text_distinct_sketch": oracle.distinct_sketch_sql(1024),
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
         "dedup_decontaminate": oracle.decontaminate_sql(25, 3),
+        "pipeline_corpus_clean_v2": oracle.corpus_clean_v2_sql(),
         "pipeline_stratified_sample": oracle.stratified_sample_sql(
             {"src0": 0.8, "src1": 0.5, "src2": 0.1, "src3": 0.0}, 0.25
         ),

@@ -1065,6 +1065,65 @@ WHERE q.quality >= {min_quality}
 """
 
 
+def corpus_clean_v2_sql(
+    bench_max_doc_id: int = 25,
+    max_hit_ratio: float = 0.5,
+    max_top_token_ratio: float = 0.12,
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.75,
+    seed: str = "mix1",
+) -> str:
+    """Round-3 composite twin of _q_corpus_clean_v2: dedup keeper ∘
+    decontamination ceiling ∘ top-token repetition ceiling ∘ per-source
+    stratified sampling — each stage the same SQL as its stand-alone
+    gated oracle, composed into one statement."""
+    if fractions is None:
+        fractions = {"src0": 1.0, "src1": 1.0, "src2": 0.5}
+    case = "CASE"
+    for g, f in sorted(fractions.items()):
+        case += f" WHEN src.source = '{g}' THEN {float(f)!r}"
+    case += f" ELSE {float(default_fraction)!r} END"
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || d.doc_id), 1, 8))::bigint"
+        f" / {float(16 ** 8)!r})"
+    )
+    return _shingle_ctes(3) + f""",
+keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY sha256(text)),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id::int < {bench_max_doc_id}),
+totals AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hit FROM sh s JOIN bsh USING (shingle)
+  GROUP BY 1
+),
+deco AS (
+  SELECT t.doc_id,
+         round(CASE WHEN t.n_sh > 0 THEN coalesce(h.n_hit, 0) / t.n_sh
+                    ELSE 0.0 END, 6) AS hit_ratio
+  FROM totals t LEFT JOIN hits h USING (doc_id)
+),
+tk AS (SELECT doc_id, tok FROM tokstream WHERE tok <> ''),
+rep AS (
+  SELECT doc_id,
+         round(max(c) * 1.0 / sum(c), 6) AS top_token_ratio
+  FROM (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+src AS (
+  SELECT doc_id::varchar AS doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+)
+SELECT d.doc_id, src.source, deco.hit_ratio, rep.top_token_ratio
+FROM docs d
+JOIN src ON src.doc_id = d.doc_id
+JOIN keep k ON k.doc_id = d.doc_id
+JOIN deco ON deco.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+WHERE {u} < {case}
+  AND deco.hit_ratio <= {max_hit_ratio}
+  AND rep.top_token_ratio <= {max_top_token_ratio}
+"""
+
+
 def autocomplete_sql(prefix: str, limit: int = 10) -> str:
     """Q14: prefix completion over looksReasonable terms, sorted, limit 10
     (SearchEngine.java:885-971)."""

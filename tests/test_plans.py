@@ -139,3 +139,17 @@ def test_batch_bm25_scans_postings_once(spark):
     # identical in both)
     for marker in ("InMemoryTableScan", "Union", "HashAggregate"):
         assert plan3.count(marker) == plan1.count(marker), marker
+
+
+def test_corpus_clean_v2_single_declarative_plan(spark):
+    """The composed round-3 cleaning recipe (dedup keeper ∘ decontamination
+    ∘ repetition ceiling ∘ stratified sample) stays one Catalyst plan with
+    equi-joins only — no cartesian products, no Python in the plan."""
+    import __spark_entry__ as E
+
+    df = E.queries()["pipeline_corpus_clean_v2"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # all stages JVM-side
+    assert df.count() > 0
