@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from distributed_search_engine_spark import oracle
 from distributed_search_engine_spark.operators import dedup as D
+from distributed_search_engine_spark.operators import graph as G
 from distributed_search_engine_spark.operators import similarity as S
 from distributed_search_engine_spark.operators import text_analysis as TA
 from distributed_search_engine_spark.operators.docstats import filter_indexable
@@ -601,6 +602,48 @@ def _q_corpus_clean_v2(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# connected components (operators/graph.py): near-dup pairs -> transitive
+# clusters -> canonical keeper — the dedup stage the pairwise operators
+# feed at corpus scale (near-duplication is not transitive; see module
+# docstring). Three gates: the SQL-unrollable propagation kernel on real
+# LSH pairs; the convergence-checked large-star/small-star kernel on a
+# deterministic diameter-49 chain graph (closed-form oracle); and the
+# end-to-end keeper pipeline.
+# ---------------------------------------------------------------------------
+
+def _q_cc_prop4(spark, sf_dir):
+    # fixed-4-round min-label propagation over the MinHash-LSH candidate
+    # pair graph; the oracle unrolls the same 4 rounds (string ids on
+    # both sides -> lexicographic min in both engines)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(_shingles(spark, sf_dir)))
+    return G.components_from_pairs(pairs, iterations=4)
+
+
+def _q_cc_chain(spark, sf_dir):
+    # chains of 50 docs (doc_id -> doc_id-1 unless doc_id % 50 == 0):
+    # diameter 49, far past any fixed unroll — run the O(log^2 n)
+    # large-star/small-star kernel; the oracle is the closed form
+    # component = doc_id - doc_id % 50
+    docs = _docs(spark, sf_dir)
+    edges = docs.where(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("u"), (F.col("doc_id") - 1).alias("v")
+    )
+    return G.connected_components(edges, node_col="node")
+
+
+def _q_cc_keepers(spark, sf_dir):
+    # end-to-end transitive dedup: LSH pairs -> connected components ->
+    # keep only each component's min doc id (convergence-checked kernel;
+    # tests/test_graph.py asserts it equals the prop-4 oracle's labels on
+    # this corpus — measured component diameter is 1)
+    docs = _docs(spark, sf_dir)
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures(_shingles(spark, sf_dir)))
+    return G.dedup_keep_canonical(docs, pairs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Flame dataflow-operator analogs (SURVEY.md §2.1) over the TPC-H-ish tables —
 # each row of the §2.1 table maps to a Spark primitive; these queries prove
 # the mapping with a DuckDB oracle.
@@ -961,6 +1004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "pipeline_corpus_clean": _q_corpus_clean,
         "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
+        "graph_components_prop4": _q_cc_prop4,
+        "graph_components_chain": _q_cc_chain,
+        "dedup_cc_keepers": _q_cc_keepers,
         "suggest_autocomplete": _q_autocomplete,
         "suggest_spellcheck": _q_spellcheck,
         "search_snippets": _q_snippets,
@@ -1031,6 +1077,9 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
         "dedup_decontaminate": oracle.decontaminate_sql(25, 3),
         "pipeline_corpus_clean_v2": oracle.corpus_clean_v2_sql(),
+        "graph_components_prop4": oracle.cc_propagate_sql(4),
+        "graph_components_chain": oracle.cc_chain_sql(50),
+        "dedup_cc_keepers": oracle.cc_keepers_sql(4),
         "pipeline_stratified_sample": oracle.stratified_sample_sql(
             {"src0": 0.8, "src1": 0.5, "src2": 0.1, "src3": 0.0}, 0.25
         ),

@@ -1208,3 +1208,80 @@ ranked AS (
 )
 SELECT term, distance FROM ranked WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/graph.py) — transitive closure of the
+# near-dup pair graph. The propagation oracle unrolls min-label rounds
+# exactly like operators/graph.cc_propagate; the chain oracle is the
+# closed form of a deterministic deep-diameter graph, gating the
+# convergence-checked large-star/small-star kernel.
+# ---------------------------------------------------------------------------
+
+def _cc_prop_ctes(iterations: int) -> str:
+    """edges/nodes/l0..lK CTE fragment over a ``cand (doc_a, doc_b)`` CTE:
+    round-for-round twin of graph.cc_propagate."""
+    # MATERIALIZED: each l{k} references l{k-1} twice — without it DuckDB
+    # inlines the CTE chain and re-evaluates the shingle/LSH pipeline
+    # exponentially in the unroll depth.
+    parts = [""",
+edges AS MATERIALIZED (
+  SELECT doc_a AS u, doc_b AS v FROM cand WHERE doc_a <> doc_b
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM cand WHERE doc_a <> doc_b
+),
+cnodes AS (SELECT DISTINCT u AS node FROM edges),
+l0 AS MATERIALIZED (SELECT node, node AS label FROM cnodes)"""]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+l{k} AS MATERIALIZED (
+  SELECT node, min(label) AS label FROM (
+    SELECT node, label FROM l{k - 1}
+    UNION ALL
+    SELECT e.v AS node, l.label FROM edges e JOIN l{k - 1} l ON l.node = e.u
+  ) GROUP BY node
+)""")
+    return "".join(parts)
+
+
+def cc_propagate_sql(iterations: int = 4, n_hashes: int = 16, bands: int = 4) -> str:
+    """(doc_id, component) after ``iterations`` min-label rounds over the
+    MinHash-LSH candidate pair graph."""
+    return (
+        _shingle_ctes()
+        + _lsh_band_ctes(n_hashes, bands)
+        + _cc_prop_ctes(iterations)
+        + f"""
+SELECT node AS doc_id, label AS component FROM l{iterations}
+"""
+    )
+
+
+def cc_chain_sql(chain: int = 50) -> str:
+    """Closed-form components of the deterministic chain graph
+    (doc_id -> doc_id - 1 unless doc_id %% chain == 0): component = the
+    chain's first doc. Gates the convergence-checked star kernel on a
+    diameter-(chain-1) graph no fixed unroll could cover cheaply."""
+    return f"""
+SELECT doc_id AS node, (doc_id - doc_id % {chain})::bigint AS component
+FROM documents
+"""
+
+
+def cc_keepers_sql(iterations: int = 4, n_hashes: int = 16, bands: int = 4) -> str:
+    """Docs surviving transitive near-dup dedup: anti-join the
+    non-canonical members (label <> self) of the converged pair graph
+    (converged at these scales: measured component diameter is 1,
+    tests/test_graph.py asserts prop-4 == star kernel on this corpus)."""
+    return (
+        _shingle_ctes()
+        + _lsh_band_ctes(n_hashes, bands)
+        + _cc_prop_ctes(iterations)
+        + f"""
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+LEFT JOIN (SELECT node FROM l{iterations} WHERE node <> label) x
+  ON x.node = d.doc_id::varchar
+WHERE x.node IS NULL
+"""
+    )
