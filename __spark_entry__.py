@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from distributed_search_engine_spark import oracle
+from distributed_search_engine_spark.operators import clustering as C
 from distributed_search_engine_spark.operators import dedup as D
 from distributed_search_engine_spark.operators import graph as G
 from distributed_search_engine_spark.operators import similarity as S
@@ -611,6 +612,35 @@ def _q_corpus_clean_v2(spark, sf_dir):
 # end-to-end keeper pipeline.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# k-means + SemDeDup (operators/clustering.py): both Lloyd steps and the
+# cluster-scoped semantic dedup gate with the SAME seeded centroid
+# literals inlined on both engines (see module docstring); the full
+# iterative fit is pytest-gated (tests/test_clustering.py).
+# ---------------------------------------------------------------------------
+
+_KM_CENTS = C.seeded_centroids(8, 64, seed=11)
+
+
+def _q_kmeans_assign(spark, sf_dir):
+    # map-only argmin over 8 literal centroids — no shuffle, no UDF
+    return C.assign_clusters(_emb(spark, sf_dir), _KM_CENTS)
+
+
+def _q_kmeans_update(spark, sf_dir):
+    # one Lloyd update: per-cluster count + element-wise mean (the
+    # centroid the next iteration would broadcast)
+    return C.update_centroids(_emb(spark, sf_dir), _KM_CENTS)
+
+
+def _q_semantic_dedup(spark, sf_dir):
+    # SemDeDup keepers: per-cluster cosine scan (equi-join on cluster,
+    # ~N^2/k pairs), drop any vector with a lower-id neighbor >= 0.4
+    return C.semantic_dedup(_emb(spark, sf_dir), _KM_CENTS, threshold=0.4).select(
+        "vec_id", "label"
+    )
+
+
 def _q_cc_prop4(spark, sf_dir):
     # fixed-4-round min-label propagation over the MinHash-LSH candidate
     # pair graph; the oracle unrolls the same 4 rounds (string ids on
@@ -1007,6 +1037,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components_prop4": _q_cc_prop4,
         "graph_components_chain": _q_cc_chain,
         "dedup_cc_keepers": _q_cc_keepers,
+        "cluster_kmeans_assign": _q_kmeans_assign,
+        "cluster_kmeans_update": _q_kmeans_update,
+        "dedup_semantic": _q_semantic_dedup,
         "suggest_autocomplete": _q_autocomplete,
         "suggest_spellcheck": _q_spellcheck,
         "search_snippets": _q_snippets,
@@ -1080,6 +1113,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_components_prop4": oracle.cc_propagate_sql(4),
         "graph_components_chain": oracle.cc_chain_sql(50),
         "dedup_cc_keepers": oracle.cc_keepers_sql(4),
+        "cluster_kmeans_assign": oracle.kmeans_assign_sql(_KM_CENTS),
+        "cluster_kmeans_update": oracle.kmeans_update_sql(_KM_CENTS),
+        "dedup_semantic": oracle.semantic_dedup_sql(_KM_CENTS, 0.4),
         "pipeline_stratified_sample": oracle.stratified_sample_sql(
             {"src0": 0.8, "src1": 0.5, "src2": 0.1, "src3": 0.0}, 0.25
         ),

@@ -1285,3 +1285,75 @@ LEFT JOIN (SELECT node FROM l{iterations} WHERE node <> label) x
 WHERE x.node IS NULL
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means + SemDeDup (operators/clustering.py): both Lloyd steps gated
+# with the SAME seeded centroid literals the Spark plan inlines —
+# argmin-identical by construction (sequential-fold distances, ties to
+# the lowest cluster id on both engines).
+# ---------------------------------------------------------------------------
+
+def _centroid_arr(c: list[float]) -> str:
+    return "[" + ", ".join(repr(x) for x in c) + "]"
+
+
+def _kmeans_assign_ctes(centroids: list[list[float]]) -> str:
+    dists = []
+    for c in centroids:
+        arr = _centroid_arr(c)
+        dists.append(
+            _fold_sum(
+                f"list_transform(generate_series(1, len(v)), "
+                f"i -> (v[i] - ({arr})[i]) * (v[i] - ({arr})[i]))"
+            )
+        )
+    ds = "[" + ",\n      ".join(dists) + "]"
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+d AS MATERIALIZED (SELECT id, v, {ds} AS ds FROM v),
+asg AS (
+  SELECT id, v,
+         (list_position(ds, list_min(ds)) - 1)::int AS cluster,
+         list_min(ds) AS sqdist
+  FROM d
+)"""
+
+
+def kmeans_assign_sql(centroids: list[list[float]]) -> str:
+    return _kmeans_assign_ctes(centroids) + """
+SELECT id AS vec_id, cluster, round(sqdist, 6) AS sqdist FROM asg
+"""
+
+
+def kmeans_update_sql(centroids: list[list[float]]) -> str:
+    dim = len(centroids[0])
+    means = ", ".join(
+        f"round(avg(v[{d + 1}]), 6) AS c{d}" for d in range(dim)
+    )
+    return _kmeans_assign_ctes(centroids) + f"""
+SELECT cluster, count(*)::int AS n, {means}
+FROM asg GROUP BY cluster
+"""
+
+
+def semantic_dedup_sql(
+    centroids: list[list[float]], threshold: float = 0.4
+) -> str:
+    dot = _fold_sum(
+        "list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])"
+    )
+    return _kmeans_assign_ctes(centroids) + f""",
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {dot} / ({_nrm('a')} * {_nrm('b')}) AS cosine
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.id < b.id
+),
+losers AS (SELECT DISTINCT id_b FROM pairs WHERE cosine >= {threshold})
+SELECT e.vec_id, e.label
+FROM embeddings e LEFT JOIN losers x ON x.id_b = e.vec_id
+WHERE x.id_b IS NULL
+"""
