@@ -152,6 +152,16 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # doc-to-doc similarity THROUGH the inverted index: tf-idf-space
+    # cosine, broadcast query-doc weights, ordered-limit top-k (no
+    # global sort); 6dp-rounded score before ranking on both engines
+    from distributed_search_engine_spark.query.engine import more_like_this
+
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    return more_like_this(sidx, "7", k=10)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1-P8: 3 fixed iterations over the deterministic synthetic link graph
     return _ranks(spark, sf_dir, 3).select(
@@ -1005,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf_segments": _q_tfidf_segments,
         "search_phrase_segments": _q_phrase_segments,
         "search_bm25_dist_segments": _q_bm25_dist_segments,
+        "search_more_like_this": _q_more_like_this,
         "pagerank_3iter": _q_pagerank,
         "pagerank_resume_3iter": _q_pagerank_resume,
         "pagerank_extracted_links": _q_pagerank_extracted,
@@ -1073,6 +1084,7 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_segments": oracle.tfidf_single_sql("data"),
         "search_phrase_segments": oracle.and_phrase_sql("data", "stream"),
         "search_bm25_dist_segments": oracle.bm25_topk_sql(["data", "stream"], 10),
+        "search_more_like_this": oracle.more_like_this_sql("7", 10),
         "pagerank_3iter": oracle.pagerank_sql(3),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),

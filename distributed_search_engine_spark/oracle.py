@@ -1357,3 +1357,35 @@ SELECT e.vec_id, e.label
 FROM embeddings e LEFT JOIN losers x ON x.id_b = e.vec_id
 WHERE x.id_b IS NULL
 """
+
+
+def more_like_this_sql(doc_id: str, k: int = 10) -> str:
+    """Twin of engine.more_like_this: tf-idf-space cosine through the
+    postings, 6dp-rounded score BEFORE ranking (ties: doc_id asc)."""
+    return base_ctes() + f""",
+w AS MATERIALIZED (
+  SELECT p.term, p.doc_id, p.normalized_tf * ts.idf AS wt
+  FROM postings p JOIN termstats ts USING (term)
+),
+norms AS MATERIALIZED (
+  SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY 1
+),
+qw AS (SELECT term, wt FROM w WHERE doc_id = '{doc_id}'),
+dots AS (
+  SELECT w.doc_id, sum(w.wt * qw.wt) AS dot
+  FROM w JOIN qw USING (term)
+  WHERE w.doc_id <> '{doc_id}'
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id,
+         round(d.dot / (n.nrm * (SELECT nrm FROM norms WHERE doc_id = '{doc_id}')), 6) AS score
+  FROM dots d JOIN norms n USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, score, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""

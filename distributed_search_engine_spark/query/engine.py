@@ -514,3 +514,61 @@ def _score_bm25(
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )
+
+
+def more_like_this(index: SearchIndex, doc_id: str, k: int = 10) -> DataFrame:
+    """Doc-to-doc "more like this": cosine similarity in tf-idf term
+    space, computed THROUGH the inverted index (no doc-vector
+    materialization).
+
+    weight(term, doc) = normalized_tf * idf (the reference's tf-idf
+    weighting, jobs/Indexer.java normalized_tf + ln(N/df) idf); score =
+    cos(w_q, w_d) over the shared-term dot product.
+
+    Plan shape (scale path):
+      - the query doc's weights are a broadcast (bounded by one doc's
+        term count), so the candidate scan is postings ⋈ broadcast —
+        only rows whose term appears in the query doc survive the scan;
+      - per-doc dot + norm are groupBy sums (map-side partials);
+      - top-k is an ordered limit (TakeOrderedAndProject, no global
+        sort), rank assigned over the k survivors only.
+    Scores are rounded to 6dp BEFORE ranking so the ordering is
+    reproducible across engines (ties then break on doc_id asc).
+    """
+    w = index.postings.join(
+        index.term_stats.select("term", "idf"), "term"
+    ).select(
+        "term",
+        "doc_id",
+        (F.col("normalized_tf") * F.col("idf")).alias("wt"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    qw = w.where(F.col("doc_id") == doc_id).select(
+        "term", F.col("wt").alias("qwt")
+    )
+    qn = norms.where(F.col("doc_id") == doc_id).select(
+        F.col("nrm").alias("qnrm")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "term")
+        .where(F.col("doc_id") != doc_id)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn(
+        "rank", F.row_number().over(rank_w).cast("int")
+    )
