@@ -255,3 +255,77 @@ def test_incremental_compaction_materializes_fold(spark, tmp_path):
     ts = {r["term"]: r for r in idx["term_stats"].collect()}
     assert ts["alpha"]["df"] == 2
     assert abs(ts["alpha"]["idf"] - math.log(3 / 2)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# streaming dedup (streaming/dedup.py)
+# ---------------------------------------------------------------------------
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id string, content string, ts timestamp"
+    ).write.mode("append").parquet(path)
+
+
+def _run_available_now(stream_df, out_dir, ckpt):
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_dedup_stream_unbounded_cross_batch(spark, tmp_path):
+    from distributed_search_engine_spark.streaming.dedup import (
+        dedup_stream_unbounded,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    inp, out, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # batch 1: duplicate content WITHIN the batch (d2 == d1)
+    _write_docs(spark, inp, [
+        ("d1", "same text", t0), ("d2", "same text", t0),
+        ("d3", "other", t0),
+    ])
+    schema = "doc_id string, content string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(inp)
+    _run_available_now(dedup_stream_unbounded(stream), out, ckpt)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"d1", "d3"}  # min doc_id wins within the batch
+
+    # batch 2: duplicate ACROSS batches (d4 == d1) must be suppressed by
+    # the state store; new content d5 passes
+    _write_docs(spark, inp, [
+        ("d4", "same text", t0), ("d5", "brand new", t0),
+    ])
+    stream = spark.readStream.schema(schema).parquet(inp)
+    _run_available_now(dedup_stream_unbounded(stream), out, ckpt)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got == {"d1", "d3", "d5"}
+
+
+def test_dedup_stream_watermarked(spark, tmp_path):
+    from distributed_search_engine_spark.streaming.dedup import dedup_stream
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    inp, out, ckpt = (
+        str(tmp_path / "in2"), str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+    )
+    _write_docs(spark, inp, [
+        ("d1", "dup", t0),
+        ("d2", "dup", t0 + datetime.timedelta(seconds=30)),
+        ("d3", "solo", t0 + datetime.timedelta(seconds=60)),
+    ])
+    schema = "doc_id string, content string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(inp)
+    _run_available_now(
+        dedup_stream(stream, watermark="10 minutes"), out, ckpt
+    )
+    rows = spark.read.parquet(out).collect()
+    shas = [r["content_sha"] for r in rows]
+    assert len(shas) == len(set(shas)) == 2  # one per distinct content
