@@ -226,6 +226,53 @@ def main() -> None:
         timings["query_bm25_batch_60k_seg_x10"] = time.time() - t0
         shutil.rmtree(bseg_dir, ignore_errors=True)
         big.unpersist()
+
+        # q8: connected components on a 300k-node chain graph (chains of
+        # 50 -> diameter 49): ~7 large-star/small-star alternations, the
+        # iterative-shuffle workload class (dedup pairs -> clusters).
+        from distributed_search_engine_spark.operators.graph import (
+            connected_components,
+        )
+
+        n_cc = 300_000
+        cc_edges = spark.range(n_cc).where(F.col("id") % 50 != 0).select(
+            F.col("id").alias("u"), (F.col("id") - 1).alias("v")
+        )
+        t0 = time.time()
+        cc = connected_components(cc_edges)
+        cc_bad = cc.where(
+            F.col("component") != F.col("node") - F.col("node") % 50
+        ).count()
+        timings["graph_cc_300k"] = time.time() - t0
+        assert cc_bad == 0, f"cc benchmark produced {cc_bad} wrong labels"
+
+        # q9: k-means assign+update over 100k deterministic 64-dim
+        # vectors, k=16 — the map-only literal-centroid argmin scan plus
+        # one partial-agg shuffle (the per-iteration cost of Lloyd's).
+        from distributed_search_engine_spark.operators.clustering import (
+            seeded_centroids,
+            update_centroids,
+        )
+
+        n_km, km_dim, km_k = 100_000, 64, 16
+        km_vec = F.array(
+            *[
+                (F.xxhash64(F.col("id"), F.lit(d)) / F.lit(float(1 << 63)))
+                for d in range(km_dim)
+            ]
+        )
+        km_emb = spark.range(n_km).select(
+            F.col("id").alias("vec_id"), km_vec.alias("embedding")
+        ).persist()
+        km_emb.count()
+        t0 = time.time()
+        km_rows = update_centroids(
+            km_emb, seeded_centroids(km_k, km_dim, seed=5)
+        ).collect()
+        timings["kmeans_update_100k"] = time.time() - t0
+        assert len(km_rows) == km_k
+        km_emb.unpersist()
+
         extra_big = {
             "n_docs_60k": n_big,
             "n_postings_60k": n_big_postings,
