@@ -153,3 +153,57 @@ def test_corpus_clean_v2_single_declarative_plan(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan  # all stages JVM-side
     assert df.count() > 0
+
+
+def test_mlt_plan_broadcasts_query_doc(spark):
+    """more_like_this must broadcast the single query doc's weights —
+    never a cartesian or a shuffled join against the full postings for
+    the query side (the qnrm scalar crossJoin IS a 1-row broadcast)."""
+    from distributed_search_engine_spark.query.engine import (
+        SearchIndex,
+        more_like_this,
+    )
+
+    docs = ingest(make_corpus(spark, n_docs=40, seed=3))
+    idx = build_index(docs)
+    sidx = SearchIndex(
+        postings=idx["postings"], term_stats=idx["term_stats"],
+        doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    plan = plan_of(more_like_this(sidx, docs.first()["doc_id"], k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semantic_dedup_join_is_equi_on_cluster(spark):
+    """The SemDeDup pair scan must be an equi-join on the cluster id
+    (~N^2/k candidates), never a theta/cartesian pair join."""
+    from distributed_search_engine_spark.operators.clustering import (
+        seeded_centroids,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semantic_dedup(emb, seeded_centroids(4, 64, seed=2), threshold=0.4)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    # the pair join keys on the computed cluster column
+    assert "cluster" in plan
+
+
+def test_cc_round_is_shuffle_bounded(spark):
+    """One large-star application = symmetrize + one groupBy-min + one
+    join — no cartesian, no global window."""
+    from distributed_search_engine_spark.operators.graph import (
+        _large_star,
+        _small_star,
+    )
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "u long, v long"
+    )
+    plan = plan_of(_small_star(_large_star(e)))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
