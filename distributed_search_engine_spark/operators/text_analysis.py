@@ -447,3 +447,78 @@ def distinct_token_sketch(
             6,
         ).alias("estimate"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    block: int = 4096,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence-packing plan (GPT-style training-data
+    prep): conceptually concatenate all docs' token streams in doc_id
+    order and cut fixed ``seq_len`` sequences; emit each doc's global
+    token offset and the chunk range it lands in.
+
+    The global running sum is a DISTRIBUTED prefix sum — never a global
+    window over the docs:
+      1. per-doc whitespace token counts (same tokens as token_counts);
+      2. per-block totals, block = doc_id // block — one partial-agg
+         shuffle to N/block summary rows;
+      3. running block offsets: a window over ONLY the block summaries
+         (at 1e12 docs with block=1e6 that is 1e6 tiny rows — KBs in a
+         single task, the same trick zipWithIndex uses for partition
+         offsets);
+      4. within-block running sum: window PARTITIONED by block, so no
+         task sorts more than ``block`` rows;
+      5. chunk ids by integer division on the offsets.
+
+    Output: (doc_id, n_tokens, start_offset, first_chunk, last_chunk);
+    zero-token docs are dropped (they occupy no sequence).
+    """
+    c = F.col(content_col)
+    ws = F.size(F.filter(F.split(F.trim(c), T.RE_WS), lambda t: t != F.lit("")))
+    tc = (
+        docs.select(
+            F.col(doc_id_col).cast("long").alias("doc_id"),
+            ws.cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn("blk", F.floor(F.col("doc_id") / block))
+    )
+    btot = tc.groupBy("blk").agg(F.sum("n_tokens").alias("blk_tokens"))
+    w_blocks = (
+        Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = btot.select(
+        "blk",
+        F.coalesce(F.sum("blk_tokens").over(w_blocks), F.lit(0)).alias(
+            "blk_off"
+        ),
+    )
+    w_in = (
+        Window.partitionBy("blk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.col("blk_off") + F.coalesce(
+        F.sum("n_tokens").over(w_in), F.lit(0)
+    )
+    out = tc.join(boff, "blk").select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / seq_len).cast("long").alias(
+            "first_chunk"
+        ),
+        F.floor(
+            (F.col("start_offset") + F.col("n_tokens") - 1) / seq_len
+        ).cast("long").alias("last_chunk"),
+    )

@@ -1389,3 +1389,29 @@ ranked AS (
 )
 SELECT doc_id, score, rank::int AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+def pack_sequences_sql(seq_len: int = 2048) -> str:
+    """Twin of text_analysis.pack_sequences: DuckDB computes the same
+    global running sum with ONE window (the oracle may be serial; the
+    Spark side is the distributed two-level prefix sum)."""
+    return f"""
+WITH tc AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))::bigint AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+),
+nz AS (SELECT doc_id, n_tokens FROM tc WHERE n_tokens > 0),
+cum AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0)::bigint AS start_offset
+  FROM nz
+)
+SELECT doc_id, n_tokens, start_offset,
+       (start_offset // {seq_len})::bigint AS first_chunk,
+       ((start_offset + n_tokens - 1) // {seq_len})::bigint AS last_chunk
+FROM cum
+"""

@@ -565,3 +565,48 @@ def test_stratified_sample_deterministic_and_proportional(spark):
         ).collect()
     )
     assert ids3 != ids1
+
+
+def test_pack_sequences_offsets_and_chunks(spark):
+    # hand-computed: doc 0 (3 tok), 1 (0 tok -> dropped), 2 (4 tok),
+    # 5 (2 tok) with block=2 exercising cross-block offsets; seq_len=4
+    rows = [
+        (0, "a b c"),
+        (1, "   "),
+        (2, "w x y z"),
+        (5, "p q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["first_chunk"], r["last_chunk"]
+        )
+        for r in TA.pack_sequences(df, seq_len=4, block=2).collect()
+    }
+    assert got == {
+        0: (3, 0, 0, 0),        # tokens 0..2 -> chunk 0
+        2: (4, 3, 0, 1),        # tokens 3..6 -> spans chunks 0-1
+        5: (2, 7, 1, 2),        # tokens 7..8 -> spans chunks 1-2
+    }
+
+
+def test_pack_sequences_block_invariance(spark):
+    # the distributed two-level prefix sum must be block-size-invariant
+    rows = [(i, " ".join(["t"] * ((i * 7) % 5 + 1))) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r["doc_id"], r["start_offset"])
+        for r in TA.pack_sequences(df, seq_len=8, block=4).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["start_offset"])
+        for r in TA.pack_sequences(df, seq_len=8, block=1000).collect()
+    )
+    assert a == b
+    # offsets are a permutation-free running sum: consecutive docs abut
+    offs = dict(a)
+    lens = {r[0]: (r[0] * 7) % 5 + 1 for r in rows}
+    run = 0
+    for d in sorted(offs):
+        assert offs[d] == run
+        run += lens[d]
