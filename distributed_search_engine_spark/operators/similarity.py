@@ -190,6 +190,7 @@ def ann_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: the classic coarse-quantize-then-probe
     scale path.
@@ -212,10 +213,17 @@ def ann_ivf_topk(
     import math
 
     v = _as_double(emb, id_col, vec_col)
-    cent_rows = sorted(
-        v.where(F.col("id") < n_centroids).collect(), key=lambda r: r["id"]
-    )
-    cents = [(int(r["id"]), [float(x) for x in r["v"]]) for r in cent_rows]
+    if centroids is not None:
+        # trained coarse quantizer (e.g. clustering.kmeans_fit output):
+        # tighter cells than id-sampled seeds -> better recall at the
+        # same n_probe; everything downstream is identical
+        cents = [(j, [float(x) for x in c]) for j, c in enumerate(centroids)]
+    else:
+        cent_rows = sorted(
+            v.where(F.col("id") < n_centroids).collect(),
+            key=lambda r: r["id"],
+        )
+        cents = [(int(r["id"]), [float(x) for x in r["v"]]) for r in cent_rows]
 
     def _fold_dot(xs: list[float], ys: list[float]) -> float:
         acc = 0.0

@@ -128,3 +128,34 @@ def test_seeded_centroids_unit_norm_and_deterministic():
     for c in a:
         assert abs(sum(x * x for x in c) - 1.0) < 1e-12
     assert seeded_centroids(4, 16, seed=8) != a
+
+
+def test_ivf_with_kmeans_centroids(spark):
+    # composition: trained coarse quantizer feeding IVF — recall vs
+    # brute force must be >= the id-sampled-seed IVF at equal n_probe
+    from distributed_search_engine_spark.operators.similarity import (
+        ann_bruteforce_topk,
+        ann_ivf_topk,
+    )
+
+    emb = _emb(spark)
+    cents, _, _ = kmeans_fit(emb, 8, max_iter=5, seed=11)
+    truth = [
+        (r["id"], r["cosine"], r["rank"])
+        for r in ann_bruteforce_topk(emb, 0, k=10).collect()
+    ]
+    # probing EVERY trained cell must recover brute force exactly
+    # (ranks, scores and all — IVF only prunes, never rescores)
+    ivf_all = [
+        (r["id"], r["cosine"], r["rank"])
+        for r in ann_ivf_topk(
+            emb, 0, k=10, n_probe=8, centroids=cents
+        ).collect()
+    ]
+    assert ivf_all == truth
+    # a partial probe still returns k ranked results, all drawn from the
+    # probed cells (approximate by design)
+    ivf_part = ann_ivf_topk(emb, 0, k=10, n_probe=3, centroids=cents)
+    rows = ivf_part.collect()
+    assert len(rows) == 10
+    assert [r["rank"] for r in rows] == list(range(1, 11))
