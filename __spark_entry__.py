@@ -565,6 +565,12 @@ def _q_token_counts(spark, sf_dir):
     return TA.token_counts(_capped_docs(spark, sf_dir))
 
 
+def _q_length_stats(spark, sf_dir):
+    # per-source length profile with EXACT percentiles (the oracle-
+    # matchable form; approx_percentile is the documented 100 TB swap)
+    return TA.corpus_length_stats(_docs(spark, sf_dir))
+
+
 def _q_pack_sequences(spark, sf_dir):
     # GPT-style concat-and-chunk packing offsets via the DISTRIBUTED
     # two-level prefix sum (block totals -> block offsets -> within-block
@@ -1051,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_score": _q_quality,
         "text_token_counts": _q_token_counts,
         "pipeline_pack_sequences": _q_pack_sequences,
+        "text_length_stats": _q_length_stats,
         "text_fingerprint": _q_fingerprint,
         "pipeline_corpus_clean": _q_corpus_clean,
         "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
@@ -1148,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_score": oracle.quality_sql(),
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,
         "pipeline_pack_sequences": oracle.pack_sequences_sql(512),
+        "text_length_stats": oracle.corpus_length_stats_sql(),
         "text_fingerprint": oracle.FINGERPRINT_SQL,
         "pipeline_corpus_clean": oracle.corpus_clean_sql(TA.LANG_WORDLISTS, 0.5),
         "suggest_autocomplete": oracle.autocomplete_sql("s", 10),

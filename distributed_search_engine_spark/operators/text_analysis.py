@@ -522,3 +522,27 @@ def pack_sequences(
             (F.col("start_offset") + F.col("n_tokens") - 1) / seq_len
         ).cast("long").alias("last_chunk"),
     )
+
+
+def corpus_length_stats(
+    docs: DataFrame,
+    group_col: str = "source",
+    len_col: str = "n_chars",
+) -> DataFrame:
+    """Per-group doc-length profile: count, mean, exact p50/p90/p99.
+
+    Exact percentiles (F.percentile) buffer each group's values in the
+    agg — right for dashboard-sized group counts. At 100 TB swap in
+    F.approx_percentile (t-digest sketch, mergeable, bounded memory)
+    with the same call shape; the exact form is what the DuckDB oracle
+    can hash-match (quantile_cont uses the identical (n-1)*p linear
+    interpolation).
+    """
+    c = F.col(len_col).cast("double")
+    return docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg(c), 6).alias("mean_len"),
+        F.round(F.percentile(c, F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile(c, F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile(c, F.lit(0.99)), 6).alias("p99"),
+    )

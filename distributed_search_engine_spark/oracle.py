@@ -1415,3 +1415,19 @@ SELECT doc_id, n_tokens, start_offset,
        ((start_offset + n_tokens - 1) // {seq_len})::bigint AS last_chunk
 FROM cum
 """
+
+
+def corpus_length_stats_sql(
+    group_col: str = "source", len_col: str = "n_chars"
+) -> str:
+    """Twin of text_analysis.corpus_length_stats — quantile_cont matches
+    Spark's exact percentile ((n-1)*p linear interpolation)."""
+    return f"""
+SELECT {group_col} AS grp,
+       count(*)::bigint AS n_docs,
+       round(avg({len_col}::double), 6) AS mean_len,
+       round(quantile_cont({len_col}::double, 0.5), 6) AS p50,
+       round(quantile_cont({len_col}::double, 0.9), 6) AS p90,
+       round(quantile_cont({len_col}::double, 0.99), 6) AS p99
+FROM documents GROUP BY 1
+"""
