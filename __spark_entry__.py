@@ -864,6 +864,42 @@ FROM t WHERE event_type = 'purchase'
 """
 
 
+_RJ_BASE = 1704074400  # 2024-01-01T02:00:00Z
+_RJ_LEN, _RJ_DAYS = 5400, 30  # 90-minute daily windows
+
+
+def _q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval/range join via the bucketed equi-join (operators/temporal):
+    # 30 daily 90-min windows x events; an interval spanning b buckets
+    # emits b rows and the join is equi on bucket id + residual filter —
+    # never the O(N*M) theta/cartesian plan (plan-asserted in tests)
+    from distributed_search_engine_spark.operators.temporal import range_join
+
+    e = _t(spark, sf_dir, "events")
+    iv = spark.range(_RJ_DAYS).select(
+        F.col("id").cast("int").alias("interval_id"),
+        (F.lit(_RJ_BASE) + F.col("id") * 86400).cast("double").alias("start_ts"),
+        (F.lit(_RJ_BASE) + F.col("id") * 86400 + _RJ_LEN)
+        .cast("double")
+        .alias("end_ts"),
+    )
+    out = range_join(e, iv, bucket_secs=3600)
+    return out.select("event_id", "interval_id", "user_id", "event_type")
+
+
+_EVENTS_RANGE_JOIN_ORACLE = f"""
+WITH iv AS (
+  SELECT d.range::int AS interval_id,
+         ({_RJ_BASE} + d.range * 86400)::double AS start_ep,
+         ({_RJ_BASE} + d.range * 86400 + {_RJ_LEN})::double AS end_ep
+  FROM range({_RJ_DAYS}) d
+)
+SELECT e.event_id, i.interval_id, e.user_id, e.event_type
+FROM events e JOIN iv i
+  ON epoch(e.ts) >= i.start_ep AND epoch(e.ts) < i.end_ep
+"""
+
+
 def _q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hypertable-style rollup: the DAY aggregate is computed FROM the HOUR
     # materialization (count/sum partials re-aggregate losslessly) — the
@@ -1081,6 +1117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_asof_join": _q_events_asof,
         "events_rollup_day": _q_events_rollup,
+        "events_range_join": _q_events_range_join,
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
@@ -1201,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_asof_join": _EVENTS_ASOF_ORACLE,
         "events_rollup_day": _EVENTS_ROLLUP_ORACLE,
+        "events_range_join": _EVENTS_RANGE_JOIN_ORACLE,
         "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,

@@ -610,3 +610,40 @@ def test_pack_sequences_block_invariance(spark):
     for d in sorted(offs):
         assert offs[d] == run
         run += lens[d]
+
+
+def test_range_join_boundaries_and_spans(spark):
+    from distributed_search_engine_spark.operators.temporal import range_join
+
+    ev = spark.createDataFrame(
+        [(1, 100.0), (2, 3600.0), (3, 5399.999), (4, 5400.0), (5, 9999.0)],
+        "event_id long, ts double",
+    )
+    iv = spark.createDataFrame(
+        [(0, 0.0, 5400.0), (1, 5400.0, 7200.0)],
+        "interval_id int, start_ts double, end_ts double",
+    )
+    got = sorted(
+        (r["event_id"], r["interval_id"])
+        for r in range_join(ev, iv, bucket_secs=3600).collect()
+    )
+    # end-exclusive: 5400.0 belongs to interval 1 only; 9999 matches none;
+    # interval 0 spans two buckets and still catches both its events
+    assert got == [(1, 0), (2, 0), (3, 0), (4, 1)]
+
+
+def test_range_join_plan_is_equi_not_theta(spark):
+    from tests.test_plans import plan_of
+    from distributed_search_engine_spark.operators.temporal import range_join
+
+    ev = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") * 60.0).alias("ts")
+    )
+    iv = spark.range(5).select(
+        F.col("id").alias("interval_id"),
+        (F.col("id") * 1000.0).alias("start_ts"),
+        (F.col("id") * 1000.0 + 500).alias("end_ts"),
+    )
+    plan = plan_of(range_join(ev, iv))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
