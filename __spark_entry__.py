@@ -162,6 +162,44 @@ def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
     return more_like_this(sidx, "7", k=10)
 
 
+def _q_forward_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # forward index (doc -> sorted term list): the per-doc mirror of the
+    # postings that makes doc-centric lookups (MLT step 1) pruned reads
+    from distributed_search_engine_spark.query.engine import build_forward_index
+
+    idx = _index(spark, sf_dir, with_stems=False)
+    fwd = build_forward_index(idx["postings"])
+    return fwd.select(
+        "doc_id",
+        F.array_join("terms", " ").alias("terms"),
+        F.size("terms").cast("int").alias("n_terms"),
+    )
+
+
+def _q_mlt_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # scale-path MLT: forward-index term lookup + partition-pruned
+    # segment postings + precomputed norms — shares the oracle with
+    # search_more_like_this (identical output is the point)
+    from distributed_search_engine_spark.query.engine import (
+        build_forward_index,
+        more_like_this_pruned,
+        tfidf_doc_norms,
+    )
+
+    idx = _index(spark, sf_dir, with_stems=False)
+    seg = _segment_index(spark, sf_dir)
+    key = (sf_dir, "mlt_pruned_aux")
+    if key not in _INDEX_CACHE:
+        _INDEX_CACHE[key] = {
+            "fwd": build_forward_index(idx["postings"]).persist(),
+            "norms": tfidf_doc_norms(idx["postings"], idx["term_stats"]).persist(),
+        }
+    aux = _INDEX_CACHE[key]
+    return more_like_this_pruned(
+        seg["sidx"], "7", forward=aux["fwd"], doc_norms=aux["norms"], k=10
+    )
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1-P8: 3 fixed iterations over the deterministic synthetic link graph
     return _ranks(spark, sf_dir, 3).select(
@@ -1066,6 +1104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_segments": _q_phrase_segments,
         "search_bm25_dist_segments": _q_bm25_dist_segments,
         "search_more_like_this": _q_more_like_this,
+        "search_mlt_pruned": _q_mlt_pruned,
+        "index_forward": _q_forward_index,
         "pagerank_3iter": _q_pagerank,
         "pagerank_resume_3iter": _q_pagerank_resume,
         "pagerank_extracted_links": _q_pagerank_extracted,
@@ -1138,6 +1178,8 @@ def oracle_sql() -> dict[str, str]:
         "search_phrase_segments": oracle.and_phrase_sql("data", "stream"),
         "search_bm25_dist_segments": oracle.bm25_topk_sql(["data", "stream"], 10),
         "search_more_like_this": oracle.more_like_this_sql("7", 10),
+        "search_mlt_pruned": oracle.more_like_this_sql("7", 10),
+        "index_forward": oracle.FORWARD_INDEX_SQL,
         "pagerank_3iter": oracle.pagerank_sql(3),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),

@@ -1431,3 +1431,11 @@ SELECT {group_col} AS grp,
        round(quantile_cont({len_col}::double, 0.99), 6) AS p99
 FROM documents GROUP BY 1
 """
+
+
+FORWARD_INDEX_SQL = base_ctes() + """
+SELECT doc_id,
+       array_to_string(list_sort(list(DISTINCT term)), ' ') AS terms,
+       count(DISTINCT term)::int AS n_terms
+FROM postings GROUP BY doc_id
+"""

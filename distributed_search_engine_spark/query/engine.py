@@ -572,3 +572,89 @@ def more_like_this(index: SearchIndex, doc_id: str, k: int = 10) -> DataFrame:
     return top.withColumn(
         "rank", F.row_number().over(rank_w).cast("int")
     )
+
+
+def build_forward_index(postings: DataFrame) -> DataFrame:
+    """(doc_id, terms) forward index — the doc -> term-list mirror of the
+    postings. One groupBy; persist partitioned by doc_id so per-doc
+    lookups (more_like_this_pruned's first step) are pruned point reads,
+    exactly as the term segments serve per-term lookups."""
+    return postings.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("term")).alias("terms")
+    )
+
+
+def tfidf_doc_norms(postings: DataFrame, term_stats: DataFrame) -> DataFrame:
+    """(doc_id, nrm): L2 norm of each doc's tf-idf weight vector —
+    precomputed ONCE per index build (like doc_stats) so per-query paths
+    never re-scan the whole postings for normalization."""
+    w = postings.join(term_stats.select("term", "idf"), "term").select(
+        "doc_id", (F.col("normalized_tf") * F.col("idf")).alias("wt")
+    )
+    return w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+
+
+def more_like_this_pruned(
+    index: SearchIndex,
+    doc_id: str,
+    forward: DataFrame,
+    doc_norms: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Scale-path more_like_this: identical output to more_like_this
+    (pytest-gated equality), but no full-postings scan at query time —
+
+      1. the query doc's term list comes from the FORWARD index (a
+         pruned per-doc lookup, collected: one doc's vocabulary);
+      2. candidate postings come through index.lookup_postings(terms) —
+         the same partition-pruned segment provider every other scorer
+         mode uses;
+      3. doc norms come from the precomputed tfidf_doc_norms
+         materialization (amortized across queries, like doc_stats).
+
+    Per-query work is proportional to the query doc's posting lists,
+    not the corpus.
+    """
+    terms = [
+        r["term"]
+        for r in forward.where(F.col("doc_id") == doc_id)
+        .select(F.explode("terms").alias("term"))
+        .collect()
+    ]
+    if not terms:
+        return doc_norms.select(
+            F.col("doc_id"), F.lit(0.0).alias("score"), F.lit(0).alias("rank")
+        ).limit(0)
+    p = index.lookup_postings(terms)
+    if "idf" not in p.columns:
+        p = p.join(index.term_stats.select("term", "idf"), "term")
+    w = p.select(
+        "term", "doc_id", (F.col("normalized_tf") * F.col("idf")).alias("wt")
+    )
+    qw = w.where(F.col("doc_id") == doc_id).select(
+        "term", F.col("wt").alias("qwt")
+    )
+    qn = doc_norms.where(F.col("doc_id") == doc_id).select(
+        F.col("nrm").alias("qnrm")
+    )
+    dots = (
+        w.join(F.broadcast(qw), "term")
+        .where(F.col("doc_id") != doc_id)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+    )
+    scored = (
+        dots.join(doc_norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias(
+                "score"
+            ),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
