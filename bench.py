@@ -43,9 +43,31 @@ QUERY_SET = [
 N_SEG_PARTS = 32
 
 
+def _burn(_):
+    t = time.time()
+    x = 0
+    while time.time() - t < 3.0:
+        x += 1
+    return x
+
+
+def host_control() -> dict:
+    """Pure-CPU iterations/3s at 1 and 8 processes — the host-health
+    marker. This KVM sandbox shows up to ~2x steal-time swings between
+    identical runs (BENCH/BASELINE.md history); round-over-round query
+    timings should be read relative to these numbers, not absolutely."""
+    import multiprocessing as mp
+
+    one = _burn(0)
+    with mp.Pool(8) as p:
+        eight = sum(p.map(_burn, range(8)))
+    return {"host_iters_1p": one, "host_iters_8p": eight}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ctl = host_control()
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark("dse-bench", cores=cores, shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
@@ -294,6 +316,7 @@ def main() -> None:
                 "n_docs": n_docs,
                 "n_postings": n_postings,
                 "index_docs_per_sec": round(docs_per_sec, 1),
+                **ctl,
                 **extra_big,
             }
         )
