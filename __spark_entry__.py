@@ -603,6 +603,19 @@ def _q_token_counts(spark, sf_dir):
     return TA.token_counts(_capped_docs(spark, sf_dir))
 
 
+def _q_temperature_sample(spark, sf_dir):
+    # T5/PaLM temperature mixture: group share of the kept set ∝ n_g^0.7,
+    # expected half the corpus kept; auditable keep_p in the output
+    return TA.temperature_sample(
+        _capped_docs(spark, sf_dir), tau=0.7, target_frac=0.5
+    )
+
+
+def _q_ngram_counts(spark, sf_dir):
+    # LM-style corpus trigram counts (ALL occurrences), top-20 ranked
+    return TA.ngram_counts(_capped_docs(spark, sf_dir), n=3, k=20)
+
+
 def _q_length_stats(spark, sf_dir):
     # per-source length profile with EXACT percentiles (the oracle-
     # matchable form; approx_percentile is the documented 100 TB swap)
@@ -1134,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "pipeline_pack_sequences": _q_pack_sequences,
         "text_length_stats": _q_length_stats,
+        "pipeline_temperature_sample": _q_temperature_sample,
+        "text_ngram_counts": _q_ngram_counts,
         "text_fingerprint": _q_fingerprint,
         "pipeline_corpus_clean": _q_corpus_clean,
         "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
@@ -1235,6 +1250,8 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,
         "pipeline_pack_sequences": oracle.pack_sequences_sql(512),
         "text_length_stats": oracle.corpus_length_stats_sql(),
+        "pipeline_temperature_sample": oracle.temperature_sample_sql(0.7, 0.5),
+        "text_ngram_counts": oracle.ngram_counts_sql(3, 20),
         "text_fingerprint": oracle.FINGERPRINT_SQL,
         "pipeline_corpus_clean": oracle.corpus_clean_sql(TA.LANG_WORDLISTS, 0.5),
         "suggest_autocomplete": oracle.autocomplete_sql("s", 10),

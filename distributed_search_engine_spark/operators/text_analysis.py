@@ -546,3 +546,95 @@ def corpus_length_stats(
         F.round(F.percentile(c, F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile(c, F.lit(0.99)), 6).alias("p99"),
     )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    tau: float = 0.7,
+    target_frac: float = 0.5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "temp1",
+) -> DataFrame:
+    """Temperature-flattened mixture sampling (the T5/PaLM mixture rule):
+    group share of the kept set ∝ n_g^tau, so tau=1 preserves natural
+    proportions and tau->0 flattens toward uniform-per-group; the
+    expected kept fraction of the corpus is ``target_frac`` (per-group
+    keep probability capped at 1).
+
+    Rates derive from ONE partial-agg count per group crossed with a
+    1-row broadcast total; the keep decision is the same map-side
+    md5-Bernoulli as stratified_sample (no RNG state, reproducible,
+    identical arithmetic in the SQL oracle). Output carries the applied
+    keep_p so mixtures are auditable.
+    """
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("double").alias("n_g")
+    )
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_g"), F.lit(tau))).alias("wsum"),
+        F.sum("n_g").alias("n_tot"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("n_tot")
+            * F.pow(F.col("n_g"), F.lit(tau))
+            / F.col("wsum")
+            / F.col("n_g"),
+        ).alias("keep_p"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**8))
+    )
+    return (
+        docs.join(F.broadcast(rates), group_col)
+        .where(u < F.col("keep_p"))
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            F.col(group_col),
+            F.round("keep_p", 6).alias("keep_p"),
+        )
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Top-k corpus word n-grams by occurrence count (ALL occurrences,
+    not per-doc distinct — the LM-counts shape, vs dedup.shingles'
+    set semantics). Same window-lead construction as the shingle
+    pipeline; one partial-agg count shuffle; top-k is an ordered limit
+    (ties: count desc, ngram asc)."""
+    from .dedup import _tokens
+
+    t = _tokens(docs, doc_id_col, content_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    grams = t.select(
+        F.concat_ws(" ", *cols).alias("ngram"),
+        F.lead("tok", n - 1).over(w).alias("_last"),
+    ).where(F.col("_last").isNotNull())
+    counted = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    top = counted.orderBy(
+        F.desc("n_occurrences"), F.asc("ngram")
+    ).limit(k)
+    rank_w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))

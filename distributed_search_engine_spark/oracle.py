@@ -1439,3 +1439,56 @@ SELECT doc_id,
        count(DISTINCT term)::int AS n_terms
 FROM postings GROUP BY doc_id
 """
+
+
+def temperature_sample_sql(
+    tau: float = 0.7, target_frac: float = 0.5, seed: str = "temp1"
+) -> str:
+    """Twin of text_analysis.temperature_sample: identical count ->
+    pow-weight -> capped-rate arithmetic and md5 uniform."""
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || d.doc_id::varchar), 1, 8))::bigint"
+        f" / {float(16 ** 8)!r})"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+),
+c AS (SELECT source, count(*)::double AS n_g FROM d GROUP BY 1),
+t AS (SELECT sum(pow(n_g, {tau!r})) AS wsum, sum(n_g) AS n_tot FROM c),
+r AS (
+  SELECT c.source,
+         least(1.0, {target_frac!r} * t.n_tot * pow(c.n_g, {tau!r})
+                    / t.wsum / c.n_g) AS keep_p
+  FROM c, t
+)
+SELECT d.doc_id::varchar AS doc_id, d.source, round(r.keep_p, 6) AS keep_p
+FROM d JOIN r USING (source)
+WHERE {u} < r.keep_p
+"""
+
+
+def ngram_counts_sql(n: int = 3, k: int = 20) -> str:
+    """Twin of text_analysis.ngram_counts: ALL-occurrence n-gram counts
+    over the same window-lead stream, ranked (count desc, ngram asc)."""
+    leads = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
+    )
+    return base_ctes() + f""",
+toks2 AS (SELECT doc_id, pos, tok FROM tokstream WHERE tok <> ''),
+g0 AS (
+  SELECT {leads} AS ngram, lead(tok, {n - 1}) OVER w AS lastlead
+  FROM toks2 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+counted AS (
+  SELECT ngram, count(*)::bigint AS n_occurrences
+  FROM g0 WHERE lastlead IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT ngram, n_occurrences,
+         row_number() OVER (ORDER BY n_occurrences DESC, ngram ASC) AS rank
+  FROM counted
+)
+SELECT ngram, n_occurrences, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""

@@ -647,3 +647,32 @@ def test_range_join_plan_is_equi_not_theta(spark):
     plan = plan_of(range_join(ev, iv))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_temperature_sample_rates(spark):
+    rows = [(i, "x", "A" if i < 900 else "B") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # tau=0 flattens: expected picks equal per group -> p_g = T*N/2/n_g
+    out = TA.temperature_sample(df, tau=0.0, target_frac=0.1)
+    ps = {r["source"]: r["keep_p"] for r in out.collect()}
+    assert abs(ps["A"] - round(0.1 * 1000 / 2 / 900, 6)) < 1e-9
+    assert abs(ps["B"] - round(0.1 * 1000 / 2 / 100, 6)) < 1e-9
+    # tau=1 preserves natural proportions: uniform keep_p = target_frac
+    out1 = TA.temperature_sample(df, tau=1.0, target_frac=0.4)
+    ps1 = {r["source"]: r["keep_p"] for r in out1.collect()}
+    assert ps1 == {"A": 0.4, "B": 0.4}
+    # cap: a tiny group under strong flattening saturates at 1.0
+    out0 = TA.temperature_sample(df, tau=0.0, target_frac=0.9)
+    ps0 = {r["source"]: r["keep_p"] for r in out0.collect()}
+    assert ps0["B"] == 1.0
+
+
+def test_ngram_counts_hand_computed(spark):
+    rows = [(1, "a b a b a"), (2, "a b a c d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r["ngram"], r["n_occurrences"], r["rank"])
+        for r in TA.ngram_counts(df, n=2, k=3).collect()
+    ]
+    # bigrams: 'a b' x3, 'b a' x3, 'a c' x1, 'c d' x1
+    assert got == [("a b", 3, 1), ("b a", 3, 2), ("a c", 1, 3)]
