@@ -603,6 +603,19 @@ def _q_token_counts(spark, sf_dir):
     return TA.token_counts(_capped_docs(spark, sf_dir))
 
 
+def _q_ann_batch(spark, sf_dir):
+    # multi-query exact ANN in ONE job (the batch-BM25 analog for
+    # vectors): broadcast query rows, one scored scan, per-query
+    # bounded window top-k
+    return S.ann_bruteforce_batch(_emb(spark, sf_dir), [0, 3, 7, 11], k=5)
+
+
+def _q_quality_linear(spark, sf_dir):
+    # fastText-style quality model inference as a broadcast join: hashed
+    # token features x (bucket, weight) model table, mean-pool, sigmoid
+    return TA.quality_linear(_capped_docs(spark, sf_dir))
+
+
 def _q_temperature_sample(spark, sf_dir):
     # T5/PaLM temperature mixture: group share of the kept set ∝ n_g^0.7,
     # expected half the corpus kept; auditable keep_p in the output
@@ -1149,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_length_stats": _q_length_stats,
         "pipeline_temperature_sample": _q_temperature_sample,
         "text_ngram_counts": _q_ngram_counts,
+        "text_quality_linear": _q_quality_linear,
+        "ann_batch_top5": _q_ann_batch,
         "text_fingerprint": _q_fingerprint,
         "pipeline_corpus_clean": _q_corpus_clean,
         "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
@@ -1252,6 +1267,8 @@ def oracle_sql() -> dict[str, str]:
         "text_length_stats": oracle.corpus_length_stats_sql(),
         "pipeline_temperature_sample": oracle.temperature_sample_sql(0.7, 0.5),
         "text_ngram_counts": oracle.ngram_counts_sql(3, 20),
+        "text_quality_linear": oracle.quality_linear_sql(TA.linear_weights(256)),
+        "ann_batch_top5": oracle.ann_batch_sql([0, 3, 7, 11], 5),
         "text_fingerprint": oracle.FINGERPRINT_SQL,
         "pipeline_corpus_clean": oracle.corpus_clean_sql(TA.LANG_WORDLISTS, 0.5),
         "suggest_autocomplete": oracle.autocomplete_sql("s", 10),

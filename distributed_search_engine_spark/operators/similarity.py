@@ -266,3 +266,36 @@ def ann_ivf_topk(
         "id", _cosine(F.col("v"), F.col("qv")).alias("cosine")
     )
     return _ranked_topk(scored, k)
+
+
+def ann_bruteforce_batch(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k for MANY query vectors in ONE job — the batch-BM25 analog
+    for vectors: broadcast the |Q| query rows, one scored scan of the
+    corpus (N x |Q| candidate rows), per-query window top-k (PARTITIONED
+    by query id — bounded sort per query, never a global window).
+    Scores are rounded to 6dp BEFORE ranking for cross-engine-stable
+    order (ties: id asc)."""
+    v = _as_double(emb, id_col, vec_col)
+    q = v.where(F.col("id").isin([int(x) for x in query_ids])).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .where(F.col("id") != F.col("qid"))
+        .select(
+            "qid",
+            "id",
+            F.round(_cosine(F.col("v"), F.col("qv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

@@ -41,8 +41,11 @@ def range_join(
 
     ev = events.withColumn("_bucket", F.floor(ev_epoch / bucket_secs))
     # one row per bucket the interval overlaps: sequence() is JVM-side;
-    # end is exclusive, so a boundary-aligned end emits no extra bucket
-    iv = intervals.withColumn(
+    # end is exclusive, so a boundary-aligned end emits no extra bucket.
+    # Empty intervals (start >= end) are dropped up front — otherwise
+    # sequence(hi, lo) would run DESCENDING and emit junk bucket rows
+    # (harmless after the residual filter, but wasted).
+    iv = intervals.where(iv_start < iv_end).withColumn(
         "_bucket",
         F.explode(
             F.sequence(

@@ -638,3 +638,64 @@ def ngram_counts(
     ).limit(k)
     rank_w = Window.orderBy(F.desc("n_occurrences"), F.asc("ngram"))
     return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+def linear_weights(vocab_hashes: int = 256, seed: int = 21) -> list[tuple[int, float]]:
+    """Deterministic hashed-feature weights for the linear quality
+    model: (feature_bucket, weight in [-1, 1)) for every bucket. The
+    same literals reach the SQL oracle, so both engines score
+    identically — the shape of shipping a trained fastText-style model
+    into the cluster as a broadcast table."""
+    out = []
+    for b in range(vocab_hashes):
+        x = (seed * 0x9E3779B97F4A7C15 + b * 0xBF58476D1CE4E5B9) & ((1 << 64) - 1)
+        x ^= x >> 31
+        x = (x * 0x94D049BB133111EB) & ((1 << 64) - 1)
+        x ^= x >> 29
+        out.append((b, (x % (1 << 53)) / float(1 << 52) - 1.0))
+    return out
+
+
+def quality_linear(
+    docs: DataFrame,
+    weights: list[tuple[int, float]] | None = None,
+    vocab_hashes: int = 256,
+    bias: float = 0.0,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Linear text classifier inference as a JOIN — the scale pattern
+    for fastText-style quality filtering: hash each token into
+    ``vocab_hashes`` feature buckets, join the (bucket, weight) model
+    table (broadcast — a real model is a few MB), mean-pool the
+    weights per doc, sigmoid -> quality probability.
+
+    One token->bucket map stage + one broadcast join + one partial-agg
+    groupBy; no UDF, no per-row Python. Swap linear_weights() for a
+    trained model's rows and nothing else changes.
+    """
+    from .dedup import _tokens
+
+    if weights is None:
+        weights = linear_weights(vocab_hashes)
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(weights, "bucket int, w double")
+    t = _tokens(docs, doc_id_col, content_col)
+    # portable bucket hash (md5 prefix, same arithmetic in the oracle)
+    feat = t.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
+            F.lit(vocab_hashes),
+        ).cast("int").alias("bucket"),
+    )
+    z = (
+        feat.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg((F.avg("w") + F.lit(bias)).alias("z"))
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
+    return z.select(
+        "doc_id",
+        F.round(prob, 6).alias("quality_prob"),
+    )

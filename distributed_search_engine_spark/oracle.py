@@ -1492,3 +1492,52 @@ ranked AS (
 )
 SELECT ngram, n_occurrences, rank::int AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+def quality_linear_sql(
+    weights: list[tuple[int, float]], vocab_hashes: int = 256, bias: float = 0.0
+) -> str:
+    """Twin of text_analysis.quality_linear: identical md5 bucket hash,
+    the same (bucket, weight) literals as a VALUES table, mean-pool +
+    sigmoid."""
+    vals = ", ".join(f"({b}, {w!r})" for b, w in weights)
+    return base_ctes() + f""",
+toksq AS (SELECT doc_id, tok FROM tokstream WHERE tok <> ''),
+feat AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5(tok), 1, 8))::bigint) % {vocab_hashes})::int AS bucket
+  FROM toksq
+),
+model (bucket, w) AS (VALUES {vals}),
+z AS (
+  SELECT f.doc_id, avg(m.w) + {bias!r} AS z
+  FROM feat f JOIN model m USING (bucket)
+  GROUP BY 1
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-z)), 6) AS quality_prob FROM z
+"""
+
+
+def ann_batch_sql(query_ids: list[int], k: int = 10) -> str:
+    """Twin of similarity.ann_bruteforce_batch: per-query cosine scan +
+    6dp-rounded rank (cosine desc, id asc)."""
+    ids = ", ".join(str(int(x)) for x in query_ids)
+    dot = _fold_sum(
+        "list_transform(generate_series(1, len(v.v)), i -> v.v[i] * q.qv[i])"
+    )
+    nv = _fold_sum("list_transform(v.v, x -> x * x)")
+    nq = _fold_sum("list_transform(q.qv, x -> x * x)")
+    return _VEC_CTE + f""",
+q AS (SELECT id AS qid, v AS qv FROM v WHERE id IN ({ids})),
+scored AS (
+  SELECT q.qid, v.id,
+         round({dot} / (sqrt({nv}) * sqrt({nq})), 6) AS cosine
+  FROM v JOIN q ON v.id <> q.qid
+),
+ranked AS (
+  SELECT qid, id, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT qid, id, cosine, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""

@@ -676,3 +676,29 @@ def test_ngram_counts_hand_computed(spark):
     ]
     # bigrams: 'a b' x3, 'b a' x3, 'a c' x1, 'c d' x1
     assert got == [("a b", 3, 1), ("b a", 3, 2), ("a c", 1, 3)]
+
+
+def test_ann_batch_equals_per_query(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    batch = S.ann_bruteforce_batch(emb, [0, 5], k=4).collect()
+    for qid in (0, 5):
+        single = [
+            (r["id"], r["cosine"], r["rank"])
+            for r in S.ann_bruteforce_topk(emb, qid, k=4).collect()
+        ]
+        got = sorted(
+            ((r["id"], r["cosine"], r["rank"]) for r in batch if r["qid"] == qid),
+            key=lambda x: x[2],
+        )
+        assert got == single
+
+
+def test_quality_linear_bounded_and_deterministic(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha"), (3, "zzz unknown")],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["quality_prob"] for r in TA.quality_linear(docs).collect()}
+    b = {r["doc_id"]: r["quality_prob"] for r in TA.quality_linear(docs).collect()}
+    assert a == b
+    assert all(0.0 < p < 1.0 for p in a.values())
