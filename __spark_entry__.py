@@ -928,6 +928,40 @@ FROM t WHERE event_type = 'purchase'
 """
 
 
+# ---------------------------------------------------------------------------
+# warehouse analytics (analytics.py): TPC-H Q1/Q3/Q5 shapes over the
+# TPC-H-ish tables — decimal-exact money math, broadcast dims.
+# ---------------------------------------------------------------------------
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_search_engine_spark.analytics import pricing_summary
+
+    return pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_search_engine_spark.analytics import top_revenue_orders
+
+    return top_revenue_orders(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+    )
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_search_engine_spark.analytics import regional_revenue
+
+    return regional_revenue(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+
+
 _RJ_BASE = 1704074400  # 2024-01-01T02:00:00Z
 _RJ_LEN, _RJ_DAYS = 5400, 30  # 90-minute daily windows
 
@@ -1188,6 +1222,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _q_events_asof,
         "events_rollup_day": _q_events_rollup,
         "events_range_join": _q_events_range_join,
+        "analytics_pricing_summary": _q_tpch_q1,
+        "analytics_top_orders": _q_tpch_q3,
+        "analytics_regional_revenue": _q_tpch_q5,
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
@@ -1315,6 +1352,9 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": _EVENTS_ASOF_ORACLE,
         "events_rollup_day": _EVENTS_ROLLUP_ORACLE,
         "events_range_join": _EVENTS_RANGE_JOIN_ORACLE,
+        "analytics_pricing_summary": oracle.pricing_summary_sql(),
+        "analytics_top_orders": oracle.top_revenue_orders_sql(),
+        "analytics_regional_revenue": oracle.regional_revenue_sql(),
         "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,

@@ -1541,3 +1541,99 @@ ranked AS (
 )
 SELECT qid, id, cosine, rank::int AS rank FROM ranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# warehouse analytics (analytics.py) — TPC-H Q1/Q3/Q5 shapes. Money math
+# in DECIMAL on both engines: exact, order-independent sums, so the hash
+# gate needs no float tolerance; doubles only at the rounded output.
+# ---------------------------------------------------------------------------
+
+_LI_DEC = """
+  l_extendedprice::DECIMAL(12,2) AS ep,
+  l_quantity::DECIMAL(12,2) AS qty,
+  l_discount::DECIMAL(5,2) AS disc,
+  l_tax::DECIMAL(5,2) AS tax,
+  l_extendedprice::DECIMAL(12,2) * (1.00::DECIMAL(5,2) - l_discount::DECIMAL(5,2)) AS disc_price,
+  l_extendedprice::DECIMAL(12,2) * (1.00::DECIMAL(5,2) - l_discount::DECIMAL(5,2))
+    * (1.00::DECIMAL(5,2) + l_tax::DECIMAL(5,2)) AS charge
+"""
+
+
+def pricing_summary_sql(cutoff: str = "1998-09-02") -> str:
+    return f"""
+WITH x AS (
+  SELECT l_returnflag, l_linestatus, {_LI_DEC}
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff} 00:00:00'
+),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(qty) AS sq, sum(ep) AS sb, sum(disc_price) AS sd,
+         sum(charge) AS sc, sum(disc) AS sdisc, count(*)::bigint AS count_order
+  FROM x GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus,
+       round(sq::double, 2) AS sum_qty,
+       round(sb::double, 2) AS sum_base_price,
+       round(sd::double, 4) AS sum_disc_price,
+       round(sc::double, 6) AS sum_charge,
+       round(sq::double / count_order, 6) AS avg_qty,
+       round(sb::double / count_order, 6) AS avg_price,
+       round(sdisc::double / count_order, 6) AS avg_disc,
+       count_order
+FROM a
+"""
+
+
+def top_revenue_orders_sql(
+    segment: str = "BUILDING", date: str = "1997-03-15", k: int = 10
+) -> str:
+    return f"""
+WITH x AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         l.l_extendedprice::DECIMAL(12,2)
+           * (1.00::DECIMAL(5,2) - l.l_discount::DECIMAL(5,2)) AS disc_price
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{segment}'
+    AND o.o_orderdate < TIMESTAMP '{date} 00:00:00'
+    AND l.l_shipdate > TIMESTAMP '{date} 00:00:00'
+),
+rev AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         round(sum(disc_price)::double, 4) AS revenue
+  FROM x GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT l_orderkey, revenue,
+         round(epoch(o_orderdate), 6) AS o_orderdate_epoch, o_orderpriority,
+         row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+  FROM rev
+)
+SELECT l_orderkey, revenue, o_orderdate_epoch, o_orderpriority, rank::int AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def regional_revenue_sql(
+    region_name: str = "ASIA",
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+) -> str:
+    return f"""
+SELECT n.n_name,
+       round(sum(l.l_extendedprice::DECIMAL(12,2)
+                 * (1.00::DECIMAL(5,2) - l.l_discount::DECIMAL(5,2)))::double,
+             4) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN customer c ON o.o_custkey = c.c_custkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = '{region_name}'
+  AND o.o_orderdate >= TIMESTAMP '{date_lo} 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '{date_hi} 00:00:00'
+GROUP BY 1
+"""

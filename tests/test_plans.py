@@ -207,3 +207,32 @@ def test_cc_round_is_shuffle_bounded(spark):
     plan = plan_of(_small_star(_large_star(e)))
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_tpch_q5_broadcasts_dims(spark):
+    """Small dims (region->nation->supplier) must broadcast; no
+    cartesian anywhere; customer join left to AQE (large dim at scale)."""
+    from distributed_search_engine_spark.analytics import regional_revenue
+
+    sf = "/root/testdata/sf0.001"
+    t = lambda n: spark.read.parquet(f"{sf}/{n}.parquet")
+    plan = plan_of(
+        regional_revenue(
+            t("lineitem"), t("orders"), t("customer"),
+            t("supplier"), t("nation"), t("region"),
+        )
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q1_pushes_shipdate_filter(spark):
+    """The shipdate predicate must reach the parquet scan."""
+    from distributed_search_engine_spark.analytics import pricing_summary
+
+    df = pricing_summary(
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
