@@ -928,6 +928,52 @@ FROM t WHERE event_type = 'purchase'
 """
 
 
+def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # runtime-filter pattern: Bloom bitmap over 'purchase' user ids,
+    # broadcast as plan literals, map-side prune of the full event scan
+    # BEFORE any join shuffle. Output includes the bitmap's deterministic
+    # false positives — the oracle reproduces the identical membership
+    # semantics (probe positions ⊆ build positions)
+    from distributed_search_engine_spark.operators.bloom import (
+        bloom_prune,
+        build_bloom,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    build = (
+        e.where((F.col("event_type") == "purchase") & (F.col("value") >= 200))
+        .select("user_id")
+        .distinct()
+    )
+    bitmap = build_bloom(build, "user_id")
+    # prunes ~79% of the probe scan at sf0.01 (32 build keys)
+    return bloom_prune(e, "user_id", bitmap).select("event_id", "user_id")
+
+
+_BLOOM_PRUNE_ORACLE = """
+WITH bk AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= 200
+),
+bp AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5(h.range::varchar || ':' || bk.user_id::varchar), 1, 8))::bigint
+     % 65536) AS pos
+  FROM bk, range(4) h
+),
+pp AS (
+  SELECT e.event_id, e.user_id,
+    (('0x' || substr(md5(h.range::varchar || ':' || e.user_id::varchar), 1, 8))::bigint
+     % 65536) AS pos
+  FROM events e, range(4) h
+)
+SELECT pp.event_id, pp.user_id
+FROM pp LEFT JOIN bp USING (pos)
+GROUP BY 1, 2
+HAVING count(bp.pos) = 4
+"""
+
+
 # ---------------------------------------------------------------------------
 # warehouse analytics (analytics.py): TPC-H Q1/Q3/Q5 shapes over the
 # TPC-H-ish tables — decimal-exact money math, broadcast dims.
@@ -1225,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_pricing_summary": _q_tpch_q1,
         "analytics_top_orders": _q_tpch_q3,
         "analytics_regional_revenue": _q_tpch_q5,
+        "pipeline_bloom_prune": _q_bloom_prune,
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
@@ -1355,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "analytics_pricing_summary": oracle.pricing_summary_sql(),
         "analytics_top_orders": oracle.top_revenue_orders_sql(),
         "analytics_regional_revenue": oracle.regional_revenue_sql(),
+        "pipeline_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,

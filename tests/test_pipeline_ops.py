@@ -702,3 +702,32 @@ def test_quality_linear_bounded_and_deterministic(spark):
     b = {r["doc_id"]: r["quality_prob"] for r in TA.quality_linear(docs).collect()}
     assert a == b
     assert all(0.0 < p < 1.0 for p in a.values())
+
+
+def test_bloom_prune_no_false_negatives(spark):
+    from distributed_search_engine_spark.operators.bloom import (
+        bloom_prune,
+        build_bloom,
+    )
+
+    probe = spark.range(2000).select(F.col("id").alias("k"))
+    build = spark.range(0, 2000, 37).select(F.col("id").alias("k"))
+    bm = build_bloom(build, "k", m_bits=1 << 12, k_hashes=4)
+    kept = {r["k"] for r in bloom_prune(probe, "k", bm, m_bits=1 << 12).collect()}
+    truth = set(range(0, 2000, 37))
+    # every true member passes; the rest are bounded false positives
+    assert truth <= kept
+    assert len(kept) < 2000  # it actually prunes
+    # deterministic: same bitmap, same survivors
+    kept2 = {r["k"] for r in bloom_prune(probe, "k", bm, m_bits=1 << 12).collect()}
+    assert kept == kept2
+
+
+def test_bloom_bitmap_signed_words(spark):
+    from distributed_search_engine_spark.operators.bloom import build_bloom
+
+    # enough keys that some word sets bit 63; all words must fit int64
+    build = spark.range(3000).select(F.col("id").alias("k"))
+    bm = build_bloom(build, "k", m_bits=1 << 10, k_hashes=4)
+    assert all(-(1 << 63) <= w < (1 << 63) for w in bm)
+    assert any(w < 0 for w in bm)
