@@ -950,6 +950,37 @@ def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prune(e, "user_id", bitmap).select("event_id", "user_id")
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-mitigated equi-join: deterministic 8-way salting spreads any
+    # hot user's events over 8 reducers; output is ROW-IDENTICAL to the
+    # plain join — which is exactly what the oracle checks (salting is
+    # a physical rewrite, not a semantic one)
+    from distributed_search_engine_spark.operators.skew import salted_join
+
+    e = _t(spark, sf_dir, "events")
+    dim = e.where(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    out = salted_join(
+        e.select("event_id", "user_id", "event_type"),
+        dim,
+        key="user_id",
+        fact_id_col="event_id",
+        n_salts=8,
+    )
+    return out.select("event_id", "user_id", "event_type", "n_purchases")
+
+
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (
+  SELECT user_id, count(*)::bigint AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT e.event_id, e.user_id, e.event_type, dim.n_purchases
+FROM events e JOIN dim USING (user_id)
+"""
+
+
 _BLOOM_PRUNE_ORACLE = """
 WITH bk AS (
   SELECT DISTINCT user_id FROM events
@@ -1272,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_top_orders": _q_tpch_q3,
         "analytics_regional_revenue": _q_tpch_q5,
         "pipeline_bloom_prune": _q_bloom_prune,
+        "pipeline_salted_join": _q_salted_join,
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
@@ -1403,6 +1435,7 @@ def oracle_sql() -> dict[str, str]:
         "analytics_top_orders": oracle.top_revenue_orders_sql(),
         "analytics_regional_revenue": oracle.regional_revenue_sql(),
         "pipeline_bloom_prune": _BLOOM_PRUNE_ORACLE,
+        "pipeline_salted_join": _SALTED_JOIN_ORACLE,
         "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,

@@ -731,3 +731,32 @@ def test_bloom_bitmap_signed_words(spark):
     bm = build_bloom(build, "k", m_bits=1 << 10, k_hashes=4)
     assert all(-(1 << 63) <= w < (1 << 63) for w in bm)
     assert any(w < 0 for w in bm)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from distributed_search_engine_spark.operators.skew import salted_join
+
+    # skewed fact: key 0 holds 80% of rows
+    fact = spark.range(1000).select(
+        F.col("id").alias("fid"),
+        F.when(F.col("id") < 800, 0).otherwise(F.col("id") % 50).alias("k"),
+    )
+    dim = spark.range(50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("attr")
+    )
+    plain = sorted(
+        (r["fid"], r["attr"])
+        for r in fact.join(dim, "k").select("fid", "attr").collect()
+    )
+    for how in ("inner", "left"):
+        salted = sorted(
+            (r["fid"], r["attr"])
+            for r in salted_join(fact, dim, "k", "fid", n_salts=4, how=how)
+            .select("fid", "attr")
+            .collect()
+        )
+        want = plain if how == "inner" else sorted(
+            (r["fid"], r["attr"])
+            for r in fact.join(dim, "k", "left").select("fid", "attr").collect()
+        )
+        assert salted == want
