@@ -303,6 +303,23 @@ def main() -> None:
     else:
         extra_big = {}
 
+    # q10: warehouse analytics — the three decimal-exact TPC-H shapes
+    from distributed_search_engine_spark.analytics import (
+        pricing_summary,
+        regional_revenue,
+        top_revenue_orders,
+    )
+
+    tt = lambda name: spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    t0 = time.time()
+    pricing_summary(tt("lineitem")).collect()
+    top_revenue_orders(tt("lineitem"), tt("orders"), tt("customer")).collect()
+    regional_revenue(
+        tt("lineitem"), tt("orders"), tt("customer"),
+        tt("supplier"), tt("nation"), tt("region"),
+    ).collect()
+    timings["analytics_q1_q3_q5"] = time.time() - t0
+
     total = sum(timings.values())
     print(
         json.dumps(
