@@ -746,7 +746,15 @@ def _q_cc_chain(spark, sf_dir):
     edges = docs.where(F.col("doc_id") % 50 != 0).select(
         F.col("doc_id").alias("u"), (F.col("doc_id") - 1).alias("v")
     )
-    return G.connected_components(edges, node_col="node")
+    cc = G.connected_components(edges, node_col="node")
+    # cover EVERY doc like the closed-form oracle does: a chain of
+    # length 1 (N % 50 == 1) has no edges, so its doc is absent from the
+    # CC output and must label itself
+    return (
+        docs.select(F.col("doc_id").alias("node"))
+        .join(cc, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
 
 
 def _q_cc_keepers(spark, sf_dir):

@@ -22,20 +22,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_bucket
+
 
 def _pos(key: Column, h: int, m_bits: int) -> Column:
     """Deterministic bit position for hash h — md5-prefix arithmetic,
     identical in the SQL oracle."""
-    return F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{h}:"), key.cast("string"))), 1, 8
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(m_bits),
-    )
+    return md5_bucket(key, m_bits, salt=f"{h}:")
 
 
 def build_bloom(
@@ -48,7 +41,11 @@ def build_bloom(
     distributed part is one explode+distinct over positions (bounded by
     m_bits rows); the driver folds them into longs."""
     pos_rows = (
-        keys.select(
+        # NULL keys can never equi-join, so the exact join this filter
+        # accelerates would drop them — drop them here too (a NULL key
+        # would otherwise yield a NULL position and crash the fold)
+        keys.where(F.col(key_col).isNotNull())
+        .select(
             F.explode(
                 F.array(
                     *[_pos(F.col(key_col), h, m_bits) for h in range(k_hashes)]

@@ -71,7 +71,7 @@ def cc_propagate(
     or not converged, so the DuckDB oracle can unroll it. Use
     connected_components() when the diameter is unknown.
     """
-    sym = _sym(edges)
+    sym = _sym(edges).localCheckpoint(eager=False)
     labels = nodes_of(edges).select(
         F.col("node"), F.col("node").alias("label")
     )
@@ -83,6 +83,10 @@ def cc_propagate(
             labels.unionByName(msgs)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            # each round references the previous labels twice; cut the
+            # lineage or the logical plan doubles per round (the same
+            # pathology the star kernel's loop guards against)
+            .localCheckpoint(eager=False)
         )
     return labels.select(
         F.col("node").alias(node_col), F.col("label").alias("component")
@@ -167,35 +171,48 @@ def connected_components(
         .distinct()
         .persist()
     )
-    prev_sig = _checksum(cur)
-    last: DataFrame | None = None
-    for rnd in range(1, max_rounds + 1):
-        # localCheckpoint EVERY round: each alternation references the
-        # previous round's frame several times (symmetrize + two
-        # neighborhood joins), so an un-truncated lineage grows the
-        # logical plan exponentially and Catalyst analysis time blows up
-        # by round ~4 (measured). The checkpointed edge set is bounded
-        # by the input edge count, and the loop runs O(log^2 n) rounds.
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        sig = _checksum(nxt)
-        if last is not None:
-            last.unpersist()
-        last, cur = cur, nxt
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_rounds} rounds"
+    held: list[DataFrame] = [all_nodes, cur]  # everything persisted/checkpointed
+    try:
+        prev_sig = _checksum(cur)
+        last: DataFrame | None = None
+        for rnd in range(1, max_rounds + 1):
+            # localCheckpoint EVERY round: each alternation references the
+            # previous round's frame several times (symmetrize + two
+            # neighborhood joins), so an un-truncated lineage grows the
+            # logical plan exponentially and Catalyst analysis time blows
+            # up by round ~4 (measured). The checkpointed edge set is
+            # bounded by the input edge count, O(log^2 n) rounds.
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            held.append(nxt)
+            sig = _checksum(nxt)
+            if last is not None:
+                last.unpersist()
+                held.remove(last)
+            last, cur = cur, nxt
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds"
+            )
+        # at the fixed point every edge is (member, component-min): the
+        # star. Materialize the (small) label frame eagerly so every
+        # intermediate cache can be released before returning.
+        labels = (
+            all_nodes.join(
+                cur.withColumnRenamed("u", "node"), "node", "left"
+            )
+            .select(
+                F.col("node").alias(node_col),
+                F.coalesce("v", "node").alias("component"),
+            )
+            .localCheckpoint(eager=True)
         )
-    # at the fixed point every edge is (member, component-min): the star.
-    labels = all_nodes.join(
-        cur.withColumnRenamed("u", "node"), "node", "left"
-    ).select(
-        F.col("node").alias(node_col),
-        F.coalesce("v", "node").alias("component"),
-    )
-    return labels
+        return labels
+    finally:
+        for df in held:
+            df.unpersist()
 
 
 def components_from_pairs(

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_bucket
+
 
 def salted_join(
     fact: DataFrame,
@@ -38,17 +40,12 @@ def salted_join(
     ``how``: inner / left. Row-identical to fact.join(dim, key, how)."""
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r}")
-    salt = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("salt:"), F.col(fact_id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(n_salts),
+    # coalesce: a NULL row id must still land in SOME salt bucket, or
+    # the (key, salt) join would drop/null-extend rows the plain join
+    # keyed only on `key` would match — breaking the row-identity
+    # contract
+    salt = F.coalesce(
+        md5_bucket(F.col(fact_id_col), n_salts, salt="salt:"), F.lit(0)
     ).cast("int")
     f = fact.withColumn("_salt", salt)
     d = dim.withColumn(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
+from ..functions.hashing import md5_bucket, md5_uniform
 from ..functions.stopwords import STOP_WORDS
 
 # Small seed wordlists for the n-gram/stopword language heuristic. Listed
@@ -375,10 +376,7 @@ def stratified_sample(
     frac = F.lit(default_fraction)
     for g, f in sorted(fractions.items()):
         frac = F.when(F.col(group_col) == g, F.lit(float(f))).otherwise(frac)
-    u = (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 8), 16, 10)
-        .cast("double") / F.lit(float(16 ** 8))
-    )
+    u = md5_uniform(F.col(id_col), salt=f"{seed}:")
     return docs.where(u < frac)
 
 
@@ -586,18 +584,7 @@ def temperature_sample(
             / F.col("n_g"),
         ).alias("keep_p"),
     )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        / F.lit(float(16**8))
-    )
+    u = md5_uniform(F.col(id_col), salt=f"{seed}:")
     return (
         docs.join(F.broadcast(rates), group_col)
         .where(u < F.col("keep_p"))
@@ -684,10 +671,7 @@ def quality_linear(
     # portable bucket hash (md5 prefix, same arithmetic in the oracle)
     feat = t.select(
         "doc_id",
-        F.pmod(
-            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"),
-            F.lit(vocab_hashes),
-        ).cast("int").alias("bucket"),
+        md5_bucket(F.col("tok"), vocab_hashes).cast("int").alias("bucket"),
     )
     z = (
         feat.join(F.broadcast(wdf), "bucket")

@@ -535,43 +535,53 @@ def more_like_this(index: SearchIndex, doc_id: str, k: int = 10) -> DataFrame:
     Scores are rounded to 6dp BEFORE ranking so the ordering is
     reproducible across engines (ties then break on doc_id asc).
     """
-    w = index.postings.join(
-        index.term_stats.select("term", "idf"), "term"
-    ).select(
-        "term",
-        "doc_id",
-        (F.col("normalized_tf") * F.col("idf")).alias("wt"),
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
-    )
-    qw = w.where(F.col("doc_id") == doc_id).select(
-        "term", F.col("wt").alias("qwt")
-    )
-    qn = norms.where(F.col("doc_id") == doc_id).select(
-        F.col("nrm").alias("qnrm")
-    )
-    dots = (
-        w.join(F.broadcast(qw), "term")
-        .where(F.col("doc_id") != doc_id)
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
-    )
-    scored = (
-        dots.join(norms, "doc_id")
-        .crossJoin(F.broadcast(qn))
+    # w feeds three subtrees (norms, qw, dots) — persist it for the
+    # query's duration or the postings x term_stats join executes three
+    # times (the oracle twin MATERIALIZEs the same CTEs). The k-row
+    # result is materialized eagerly so the cache can be released
+    # before returning.
+    w = (
+        index.postings.join(index.term_stats.select("term", "idf"), "term")
         .select(
+            "term",
             "doc_id",
-            F.round(F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6).alias(
-                "score"
-            ),
+            (F.col("normalized_tf") * F.col("idf")).alias("wt"),
         )
+        .persist()
     )
-    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-    rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return top.withColumn(
-        "rank", F.row_number().over(rank_w).cast("int")
-    )
+    try:
+        norms = w.groupBy("doc_id").agg(
+            F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+        )
+        qw = w.where(F.col("doc_id") == doc_id).select(
+            "term", F.col("wt").alias("qwt")
+        )
+        qn = norms.where(F.col("doc_id") == doc_id).select(
+            F.col("nrm").alias("qnrm")
+        )
+        dots = (
+            w.join(F.broadcast(qw), "term")
+            .where(F.col("doc_id") != doc_id)
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("wt") * F.col("qwt")).alias("dot"))
+        )
+        scored = (
+            dots.join(norms, "doc_id")
+            .crossJoin(F.broadcast(qn))
+            .select(
+                "doc_id",
+                F.round(
+                    F.col("dot") / (F.col("nrm") * F.col("qnrm")), 6
+                ).alias("score"),
+            )
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return top.withColumn(
+            "rank", F.row_number().over(rank_w).cast("int")
+        ).localCheckpoint(eager=True)
+    finally:
+        w.unpersist()
 
 
 def build_forward_index(postings: DataFrame) -> DataFrame:

@@ -75,12 +75,17 @@ def dedup_stream_unbounded(docs: DataFrame, content_col: str = "content") -> Dat
             return
         first: pd.DataFrame | None = None
         for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
             pdf = pdf.sort_values("doc_id").head(1)
             if first is None or pdf["doc_id"].iloc[0] < first["doc_id"].iloc[0]:
                 first = pdf
+        if first is None:
+            # nothing arrived for this key: do NOT mark it seen, or the
+            # first real occurrence would be silently suppressed later
+            return
         state.update((True,))
-        if first is not None:
-            yield first[["doc_id", "content", "content_sha"]]
+        yield first[["doc_id", "content", "content_sha"]]
 
     hashed = with_content_sha(docs, content_col)
     return hashed.groupBy("content_sha").applyInPandasWithState(
