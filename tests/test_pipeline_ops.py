@@ -760,3 +760,36 @@ def test_salted_join_equals_plain_join(spark):
             for r in fact.join(dim, "k", "left").select("fid", "attr").collect()
         )
         assert salted == want
+
+
+def test_md5_hash_helper_matches_duckdb(spark):
+    # the shared md5-prefix hash must stay bit-identical to the oracle
+    # expression ('0x' || substr(md5(...), 1, 8))::bigint
+    import duckdb
+
+    from distributed_search_engine_spark.functions.hashing import (
+        md5_bucket,
+        md5_uniform,
+    )
+
+    df = spark.range(50).select(F.col("id").alias("k"))
+    got = {
+        r["k"]: (r["u"], r["b"])
+        for r in df.select(
+            "k",
+            md5_uniform(F.col("k"), salt="s:").alias("u"),
+            md5_bucket(F.col("k"), 97, salt="s:").alias("b"),
+        ).collect()
+    }
+    want = {
+        k: (u, b)
+        for k, u, b in duckdb.sql(
+            "SELECT r.range AS k,"
+            " (('0x' || substr(md5('s:' || r.range::varchar), 1, 8))::bigint"
+            f"  / {float(16 ** 8)!r}) AS u,"
+            " (('0x' || substr(md5('s:' || r.range::varchar), 1, 8))::bigint"
+            "  % 97) AS b"
+            " FROM range(50) r"
+        ).fetchall()
+    }
+    assert got == want
