@@ -516,7 +516,9 @@ def _score_bm25(
     )
 
 
-def more_like_this(index: SearchIndex, doc_id: str, k: int = 10) -> DataFrame:
+def more_like_this(
+    index: SearchIndex, doc_id: str, k: int = 10, materialize: bool = True
+) -> DataFrame:
     """Doc-to-doc "more like this": cosine similarity in tf-idf term
     space, computed THROUGH the inverted index (no doc-vector
     materialization).
@@ -577,11 +579,15 @@ def more_like_this(index: SearchIndex, doc_id: str, k: int = 10) -> DataFrame:
         )
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return top.withColumn(
-            "rank", F.row_number().over(rank_w).cast("int")
-        ).localCheckpoint(eager=True)
+        out = top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+        if not materialize:
+            # lazy form for plan inspection/composition — caller owns the
+            # persisted w lifetime implications (tests only)
+            return out
+        return out.localCheckpoint(eager=True)
     finally:
-        w.unpersist()
+        if materialize:
+            w.unpersist()
 
 
 def build_forward_index(postings: DataFrame) -> DataFrame:

@@ -171,7 +171,9 @@ def test_mlt_plan_broadcasts_query_doc(spark):
         doc_stats=idx["doc_stats"], term_dict=idx["term_dict"],
         total_docs=idx["total_docs"],
     )
-    plan = plan_of(more_like_this(sidx, docs.first()["doc_id"], k=5))
+    plan = plan_of(
+        more_like_this(sidx, docs.first()["doc_id"], k=5, materialize=False)
+    )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
