@@ -610,6 +610,31 @@ def _q_ann_batch(spark, sf_dir):
     return S.ann_bruteforce_batch(_emb(spark, sf_dir), [0, 3, 7, 11], k=5)
 
 
+def _q_top_docs_per_source(spark, sf_dir):
+    # per-group top-k via a group-bounded window (never a global sort)
+    return TA.top_docs_per_group(_docs(spark, sf_dir), k=3)
+
+
+def _q_length_histogram(spark, sf_dir):
+    # power-of-two length histogram; EXACT integer bucketing (float
+    # log2 floors can straddle engines at exact powers)
+    return TA.length_histogram(_docs(spark, sf_dir))
+
+
+def _q_zorder(spark, sf_dir):
+    # Z-order clustering key over (user_id, epoch-hour): the layout key
+    # behind 2-D file pruning; pure bit interleave, term-identical SQL
+    from distributed_search_engine_spark.operators.layout import zvalue
+
+    e = _t(spark, sf_dir, "events")
+    hr = F.floor(
+        F.col("ts").cast("timestamp").cast("double").cast("long") / 3600
+    )
+    return e.select(
+        "event_id", "user_id", zvalue(F.col("user_id"), hr).alias("zvalue")
+    )
+
+
 def _q_quality_linear(spark, sf_dir):
     # fastText-style quality model inference as a broadcast join: hashed
     # token features x (bucket, weight) model table, mean-pool, sigmoid
@@ -1283,6 +1308,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_counts": _q_ngram_counts,
         "text_quality_linear": _q_quality_linear,
         "ann_batch_top5": _q_ann_batch,
+        "text_top_docs_per_source": _q_top_docs_per_source,
+        "text_length_histogram": _q_length_histogram,
+        "layout_zorder": _q_zorder,
         "text_fingerprint": _q_fingerprint,
         "pipeline_corpus_clean": _q_corpus_clean,
         "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
@@ -1393,6 +1421,9 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_counts": oracle.ngram_counts_sql(3, 20),
         "text_quality_linear": oracle.quality_linear_sql(TA.linear_weights(256)),
         "ann_batch_top5": oracle.ann_batch_sql([0, 3, 7, 11], 5),
+        "text_top_docs_per_source": oracle.top_docs_per_group_sql(3),
+        "text_length_histogram": oracle.length_histogram_sql(),
+        "layout_zorder": oracle.zorder_sql(16),
         "text_fingerprint": oracle.FINGERPRINT_SQL,
         "pipeline_corpus_clean": oracle.corpus_clean_sql(TA.LANG_WORDLISTS, 0.5),
         "suggest_autocomplete": oracle.autocomplete_sql("s", 10),

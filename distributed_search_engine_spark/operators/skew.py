@@ -52,3 +52,4 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(s) for s in range(n_salts)]))
     )
     return f.join(d, [key, "_salt"], how).drop("_salt")
+

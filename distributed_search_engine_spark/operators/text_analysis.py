@@ -683,3 +683,63 @@ def quality_linear(
         "doc_id",
         F.round(prob, 6).alias("quality_prob"),
     )
+
+
+def top_docs_per_group(
+    docs: DataFrame,
+    k: int = 3,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group top-k (largest ``order_col``, ties to lowest id) — the
+    partitioned-window pattern: the sort is bounded per group key, never
+    global. (grp, doc_id, n_chars, rank)."""
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("doc_id"),
+            F.col(order_col).alias("n_chars"),
+        )
+        .withColumn("rank", F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.desc("n_chars"), F.asc("doc_id")
+            )
+        ).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
+LEN_HIST_MAX_BUCKET = 40
+
+
+def length_histogram(docs: DataFrame, len_col: str = "n_chars") -> DataFrame:
+    """Power-of-two doc-length histogram: bucket b holds lengths in
+    [2^b, 2^(b+1)); lengths < 1 land in bucket -1. Bucketing is EXACT
+    integer comparison (a floor(log2) would disagree across engines at
+    exact powers of two by one libm ulp). One partial-agg shuffle.
+    (bucket, lo, hi, n_docs)."""
+    ln = F.col(len_col).cast("long")
+    bucket = F.lit(-1)
+    for b in range(LEN_HIST_MAX_BUCKET + 1):
+        bucket = F.when(ln >= (1 << b), F.lit(b)).otherwise(bucket)
+    agg = (
+        docs.select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return agg.select(
+        "bucket",
+        # shiftleft with a column shift needs the SQL form; 2^b is exact
+        # in int64 for every bucket <= 40
+        F.when(F.col("bucket") < 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("shiftleft(cast(1 as bigint), bucket)"))
+        .alias("lo"),
+        F.when(F.col("bucket") < 0, F.lit(1).cast("long"))
+        .otherwise(F.expr("shiftleft(cast(1 as bigint), bucket + 1)"))
+        .alias("hi"),
+        "n_docs",
+    )

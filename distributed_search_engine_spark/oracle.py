@@ -1637,3 +1637,56 @@ WHERE r.r_name = '{region_name}'
   AND o.o_orderdate < TIMESTAMP '{date_hi} 00:00:00'
 GROUP BY 1
 """
+
+
+def top_docs_per_group_sql(
+    k: int = 3, group_col: str = "source", len_col: str = "n_chars"
+) -> str:
+    """Twin of text_analysis.top_docs_per_group."""
+    return f"""
+WITH ranked AS (
+  SELECT {group_col} AS grp, doc_id, {len_col} AS n_chars,
+         row_number() OVER (
+           PARTITION BY {group_col} ORDER BY {len_col} DESC, doc_id ASC
+         ) AS rank
+  FROM documents
+)
+SELECT grp, doc_id, n_chars, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def length_histogram_sql(len_col: str = "n_chars", max_bucket: int = 40) -> str:
+    """Twin of text_analysis.length_histogram — the identical exact
+    integer CASE bucketing (no float log2)."""
+    case = "-1"
+    for b in range(max_bucket + 1):
+        case = f"CASE WHEN {len_col} >= {1 << b} THEN {b} ELSE {case} END"
+    return f"""
+WITH b AS (SELECT ({case})::int AS bucket FROM documents)
+SELECT bucket,
+       (CASE WHEN bucket < 0 THEN 0 ELSE (1::bigint << bucket) END)::bigint AS lo,
+       (CASE WHEN bucket < 0 THEN 1 ELSE (1::bigint << (bucket + 1)) END)::bigint AS hi,
+       count(*)::bigint AS n_docs
+FROM b GROUP BY 1
+"""
+
+
+def zorder_sql(bits: int = 16) -> str:
+    """Twin of layout.zvalue over events: z(user_id, epoch-hour mod
+    2^bits) — identical bit interleave, term for term."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((((user_id >> {i}) & 1)::bigint) << {2 * i + 1})")
+        terms.append(f"((((hr >> {i}) & 1)::bigint) << {2 * i})")
+    z = " + ".join(terms)
+    return f"""
+WITH e AS (
+  -- floor() before the bigint cast: DuckDB's double->bigint ROUNDS
+  -- while Spark's cast truncates; a fractional second near an hour
+  -- boundary would otherwise land in different hours
+  SELECT event_id, user_id,
+         (floor(epoch(ts))::bigint // 3600) AS hr
+  FROM events
+)
+SELECT event_id, user_id, ({z})::bigint AS zvalue FROM e
+"""

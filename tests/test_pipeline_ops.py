@@ -793,3 +793,63 @@ def test_md5_hash_helper_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+def _py_morton(a, b, bits=16):
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zvalue_matches_python_morton(spark):
+    from distributed_search_engine_spark.operators.layout import zorder_layout
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 61, (i * 13) % 53) for i in range(100)],
+        "id long, a long, b long",
+    )
+    got = {r["id"]: r["zvalue"] for r in zorder_layout(df, "a", "b").collect()}
+    for i in range(100):
+        assert got[i] == _py_morton((i * 7) % 61, (i * 13) % 53)
+
+
+def test_zorder_layout_prunes_more_files_than_row_major(spark):
+    # 16x16 grid split into 16 "files" of 16 rows: a 4x4 box query must
+    # intersect fewer files' [min,max] column stats under z-order than
+    # under row-major layout — the whole point of the clustering key
+    pts = [(x, y) for x in range(16) for y in range(16)]
+
+    def files_touched(order_key):
+        rows = sorted(pts, key=order_key)
+        files = [rows[i : i + 16] for i in range(0, 256, 16)]
+        n = 0
+        for f in files:
+            xs = [p[0] for p in f]
+            ys = [p[1] for p in f]
+            # box query: 4 <= x < 8 AND 4 <= y < 8 vs file min/max stats
+            if min(xs) < 8 and max(xs) >= 4 and min(ys) < 8 and max(ys) >= 4:
+                n += 1
+        return n
+
+    row_major = files_touched(lambda p: p[0] * 16 + p[1])
+    zorder = files_touched(lambda p: _py_morton(p[0], p[1]))
+    assert zorder < row_major
+
+
+def test_length_histogram_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 2), (4, 3), (5, 1024), (6, 1025)],
+        "doc_id long, n_chars long",
+    )
+    got = {
+        r["bucket"]: (r["lo"], r["hi"], r["n_docs"])
+        for r in TA.length_histogram(docs).collect()
+    }
+    assert got == {
+        -1: (0, 1, 1),       # len 0
+        0: (1, 2, 1),        # len 1
+        1: (2, 4, 2),        # len 2, 3
+        10: (1024, 2048, 2),  # len 1024, 1025
+    }
