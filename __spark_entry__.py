@@ -983,6 +983,61 @@ def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prune(e, "user_id", bitmap).select("event_id", "user_id")
 
 
+def _q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # funnel conversion: purchases with a 'view' by the same user within
+    # the preceding hour, per epoch-day — the as-of pattern applied to
+    # analytics (ONE running window, no self-join / range explosion);
+    # max() is order-insensitive so the window needs no tie-break
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    ep = F.col("ts").cast("timestamp").cast("double")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ep.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_ep = F.when(F.col("event_type") == "view", ep)
+    out = (
+        e.withColumn("ep", ep)
+        .withColumn("last_view", F.max(view_ep).over(w))
+        .where(F.col("event_type") == "purchase")
+        .withColumn(
+            "converted",
+            (F.col("last_view") >= F.col("ep") - 3600).cast("int"),
+        )
+        .groupBy(F.floor(F.col("ep") / 86400).cast("long").alias("day_num"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.coalesce(F.sum("converted"), F.lit(0))
+            .cast("long")
+            .alias("n_converted"),
+        )
+    )
+    return out
+
+
+_EVENTS_FUNNEL_ORACLE = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch(ts) AS ep FROM events
+),
+w AS (
+  SELECT *,
+         max(CASE WHEN event_type = 'view' THEN ep END) OVER (
+           PARTITION BY user_id ORDER BY ep ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_view
+  FROM ev
+)
+SELECT floor(ep / 86400)::bigint AS day_num,
+       count(*)::bigint AS n_purchases,
+       coalesce(sum(CASE WHEN last_view >= ep - 3600 THEN 1 ELSE 0 END), 0)::bigint
+         AS n_converted
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-mitigated equi-join: deterministic 8-way salting spreads any
     # hot user's events over 8 reducers; output is ROW-IDENTICAL to the
@@ -1340,6 +1395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_regional_revenue": _q_tpch_q5,
         "pipeline_bloom_prune": _q_bloom_prune,
         "pipeline_salted_join": _q_salted_join,
+        "events_funnel": _q_events_funnel,
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
@@ -1475,6 +1531,7 @@ def oracle_sql() -> dict[str, str]:
         "analytics_regional_revenue": oracle.regional_revenue_sql(),
         "pipeline_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "pipeline_salted_join": _SALTED_JOIN_ORACLE,
+        "events_funnel": _EVENTS_FUNNEL_ORACLE,
         "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,

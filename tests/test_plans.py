@@ -238,3 +238,44 @@ def test_tpch_q1_pushes_shipdate_filter(spark):
     plan = plan_of(df)
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_bloom_prune_is_map_side_only(spark):
+    """The Bloom probe filter must be a pure scan+filter — no join, no
+    shuffle, whole-stage codegen."""
+    from distributed_search_engine_spark.operators.bloom import (
+        bloom_prune,
+        build_bloom,
+    )
+
+    probe = spark.range(500).select(F.col("id").alias("k"))
+    bm = build_bloom(
+        spark.range(0, 500, 7).select(F.col("id").alias("k")), "k",
+        m_bits=1 << 12,
+    )
+    plan = plan_of(bloom_prune(probe, "k", bm, m_bits=1 << 12))
+    for bad in ("Join", "Exchange"):
+        assert bad not in plan
+    # formatted explain marks codegen stages with "[codegen id : N]"
+    assert "codegen id" in plan
+
+
+def test_pack_sequences_has_no_global_doc_window(spark):
+    """The distributed prefix sum must never sort all docs in one task:
+    every window over doc rows is PARTITIONED by block; the only
+    unpartitioned window runs over the N/block summary rows."""
+    from distributed_search_engine_spark.operators.text_analysis import (
+        pack_sequences,
+    )
+
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = plan_of(pack_sequences(docs, seq_len=8, block=16))
+    assert "Window" in plan
+    # every window over doc-level n_tokens must be partitioned by blk
+    # (the sole unpartitioned window runs over blk_tokens summaries)
+    for seg in plan.split("Arguments: ")[1:]:
+        head = seg.splitlines()[0]
+        if "sum(n_tokens" in head:
+            assert "blk" in head.split("]")[1], head
