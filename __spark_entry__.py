@@ -1038,6 +1038,42 @@ GROUP BY 1
 """
 
 
+def _q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cohort retention: users grouped by their first-activity day; for
+    # each (cohort_day, day_offset) the distinct users active again.
+    # Pure integer day arithmetic (fully deterministic); one distinct +
+    # one min-agg + one equi-join + one count-distinct — every stage
+    # partial-aggregates map-side
+    e = _t(spark, sf_dir, "events")
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("double").cast("long") / 86400
+    ).cast("long")
+    user_days = e.select("user_id", day.alias("day")).distinct()
+    cohort = user_days.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        user_days.join(cohort, "user_id")
+        .groupBy(
+            F.col("first_day").alias("cohort_day"),
+            (F.col("day") - F.col("first_day")).alias("day_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+_EVENTS_RETENTION_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, (floor(epoch(ts))::bigint // 86400) AS day
+  FROM events
+),
+cohort AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY 1)
+SELECT c.first_day AS cohort_day,
+       (ud.day - c.first_day)::bigint AS day_offset,
+       count(DISTINCT ud.user_id)::bigint AS n_users
+FROM ud JOIN cohort c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-mitigated equi-join: deterministic 8-way salting spreads any
     # hot user's events over 8 reducers; output is ROW-IDENTICAL to the
@@ -1396,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_bloom_prune": _q_bloom_prune,
         "pipeline_salted_join": _q_salted_join,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
@@ -1532,6 +1569,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "pipeline_salted_join": _SALTED_JOIN_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,
+        "events_retention": _EVENTS_RETENTION_ORACLE,
         "source_csv_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_json_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
         "source_orc_roundtrip": _SOURCE_ROUNDTRIP_ORACLE,
