@@ -55,7 +55,7 @@ def _decode_fake(data: bytes) -> tuple[np.ndarray, int, int, int]:
 # real codecs (pure numpy, no external libs): PPM P6 images and RIFF/WAV
 # PCM16 audio — actual standard binary formats parsed byte-for-byte, so at
 # least one non-stub media path runs end-to-end in this container.
-# Compressed formats (JPEG/PNG/MP3/MP4) remain the PIL/soundfile/pyav seam.
+# JPEG/MP3/MP4 remain the PIL/soundfile/pyav seam (PNG is native below).
 # ---------------------------------------------------------------------------
 
 def encode_ppm(pixels: np.ndarray) -> bytes:
@@ -177,6 +177,9 @@ def decode_real(data: bytes, kind: str):
     format-agnostic. PPM P6 and WAV PCM16 are decoded in pure numpy;
     compressed formats still need PIL (image), soundfile/librosa (audio) or
     pyav/ffmpeg (video), which this container does not ship."""
+    if kind == "image" and data[:8] == _PNG_SIG:
+        px, w, h = decode_png(data)
+        return px.reshape(-1), w, h, 1
     if kind == "image" and data[:2] == b"P6":
         px, w, h = decode_ppm(data)
         return px.reshape(-1), w, h, 1
@@ -187,9 +190,9 @@ def decode_real(data: bytes, kind: str):
         s, rate, ch = decode_wav(data)
         return s.reshape(-1), int(rate), ch, 1
     raise NotImplementedError(
-        f"compressed {kind} decode requires PIL/soundfile/pyav; this "
-        "container decodes PPM/WAV natively and the deterministic fake "
-        "codec (pack_fake_media) otherwise"
+        f"unsupported {kind} container: PNG/PPM/BMP images and PCM16 WAV "
+        "audio decode natively (stdlib zlib + numpy); JPEG/MP3/MP4 still "
+        "need PIL/soundfile/pyav, which this container does not ship"
     )
 
 
@@ -303,3 +306,148 @@ def sample_frames(media: DataFrame, every_k: int = 2) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.where(F.col("kind") == "video").mapInPandas(_sample, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit RGB, non-interlaced): a REAL compressed format decoded with
+# nothing but stdlib zlib + numpy — the seam-closer for compressed images.
+# The encoder deliberately emits a DIFFERENT scanline filter per row
+# (None/Sub/Up/Average/Paeth cycling) so the decoder's generic
+# unfiltering of all five predictor types is exercised by every
+# round-trip test, not just the trivial filter-0 path.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (bit depth 8, color type 2, filters
+    cycling 0..4 per row)."""
+    import zlib
+
+    h, w, c = pixels.shape
+    assert c == 3
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.int16)
+    bpp = 3
+    out = bytearray()
+    prior = np.zeros(w * bpp, dtype=np.int16)
+    for r in range(h):
+        raw = px[r].reshape(-1)
+        f = r % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), raw[:-bpp]])
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prior
+        elif f == 3:
+            filt = raw - (left + prior) // 2
+        else:
+            pl = np.concatenate([np.zeros(bpp, dtype=np.int16), prior[:-bpp]])
+            pred = np.array(
+                [_paeth(int(a), int(b), int(cc)) for a, b, cc in zip(left, prior, pl)],
+                dtype=np.int16,
+            )
+            filt = raw - pred
+        out.append(f)
+        out.extend((filt % 256).astype(np.uint8).tobytes())
+        prior = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[np.ndarray, int, int]:
+    """PNG (8-bit RGB, color type 2, non-interlaced) -> ((h, w, 3) uint8,
+    width, height). Generic unfiltering of all five scanline predictors;
+    chunk CRCs verified; multiple IDATs concatenated per the spec."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    i, n = 8, len(data)
+    w = h = None
+    idat = bytearray()
+    while i + 8 <= n:
+        (length,) = struct.unpack(">I", data[i : i + 4])
+        ctype = data[i + 4 : i + 8]
+        if i + 12 + length > n:
+            raise ValueError("truncated PNG chunk")
+        body = data[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", data[i + 8 + length : i + 12 + length])
+        if (zlib.crc32(ctype + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, ctypecol, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+            if (depth, ctypecol, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "only 8-bit RGB non-interlaced PNGs are supported"
+                )
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        i += 12 + length
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    bpp, stride = 3, w * 3
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 0:
+            rec = line
+        elif f == 2:
+            rec = (line + prior) % 256
+        else:
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = prior[x]
+                ul = prior[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    pred = left
+                elif f == 3:
+                    pred = (left + up) // 2
+                elif f == 4:
+                    pred = _paeth(int(left), int(up), int(ul))
+                else:
+                    raise ValueError(f"unknown PNG filter {f}")
+                rec[x] = (line[x] + pred) % 256
+        out[r] = rec.astype(np.uint8)
+        prior = rec
+    return out.reshape(h, w, 3), w, h

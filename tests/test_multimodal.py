@@ -126,7 +126,11 @@ def test_extract_features_over_real_formats(spark):
 def test_compressed_formats_still_raise(spark):
     from distributed_search_engine_spark.operators.multimodal import decode_real
 
+    # JPEG remains the documented PIL seam (PNG now decodes natively)
     with pytest.raises(NotImplementedError):
+        decode_real(b"\xff\xd8\xff\xe0....", "image")
+    # a PNG signature followed by garbage is a malformed PNG, not a seam
+    with pytest.raises(ValueError):
         decode_real(b"\x89PNG\r\n\x1a\n....", "image")
 
 
@@ -181,3 +185,60 @@ def test_extract_features_from_bmp_blob(spark):
     )
     row = extract_features(df).collect()[0]
     assert row["feat_mean"] == 100.0 and row["feat_std"] == 0.0
+
+
+def test_png_roundtrip_all_filters(spark):
+    # the encoder cycles filter types 0..4 per row: any >=5-row image
+    # exercises every predictor in one round-trip
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 4), (9, 7), (16, 16)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        back, ww, hh = decode_png(encode_png(px))
+        assert (back == px).all() and (ww, hh) == (w, h)
+
+
+def test_png_crc_verified(spark):
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    data = bytearray(
+        encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    )
+    data[40] ^= 0xFF  # corrupt inside a chunk body
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+
+
+def test_png_flows_through_feature_pipeline(spark):
+    # a PNG row goes through the SAME mapInPandas feature extractor as
+    # every other format (dispatch on magic in _decode_any)
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_png,
+        extract_features,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    rows = [("png1", "image", bytearray(encode_png(px)), (8, 8, None, 1, "png"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == "png1"
+    assert abs(r["feat_mean"] - float(px.reshape(-1).mean())) < 1e-6
