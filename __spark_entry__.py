@@ -961,6 +961,12 @@ FROM t WHERE event_type = 'purchase'
 """
 
 
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from distributed_search_engine_spark.analytics import forecast_revenue_change
+
+    return forecast_revenue_change(_t(spark, sf_dir, "lineitem"))
+
+
 def _q_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runtime-filter pattern: Bloom bitmap over 'purchase' user ids,
     # broadcast as plan literals, map-side prune of the full event scan
@@ -1429,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_pricing_summary": _q_tpch_q1,
         "analytics_top_orders": _q_tpch_q3,
         "analytics_regional_revenue": _q_tpch_q5,
+        "analytics_forecast_revenue": _q_tpch_q6,
         "pipeline_bloom_prune": _q_bloom_prune,
         "pipeline_salted_join": _q_salted_join,
         "events_funnel": _q_events_funnel,
@@ -1566,6 +1573,7 @@ def oracle_sql() -> dict[str, str]:
         "analytics_pricing_summary": oracle.pricing_summary_sql(),
         "analytics_top_orders": oracle.top_revenue_orders_sql(),
         "analytics_regional_revenue": oracle.regional_revenue_sql(),
+        "analytics_forecast_revenue": oracle.forecast_revenue_sql(),
         "pipeline_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "pipeline_salted_join": _SALTED_JOIN_ORACLE,
         "events_funnel": _EVENTS_FUNNEL_ORACLE,

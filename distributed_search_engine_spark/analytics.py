@@ -137,3 +137,31 @@ def regional_revenue(
         .agg(F.sum("disc_price").alias("_rev"))
         .select("n_name", F.round(F.col("_rev").cast("double"), 4).alias("revenue"))
     )
+
+
+def forecast_revenue_change(
+    li: DataFrame,
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discount elimination — a pure
+    scan + filter + one exact-decimal sum (every predicate pushes down
+    to the parquet scan; no join, no shuffle beyond the final 1-row
+    agg)."""
+    x = li.where(
+        (F.col("l_shipdate") >= date_lo)
+        & (F.col("l_shipdate") < date_hi)
+        & (F.col("l_discount").cast(D_RATE) >= F.lit(disc_lo).cast(D_RATE))
+        & (F.col("l_discount").cast(D_RATE) <= F.lit(disc_hi).cast(D_RATE))
+        & (F.col("l_quantity") < max_qty)
+    )
+    rev = F.sum(
+        F.col("l_extendedprice").cast(D2) * F.col("l_discount").cast(D_RATE)
+    )
+    return x.agg(
+        F.round(rev.cast("double"), 4).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )

@@ -1690,3 +1690,23 @@ WITH e AS (
 )
 SELECT event_id, user_id, ({z})::bigint AS zvalue FROM e
 """
+
+
+def forecast_revenue_sql(
+    date_lo: str = "1996-01-01",
+    date_hi: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> str:
+    """Twin of analytics.forecast_revenue_change (TPC-H Q6 shape)."""
+    return f"""
+SELECT round(sum(l_extendedprice::DECIMAL(12,2)
+                 * l_discount::DECIMAL(5,2))::double, 4) AS revenue,
+       count(*)::bigint AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{date_hi} 00:00:00'
+  AND l_discount::DECIMAL(5,2) BETWEEN {disc_lo} AND {disc_hi}
+  AND l_quantity < {max_qty}
+"""
