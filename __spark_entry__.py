@@ -654,6 +654,13 @@ def _q_ngram_counts(spark, sf_dir):
     return TA.ngram_counts(_capped_docs(spark, sf_dir), n=3, k=20)
 
 
+def _q_chunk_documents(spark, sf_dir):
+    # embedding/RAG prep: fixed-size overlapping character windows,
+    # pure integer window math + per-chunk md5 (compact keys for
+    # downstream chunk dedup/embedding)
+    return TA.chunk_documents(_docs(spark, sf_dir), chunk_chars=200, overlap=40)
+
+
 def _q_length_stats(spark, sf_dir):
     # per-source length profile with EXACT percentiles (the oracle-
     # matchable form; approx_percentile is the documented 100 TB swap)
@@ -1401,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_counts": _q_token_counts,
         "pipeline_pack_sequences": _q_pack_sequences,
         "text_length_stats": _q_length_stats,
+        "pipeline_chunk_documents": _q_chunk_documents,
         "pipeline_temperature_sample": _q_temperature_sample,
         "text_ngram_counts": _q_ngram_counts,
         "text_quality_linear": _q_quality_linear,
@@ -1517,6 +1525,7 @@ def oracle_sql() -> dict[str, str]:
         "text_token_counts": oracle.TOKEN_COUNTS_SQL,
         "pipeline_pack_sequences": oracle.pack_sequences_sql(512),
         "text_length_stats": oracle.corpus_length_stats_sql(),
+        "pipeline_chunk_documents": oracle.chunk_documents_sql(200, 40),
         "pipeline_temperature_sample": oracle.temperature_sample_sql(0.7, 0.5),
         "text_ngram_counts": oracle.ngram_counts_sql(3, 20),
         "text_quality_linear": oracle.quality_linear_sql(TA.linear_weights(256)),

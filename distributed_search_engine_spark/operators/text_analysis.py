@@ -743,3 +743,52 @@ def length_histogram(docs: DataFrame, len_col: str = "n_chars") -> DataFrame:
         .alias("hi"),
         "n_docs",
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_chars: int = 500,
+    overlap: int = 100,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """Split docs into fixed-size overlapping character windows — the
+    embedding/RAG prep step. Pure integer window arithmetic:
+    n_chunks = 1 for len <= chunk_chars, else
+    1 + ceil((len - chunk_chars) / step) with step = chunk_chars -
+    overlap (the final window is the only short one). One JVM-side
+    sequence+explode per doc — no UDF, no shuffle; emits
+    (doc_id, chunk_id, chunk_start, chunk_len, chunk_sha) so downstream
+    dedup/embedding stages key on the compact sha instead of re-shipping
+    text."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    ln = F.length(F.col(content_col))
+    n_chunks = F.when(ln <= chunk_chars, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor((ln - chunk_chars + step - 1) / step).cast("int")
+    )
+    out = (
+        docs.where(ln > 0)
+        .select(
+            F.col(doc_id_col).cast("string").alias("doc_id"),
+            F.col(content_col).alias("_t"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            (F.col("chunk_id") * step).cast("long").alias("chunk_start"),
+            F.substring(
+                F.col("_t"), F.col("chunk_id") * step + 1, chunk_chars
+            ).alias("_chunk"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("_chunk").cast("int").alias("chunk_len"),
+        F.md5("_chunk").alias("chunk_sha"),
+    )

@@ -1710,3 +1710,31 @@ WHERE l_shipdate >= TIMESTAMP '{date_lo} 00:00:00'
   AND l_discount::DECIMAL(5,2) BETWEEN {disc_lo} AND {disc_hi}
   AND l_quantity < {max_qty}
 """
+
+
+def chunk_documents_sql(chunk_chars: int = 500, overlap: int = 100) -> str:
+    """Twin of text_analysis.chunk_documents — identical integer window
+    arithmetic and md5 over the same substring."""
+    step = chunk_chars - overlap
+    return f"""
+WITH d AS (
+  SELECT doc_id::varchar AS doc_id, text, length(text) AS ln FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+),
+n AS (
+  SELECT doc_id, text,
+         CASE WHEN ln <= {chunk_chars} THEN 1
+              ELSE 1 + ((ln - {chunk_chars} + {step} - 1) // {step}) END AS n_chunks
+  FROM d
+),
+c AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, n_chunks - 1))::int AS chunk_id
+  FROM n
+)
+SELECT doc_id, chunk_id,
+       (chunk_id * {step})::bigint AS chunk_start,
+       length(substr(text, chunk_id * {step} + 1, {chunk_chars}))::int AS chunk_len,
+       md5(substr(text, chunk_id * {step} + 1, {chunk_chars})) AS chunk_sha
+FROM c
+"""

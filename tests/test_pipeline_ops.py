@@ -853,3 +853,32 @@ def test_length_histogram_hand_computed(spark):
         1: (2, 4, 2),        # len 2, 3
         10: (1024, 2048, 2),  # len 1024, 1025
     }
+
+
+def test_chunk_documents_windows(spark):
+    docs = spark.createDataFrame(
+        [(1, "a" * 10), (2, "b" * 25), (3, ""), (4, "c" * 3)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_start"], r["chunk_len"])
+        for r in TA.chunk_documents(docs, chunk_chars=10, overlap=4).collect()
+    }
+    # doc 1: exactly one full window; doc 3 (empty): dropped;
+    # doc 2 (25 chars, step 6): windows at 0,6,12,18 -> last is short
+    assert got == {
+        ("1", 0): (0, 10),
+        ("2", 0): (0, 10), ("2", 1): (6, 10), ("2", 2): (12, 10),
+        ("2", 3): (18, 7),
+        ("4", 0): (0, 3),
+    }
+    # consecutive windows overlap by exactly `overlap` chars
+    assert 6 == 10 - 4
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        TA.chunk_documents(docs, chunk_chars=5, overlap=5)
