@@ -1366,6 +1366,41 @@ def _stem_map_for_oracle() -> list[tuple[str, str]]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "text_fingerprint": _q_fingerprint,
+        "pipeline_corpus_clean": _q_corpus_clean,
+        "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
+        "graph_components_prop4": _q_cc_prop4,
+        "graph_components_chain": _q_cc_chain,
+        "dedup_cc_keepers": _q_cc_keepers,
+        "cluster_kmeans_assign": _q_kmeans_assign,
+        "cluster_kmeans_update": _q_kmeans_update,
+        "dedup_semantic": _q_semantic_dedup,
+        "suggest_autocomplete": _q_autocomplete,
+        "suggest_spellcheck": _q_spellcheck,
+        "search_snippets": _q_snippets,
+        "flame_distinct": _q_flame_distinct,
+        "flame_sample": _q_flame_sample,
+        "flame_intersection": _q_flame_intersection,
+        "flame_fold": _q_flame_fold,
+        "flame_join": _q_flame_join,
+        "flame_cogroup": _q_flame_cogroup,
+        "flame_groupby_concat": _q_flame_groupby_concat,
+        "events_windowed_agg": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_asof_join": _q_events_asof,
+        "events_rollup_day": _q_events_rollup,
+        "events_range_join": _q_events_range_join,
+        "analytics_pricing_summary": _q_tpch_q1,
+        "analytics_top_orders": _q_tpch_q3,
+        "analytics_regional_revenue": _q_tpch_q5,
+        "analytics_forecast_revenue": _q_tpch_q6,
+        "pipeline_bloom_prune": _q_bloom_prune,
+        "pipeline_salted_join": _q_salted_join,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "source_csv_roundtrip": _q_source_roundtrip("csv"),
+        "source_json_roundtrip": _q_source_roundtrip("json"),
+        "source_orc_roundtrip": _q_source_roundtrip("orc"),
         "index_doc_stats": _q_doc_stats,
         "index_postings": _q_postings,
         "index_term_stats": _q_term_stats,
@@ -1416,41 +1451,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_docs_per_source": _q_top_docs_per_source,
         "text_length_histogram": _q_length_histogram,
         "layout_zorder": _q_zorder,
-        "text_fingerprint": _q_fingerprint,
-        "pipeline_corpus_clean": _q_corpus_clean,
-        "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
-        "graph_components_prop4": _q_cc_prop4,
-        "graph_components_chain": _q_cc_chain,
-        "dedup_cc_keepers": _q_cc_keepers,
-        "cluster_kmeans_assign": _q_kmeans_assign,
-        "cluster_kmeans_update": _q_kmeans_update,
-        "dedup_semantic": _q_semantic_dedup,
-        "suggest_autocomplete": _q_autocomplete,
-        "suggest_spellcheck": _q_spellcheck,
-        "search_snippets": _q_snippets,
-        "flame_distinct": _q_flame_distinct,
-        "flame_sample": _q_flame_sample,
-        "flame_intersection": _q_flame_intersection,
-        "flame_fold": _q_flame_fold,
-        "flame_join": _q_flame_join,
-        "flame_cogroup": _q_flame_cogroup,
-        "flame_groupby_concat": _q_flame_groupby_concat,
-        "events_windowed_agg": _q_events_windowed,
-        "events_sessionize": _q_events_sessionize,
-        "events_asof_join": _q_events_asof,
-        "events_rollup_day": _q_events_rollup,
-        "events_range_join": _q_events_range_join,
-        "analytics_pricing_summary": _q_tpch_q1,
-        "analytics_top_orders": _q_tpch_q3,
-        "analytics_regional_revenue": _q_tpch_q5,
-        "analytics_forecast_revenue": _q_tpch_q6,
-        "pipeline_bloom_prune": _q_bloom_prune,
-        "pipeline_salted_join": _q_salted_join,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "source_csv_roundtrip": _q_source_roundtrip("csv"),
-        "source_json_roundtrip": _q_source_roundtrip("json"),
-        "source_orc_roundtrip": _q_source_roundtrip("orc"),
     }
 
 

@@ -68,7 +68,14 @@ def title_col(content: Column) -> Column:
     whitespace-collapsed, trimmed, first 200 chars. The plain-text
     fallback is byte-identical to the round-2 rule, so the unstemmed
     doc-stats oracle over the tag-free synthetic corpus is unaffected."""
-    html_title = F.regexp_extract(content, RE_TITLE_TAG, 1)
+    # Cheap literal prefilter: the (?i) dotall regex is O(n·backtrack) even on
+    # documents that cannot match; `instr(lower(...))` is a plain vectorized
+    # scan and the regex requires the literal "<title" case-insensitively, so
+    # the guard is semantics-preserving (r3 perf finding: 1.7x index-build).
+    has_tag = F.instr(F.lower(content), "<title") > 0
+    html_title = F.when(
+        has_tag, F.regexp_extract(content, RE_TITLE_TAG, 1)
+    ).otherwise(F.lit(""))
     first_line = F.element_at(F.split(content, "\\n"), 1)
     chosen = F.when(
         html_title != "", F.regexp_replace(html_title, RE_HTML_TAGS, " ")
@@ -178,7 +185,9 @@ _P_TITLE_TAG = _re.compile(RE_TITLE_TAG)
 
 
 def title_py(content: str) -> str:
-    m = _P_TITLE_TAG.search(content)
+    # same literal prefilter as title_col (the regex needs "<title" verbatim,
+    # case-insensitively, so the guard cannot change the result)
+    m = _P_TITLE_TAG.search(content) if "<title" in content.lower() else None
     if m and m.group(1) != "":
         chosen = _P_HTML.sub(" ", m.group(1))
     else:
@@ -234,8 +243,11 @@ def duckdb_title_expr(col: str) -> str:
     """DuckDB twin of title_col: <title> inner text (tags stripped) when
     present, else first line; ws-collapsed, trimmed, 200 chars."""
     tt = f"regexp_extract({col}, '(?is)<title[^>]*>(.*?)</title>', 1)"
+    # literal prefilter mirrors title_col/title_py: skip the dotall regex
+    # entirely when the content cannot contain a <title> tag
     chosen = (
-        f"CASE WHEN {tt} <> '' THEN regexp_replace({tt}, '<[^>]*>', ' ', 'g') "
+        f"CASE WHEN strpos(lower({col}), '<title') > 0 AND {tt} <> '' "
+        f"THEN regexp_replace({tt}, '<[^>]*>', ' ', 'g') "
         f"ELSE string_split({col}, chr(10))[1] END"
     )
     return (
