@@ -123,17 +123,25 @@ def main() -> None:
     timings["query_bm25_wand_x10"] = time.time() - t0
 
     # q4b: executor-side doc-range-sharded top-k over the same pruned
-    # segments — no posting bytes ever reach the driver
-    from distributed_search_engine_spark.index.wand import distributed_topk
+    # segments — no posting bytes ever reach the driver. All 10 queries
+    # ride ONE job (read_segments_for_queries + distributed_topk_batch):
+    # the per-job Python-stage floor (~0.35 s on this host) amortizes
+    # across the batch, the serving shape a frontend uses at scale.
+    from distributed_search_engine_spark.index.segments import (
+        read_segments_for_queries,
+    )
+    from distributed_search_engine_spark.index.wand import (
+        distributed_topk_batch,
+    )
 
     t0 = time.time()
-    for q in QUERY_SET:
-        terms = q.split()
-        seg = read_segments_for_terms(spark, seg_dir, terms, N_SEG_PARTS).select(
-            "term", "idf_bm25", "blocks"
-        )
-        distributed_topk(spark, seg, avgdl, 10, n_ranges=max(4, cores // 4),
-                         max_docnum=n_docs)
+    tagged = read_segments_for_queries(
+        spark, seg_dir, {q: q.split() for q in QUERY_SET}, N_SEG_PARTS
+    )
+    out = distributed_topk_batch(
+        spark, tagged, avgdl, 10, n_ranges=max(4, cores // 4), max_docnum=n_docs
+    )
+    assert len(out) == len(QUERY_SET)
     timings["query_wand_dist_x10"] = time.time() - t0
 
     # q5: full reference-mode scoring chain (DataFrame path)
@@ -216,13 +224,14 @@ def main() -> None:
             )
         timings["query_wand_60k_x10"] = time.time() - t0
         t0 = time.time()
-        for q in QUERY_SET:
-            terms = q.split()
-            seg = read_segments_for_terms(spark, bseg_dir, terms, N_SEG_PARTS).select(
-                "term", "idf_bm25", "blocks"
-            )
-            distributed_topk(spark, seg, bavgdl, 10, n_ranges=max(4, cores // 4),
-                             max_docnum=n_big)
+        btagged = read_segments_for_queries(
+            spark, bseg_dir, {q: q.split() for q in QUERY_SET}, N_SEG_PARTS
+        )
+        bout = distributed_topk_batch(
+            spark, btagged, bavgdl, 10, n_ranges=max(4, cores // 4),
+            max_docnum=n_big,
+        )
+        assert len(bout) == len(QUERY_SET)
         timings["query_wand_dist_60k_x10"] = time.time() - t0
         bsidx = SearchIndex(
             postings=bidx["postings"], term_stats=bidx["term_stats"],

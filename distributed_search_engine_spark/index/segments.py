@@ -413,6 +413,35 @@ def read_segments_for_terms(
     return df.where(F.col("part").isin(parts) & F.col("term").isin(terms))
 
 
+def read_segments_for_queries(
+    spark: SparkSession,
+    out_dir: str,
+    queries: dict[str, list[str]],
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Batch variant of read_segments_for_terms: ONE partition-pruned scan
+    for the union of all queries' terms, broadcast-joined with the tiny
+    (query_id, term) map so each (query, term) pair gets its own tagged
+    row — the input shape wand.distributed_topk_batch expects. A term
+    shared by several queries is scanned once and fanned out by the join."""
+    terms = sorted({t for ts in queries.values() for t in ts})
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "query_id string, term string, idf_bm25 double, "
+            "blocks array<struct<last_docnum: long, max_score: double, "
+            "docs: binary, tfs: binary, dls: binary>>",
+        )
+    base = read_segments_for_terms(spark, out_dir, terms, n_partitions)
+    mapping = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries.items() for t in ts],
+        "query_id string, term string",
+    )
+    return base.join(F.broadcast(mapping), "term").select(
+        "query_id", "term", "idf_bm25", "blocks"
+    )
+
+
 # ---------------------------------------------------------------------------
 # segment -> logical-postings decode (the pruned query path for the
 # reference-mode scorer; inverse of _encode_partition)

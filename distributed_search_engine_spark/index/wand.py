@@ -164,51 +164,126 @@ def distributed_topk(
     n_ranges: int = 8,
     max_docnum: int | None = None,
 ):
-    """Executor-side BM25 top-k over pruned compressed segments — the
-    driver never touches posting bytes (round-2 wand_topk collected every
-    block to the driver; acceptable under the 20k/5k per-term caps, but
-    this removes the driver from the per-query data path entirely).
+    """Executor-side BM25 top-k over pruned compressed segments for ONE
+    query — thin wrapper over distributed_topk_batch (a constant
+    query_id); see that function for the plan shape, the block-max
+    pruning rule, and the exactness argument.
 
-    Plan shape (all sizes are per-QUERY, i.e. q terms' compressed lists):
+    Returns [(docnum, score)] == bruteforce_topk/wand_topk output order
+    (score desc, docnum asc).
+    """
+    import pyspark.sql.functions as F
+
+    tagged = seg_df.select(
+        F.lit("q").alias("query_id"), "term", "idf_bm25", "blocks"
+    )
+    return distributed_topk_batch(
+        spark, tagged, avgdl, k, n_ranges=n_ranges, max_docnum=max_docnum
+    ).get("q", [])
+
+
+def distributed_topk_batch(
+    spark,
+    tagged_seg_df,
+    avgdl: float,
+    k: int,
+    n_ranges: int = 8,
+    max_docnum: int | None = None,
+):
+    """Executor-side BM25 top-k for a BATCH of queries in ONE Spark job —
+    the driver never touches posting bytes (round-2 wand_topk collected
+    every block to the driver; acceptable under the 20k/5k per-term caps,
+    but this keeps the per-query data path on executors entirely), and
+    batching amortizes the per-job Python-stage floor (~0.35 s/job
+    measured on this host for a trivial 1-task mapInArrow job) across the
+    whole query set — the serving shape a query frontend uses at scale.
+
+    tagged_seg_df: (query_id string, term string, idf_bm25 double,
+    blocks array<struct<last_docnum, max_score, docs, tfs, dls>>) — one
+    row per (query, term); build it with
+    segments.read_segments_for_queries (one partition-pruned scan for the
+    union of terms + a broadcast join on the tiny query->term map).
+
+    Plan shape (sizes are the batch's union of compressed lists):
       1. first_docnum of block i = last_docnum of block i-1 + 1 (blocks
          are consecutive chunks of a docnum-sorted list), computed
          MAP-SIDE with an indexed transform over the blocks array — no
-         window, no extra shuffle — then posexplode.
+         window, no extra shuffle — then explode.
       2. assign each block to every doc-range it overlaps (sequence +
-         explode — blocks stay ENCODED; shuffle volume = compressed bytes).
-      3. repartition by range_id: each docnum's full set of per-term
-         contributions lands in exactly one partition (straddling blocks
-         are masked to the range inside the kernel), so per-partition
-         vectorized BM25 accumulation + a local top-k heap is exact.
-      4. global TakeOrderedAndProject merge of the <= n_ranges x k rows.
-    The only shuffles are the range repartition and the final k-row merge.
+         explode — blocks stay ENCODED; shuffle volume = compressed
+         bytes).
+      3. repartition by (query_id, range_id): each docnum's full set of
+         per-term contributions for a query lands in exactly one
+         partition (straddling blocks are masked to the range inside the
+         kernel), so per-(query, partition) vectorized BM25 accumulation
+         + a local top-k is exact.
+      4. collect of <= queries x n_ranges x k (docnum, score) rows and a
+         driver-side per-query merge (tiny, no posting bytes).
+    The only shuffle is the (query, range) repartition. Scales by raising
+    n_ranges with corpus size: per-task work is (batch posting bytes) /
+    (queries x n_ranges).
 
-    Returns [(docnum, score)] == bruteforce_topk/wand_topk output order
-    (score desc, docnum asc). Scales by raising n_ranges with corpus size:
-    per-task work is (query posting bytes) / n_ranges.
+    Executor-side block-max pruning (round-4; Ding & Suel 2011 adapted to
+    the sharded setting) — exact, zero extra jobs, per query:
+      threshold: for one term, distinct blocks hold distinct docs, and a
+      block's max_score is an ACHIEVED single-term score of some doc in
+      it, which lower-bounds that doc's total score. So the k-th largest
+      block max_score WITHIN a term certifies k distinct docs with total
+      score >= it => it is a valid lower bound on the query's true k-th
+      best score. Computed map-side per (query, term) row (sort of the
+      block-max array), shipped on every exploded row; each partition
+      takes the max over the rows it sees for that query (any subset max
+      is still a valid bound).
+      rejection: a block B (term t, span S = B's docnum span clipped to
+      its range) is skipped when
+        max_score(B) + sum over other terms t' of
+            max(max_score of t' blocks overlapping S, default 0)  <  tau
+      (strictly) — every doc in S then has total score < tau <= true
+      k-th, so it cannot appear in the top-k; any block containing a
+      true top-k doc has UB >= that doc's score >= k-th >= tau and is
+      never skipped; and a partially-accumulated pruned doc is covered by
+      some skipped block, so its true score (hence its partial sum) is
+      strictly below tau <= k-th and cannot displace (tests: differential
+      vs bruteforce_topk under exact score ties, and a structural
+      hopeless-block assertion).
+
+    Returns {query_id: [(docnum, score)]} with each list in
+    (score desc, docnum asc) order, == bruteforce_topk per query.
     """
     import pyspark.sql.functions as F
 
     if max_docnum is None:
-        row = seg_df.agg(
+        row = tagged_seg_df.agg(
             F.max(F.expr("blocks[size(blocks) - 1].last_docnum")).alias("m")
         ).collect()[0]
         if row["m"] is None:
-            return []
+            return {}
         max_docnum = int(row["m"])
     range_size = max(1, (max_docnum + n_ranges) // n_ranges)
 
-    with_first = seg_df.select(
+    with_first = tagged_seg_df.select(
+        "query_id",
+        "term",
         "idf_bm25",
+        # k-th largest block max_score of THIS (query, term) (null when
+        # the term has < k blocks — then it certifies nothing); CASE
+        # guards the subscript under ANSI mode
+        F.expr(
+            f"CASE WHEN size(blocks) >= {k} THEN "
+            f"sort_array(transform(blocks, b -> b.max_score), false)[{k - 1}] "
+            "ELSE CAST(NULL AS DOUBLE) END"
+        ).alias("term_kth"),
         F.expr(
             "transform(blocks, (b, i) -> struct("
             "CASE WHEN i = 0 THEN CAST(0 AS BIGINT) "
             "ELSE blocks[i - 1].last_docnum + 1 END AS first_docnum, "
-            "b.last_docnum AS last_docnum, "
+            "b.last_docnum AS last_docnum, b.max_score AS max_score, "
             "b.docs AS docs, b.tfs AS tfs, b.dls AS dls))"
         ).alias("blocks"),
     )
-    b = with_first.select("idf_bm25", F.explode("blocks").alias("block"))
+    b = with_first.select(
+        "query_id", "term", "idf_bm25", "term_kth", F.explode("blocks").alias("block")
+    )
     sharded = (
         b.withColumn(
             "range_id",
@@ -220,8 +295,14 @@ def distributed_topk(
             ),
         )
         .select(
+            "query_id",
             "range_id",
+            "term",
             "idf_bm25",
+            "term_kth",
+            F.col("block.first_docnum").alias("first_docnum"),
+            F.col("block.last_docnum").alias("last_docnum"),
+            F.col("block.max_score").alias("max_score"),
             F.col("block.docs").alias("docs"),
             F.col("block.tfs").alias("tfs"),
             F.col("block.dls").alias("dls"),
@@ -233,12 +314,51 @@ def distributed_topk(
 
         from .codec import decode_docnums, varint_decode
 
-        doc_chunks, score_chunks = [], []
+        rows = []
         for batch in batch_iter:
-            for r in batch.to_pylist():
-                docs = decode_docnums(bytes(r["docs"])).astype(np.int64)
+            rows.extend(batch.to_pylist())
+        if not rows:
+            return
+        byq: dict = {}
+        for r in rows:
+            byq.setdefault(r["query_id"], []).append(r)
+        out_q: list = []
+        out_d: list = []
+        out_s: list = []
+        for qid, qrows in byq.items():
+            tau = max(
+                (r["term_kth"] for r in qrows if r["term_kth"] is not None),
+                default=None,
+            )
+            # per-(range, term) clipped block spans, for the cross-term UB
+            spans: dict = {}
+            if tau is not None:
+                for r in qrows:
+                    lo = r["range_id"] * range_size
+                    s_lo = max(r["first_docnum"], lo)
+                    s_hi = min(r["last_docnum"], lo + range_size - 1)
+                    spans.setdefault((r["range_id"], r["term"]), []).append(
+                        (s_lo, s_hi, r["max_score"])
+                    )
+            doc_chunks, score_chunks = [], []
+            for r in qrows:
                 lo = r["range_id"] * range_size
                 hi = lo + range_size
+                if tau is not None:
+                    s_lo = max(r["first_docnum"], lo)
+                    s_hi = min(r["last_docnum"], hi - 1)
+                    ub = r["max_score"]
+                    for (rid, t), lst in spans.items():
+                        if rid != r["range_id"] or t == r["term"]:
+                            continue
+                        best = 0.0
+                        for a, z, ms in lst:
+                            if a <= s_hi and z >= s_lo and ms > best:
+                                best = ms
+                        ub += best
+                    if ub < tau:
+                        continue  # no doc in this span can reach the top-k
+                docs = decode_docnums(bytes(r["docs"])).astype(np.int64)
                 mask = (docs >= lo) & (docs < hi)
                 if not mask.any():
                     continue
@@ -252,30 +372,45 @@ def distributed_topk(
                 )
                 doc_chunks.append(docs[mask])
                 score_chunks.append(scores)
-        if not doc_chunks:
+            if not doc_chunks:
+                continue
+            alldocs = np.concatenate(doc_chunks)
+            allscores = np.concatenate(score_chunks)
+            uniq, inv = np.unique(alldocs, return_inverse=True)
+            acc = np.zeros(len(uniq), dtype=np.float64)
+            np.add.at(acc, inv, allscores)
+            # local top-k, deterministic (score desc, docnum asc)
+            order = np.lexsort((uniq, -acc))[:k]
+            out_q.extend([qid] * len(order))
+            out_d.extend(uniq[order].tolist())
+            out_s.extend(acc[order].tolist())
+        if not out_q:
             return
-        alldocs = np.concatenate(doc_chunks)
-        allscores = np.concatenate(score_chunks)
-        uniq, inv = np.unique(alldocs, return_inverse=True)
-        acc = np.zeros(len(uniq), dtype=np.float64)
-        np.add.at(acc, inv, allscores)
-        # local top-k, deterministic (score desc, docnum asc)
-        order = np.lexsort((uniq, -acc))[:k]
         yield pa.RecordBatch.from_arrays(
             [
-                pa.array(uniq[order], type=pa.int64()),
-                pa.array(acc[order], type=pa.float64()),
+                pa.array(out_q, type=pa.string()),
+                pa.array(out_d, type=pa.int64()),
+                pa.array(out_s, type=pa.float64()),
             ],
-            names=["docnum", "score"],
+            names=["query_id", "docnum", "score"],
         )
 
-    out = (
-        sharded.repartition(n_ranges, "range_id")
-        .mapInArrow(_score_partition, schema="docnum long, score double")
-        .orderBy(F.desc("score"), F.asc("docnum"))
-        .limit(k)
+    collected = (
+        sharded.repartition(n_ranges, "query_id", "range_id")
+        .mapInArrow(
+            _score_partition, schema="query_id string, docnum long, score double"
+        )
+        .collect()
     )
-    return [(int(r["docnum"]), float(r["score"])) for r in out.collect()]
+    merged: dict = {}
+    for r in collected:
+        merged.setdefault(r["query_id"], []).append(
+            (int(r["docnum"]), float(r["score"]))
+        )
+    return {
+        qid: sorted(rows, key=lambda t: (-t[1], t[0]))[:k]
+        for qid, rows in merged.items()
+    }
 
 
 def bruteforce_topk(seg_rows: list[dict], avgdl: float, k: int) -> list[tuple[int, float]]:
