@@ -29,19 +29,20 @@ BLOCK_SIZE = 128
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, fully vectorized."""
-    arr = np.ascontiguousarray(values, dtype=np.uint64)
+def _varint_bytes_and_offsets(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Shared LEB128 kernel: (uint8 byte stream, int64 offsets[n+1]) where
+    offsets[i] is the byte position of value i and offsets[n] the total."""
     n = len(arr)
+    offsets = np.zeros(n + 1, dtype=np.int64)
     if n == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), offsets
     # bytes needed per value: 1 + number of thresholds <= value
     nbytes = np.ones(n, dtype=np.int64)
     for t in _THRESHOLDS:
         nbytes += (arr >= t).astype(np.int64)
-    total = int(nbytes.sum())
-    out = np.zeros(total, dtype=np.uint8)
-    starts = np.cumsum(nbytes) - nbytes
+    np.cumsum(nbytes, out=offsets[1:])
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
     for i in range(10):
         mask = nbytes > i
         if not mask.any():
@@ -49,7 +50,24 @@ def varint_encode(values: np.ndarray) -> bytes:
         chunk = (arr[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)
         cont = (nbytes[mask] > i + 1).astype(np.uint8) << 7
         out[starts[mask] + i] = chunk.astype(np.uint8) | cont
+    return out, offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array, fully vectorized."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    out, _ = _varint_bytes_and_offsets(arr)
     return out.tobytes()
+
+
+def varint_encode_with_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128 bytes plus per-value byte offsets (len n+1) — lets a caller
+    encode ONE stream for many consecutive slices and cut it afterwards
+    (slicing at value boundary v gives bytes identical to encoding the
+    slice separately, since LEB128 is per-value self-delimiting)."""
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    out, offsets = _varint_bytes_and_offsets(arr)
+    return out.tobytes(), offsets
 
 
 def varint_decode(data: bytes) -> np.ndarray:
@@ -104,10 +122,12 @@ def encode_positions(positions_lists: list[list[int]]) -> bytes:
     return encode_positions_flat(flat, lens)
 
 
-def encode_positions_flat(flat: np.ndarray, lens: np.ndarray) -> bytes:
-    """Vectorized form: flat = all positions concatenated, lens = positions
-    per posting. Per-list encoding is [len, first, gap...]; built with one
-    np.diff + boundary reset + np.insert — no per-posting Python loop."""
+def positions_stream(flat: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """The pre-varint value stream for per-posting position lists:
+    [len, first, gap...] per posting, built with one np.diff + boundary
+    reset + np.insert — no per-posting Python loop. Gaps reset at EVERY
+    posting start, so a multi-term stream cut at posting boundaries is
+    byte-identical to per-term encoding."""
     flat = np.ascontiguousarray(flat, dtype=np.uint64)
     lens = np.ascontiguousarray(lens, dtype=np.int64)
     starts = np.cumsum(lens) - lens
@@ -116,8 +136,13 @@ def encode_positions_flat(flat: np.ndarray, lens: np.ndarray) -> bytes:
         g[1:] = flat[1:] - flat[:-1]
         nz = starts[lens > 0]
         g[nz] = flat[nz]
-    out = np.insert(g, starts, lens.astype(np.uint64))
-    return varint_encode(out)
+    return np.insert(g, starts, lens.astype(np.uint64))
+
+
+def encode_positions_flat(flat: np.ndarray, lens: np.ndarray) -> bytes:
+    """Vectorized form: flat = all positions concatenated, lens = positions
+    per posting."""
+    return varint_encode(positions_stream(flat, lens))
 
 
 def decode_positions(data: bytes, n_postings: int) -> list[np.ndarray]:

@@ -169,40 +169,94 @@ def _encode_partition(batch_iter, avgdl: float, rows_acc=None):
     gstart = np.nonzero(boundary)[0]
     gend = np.append(gstart[1:], n_rows)
 
-    out = {k: [] for k in (
-        "part", "term", "df", "idf", "idf_bm25", "is_stop", "n_docs",
-        "blocks", "positions",
-    )}
-    term_str = terms.take(pa.array(gstart)).to_pylist()
-    for gi, (s, e) in enumerate(zip(gstart.tolist(), gend.tolist())):
-        n = e - s
-        dnum = docnums[s:e]
-        tfs = tfs_all[s:e]
-        dls = dls_all[s:e]
-        scores = scores_all[s:e]
-        blocks = [
-            {
-                "last_docnum": int(dnum[be - 1]),
-                "max_score": float(scores[bs:be].max()),
-                "docs": encode_docnums(dnum[bs:be]),
-                "tfs": varint_encode(tfs[bs:be]),
-                "dls": varint_encode(dls[bs:be]),
-            }
-            for bs, be in block_boundaries(n, BLOCK_SIZE)
-        ]
-        pflat = pos_values[pos_offsets[s] : pos_offsets[e]]
-        plens = np.diff(pos_offsets[s : e + 1])
-        out["part"].append(int(part[s]))
-        out["term"].append(term_str[gi])
-        out["df"].append(int(dfs_all[s]))
-        out["idf"].append(float(idf_all[s]))
-        out["idf_bm25"].append(float(idfb_all[s]))
-        out["is_stop"].append(bool(stop_all[s]))
-        out["n_docs"].append(n)
-        out["blocks"].append(blocks)
-        out["positions"].append(encode_positions_flat(pflat, plens))
+    # ---- fully vectorized encode (round-4): the former per-term loop
+    # called varint_encode per block per stream (~3 tiny numpy calls per
+    # block + python dict assembly per term) and dominated
+    # segments_build_60k. Now each stream is encoded ONCE for the whole
+    # partition and cut at value boundaries (LEB128 is per-value
+    # self-delimiting, and docnum gaps reset at every block start, so the
+    # cut bytes are identical to per-block encodes — regression-tested
+    # byte-for-byte in test_segments.py). Per-block/term metadata comes
+    # from reduceat/fancy indexing; the output binary columns are
+    # zero-copy Arrow views over the stream buffers.
+    from .codec import positions_stream, varint_encode_with_offsets
+
+    G = len(gstart)
+    n_g = gend - gstart
+    nb = (n_g + BLOCK_SIZE - 1) // BLOCK_SIZE  # blocks per term
+    total_blocks = int(nb.sum())
+    first_blk = np.cumsum(nb) - nb
+    bgrp = np.repeat(np.arange(G), nb)
+    within = np.arange(total_blocks) - first_blk[bgrp]
+    bs = gstart[bgrp] + within * BLOCK_SIZE
+    # blocks tile the partition contiguously: be[i] == bs[i+1], be[-1] == n
+
+    # docs: partition-wide gaps, absolute value at each block start (every
+    # term start is a block start, so cross-term wrap-around is overwritten)
+    gaps = np.empty_like(docnums)
+    gaps[1:] = docnums[1:] - docnums[:-1]
+    gaps[bs] = docnums[bs]
+    docs_bytes, doff = varint_encode_with_offsets(gaps)
+    tfs_bytes, toff = varint_encode_with_offsets(tfs_all)
+    dls_bytes, loff = varint_encode_with_offsets(dls_all)
+
+    blk_bounds = np.append(bs, n_rows)
+    last_docnum = docnums[blk_bounds[1:] - 1].astype(np.int64)
+    max_score = np.maximum.reduceat(scores_all, bs)
+
+    def _bin(full: bytes, off: np.ndarray, bounds: np.ndarray):
+        if off[-1] > np.iinfo(np.int32).max:  # pragma: no cover
+            raise ValueError(
+                "segment partition exceeds 2 GiB of encoded postings; "
+                "raise build_segments n_partitions"
+            )
+        cuts = off[bounds].astype(np.int32)
+        return pa.Array.from_buffers(
+            pa.binary(), len(bounds) - 1,
+            [None, pa.py_buffer(cuts.tobytes()), pa.py_buffer(full)],
+        )
+
+    blocks_struct = pa.StructArray.from_arrays(
+        [
+            pa.array(last_docnum, type=pa.int64()),
+            pa.array(max_score, type=pa.float64()),
+            _bin(docs_bytes, doff, blk_bounds),
+            _bin(tfs_bytes, toff, blk_bounds),
+            _bin(dls_bytes, loff, blk_bounds),
+        ],
+        names=["last_docnum", "max_score", "docs", "tfs", "dls"],
+    )
+    blocks_list = pa.ListArray.from_arrays(
+        pa.array(np.append(first_blk, total_blocks).astype(np.int32)),
+        blocks_struct,
+    )
+
+    # positions: one [len, first, gap...] stream for the whole partition
+    # (gaps reset at every posting start), cut at term boundaries
+    pbase = pos_offsets[0]
+    plens_all = np.diff(pos_offsets)
+    pstream = positions_stream(
+        pos_values[pbase : pos_offsets[n_rows]], plens_all
+    )
+    pos_bytes, poff = varint_encode_with_offsets(pstream)
+    # stream value index of row r's first token = (flat positions before
+    # r) + (one len token per earlier row)
+    row_val_idx = (pos_offsets - pbase) + np.arange(n_rows + 1)
+    term_bounds = row_val_idx[np.append(gstart, n_rows)]
+    positions_arr = _bin(pos_bytes, poff, term_bounds)
+
     yield pa.RecordBatch.from_arrays(
-        [pa.array(out[name], type=typ) for name, typ in _PA_SEGMENT_FIELDS],
+        [
+            pa.array(part[gstart].astype(np.int32), type=pa.int32()),
+            terms.take(pa.array(gstart)),
+            pa.array(dfs_all[gstart].astype(np.int32), type=pa.int32()),
+            pa.array(idf_all[gstart], type=pa.float64()),
+            pa.array(idfb_all[gstart], type=pa.float64()),
+            pa.array(stop_all[gstart], type=pa.bool_()),
+            pa.array(n_g.astype(np.int32), type=pa.int32()),
+            blocks_list,
+            positions_arr,
+        ],
         names=[name for name, _ in _PA_SEGMENT_FIELDS],
     )
 
@@ -265,7 +319,12 @@ def build_segments(
             "part", "term", "docnum", "tf", "doc_len", "positions",
             "df", "idf", "idf_bm25", "is_stop",
         )
-    ).persist()
+    )
+    # cache only when several batch jobs will re-scan it; a single-batch
+    # build would pay the cache write for one read
+    multi_batch = len(todo) > batch_partitions
+    if multi_batch:
+        enriched = enriched.persist()
 
     from pyspark.accumulators import AccumulatorParam
 
@@ -321,9 +380,11 @@ def build_segments(
         _append_manifest(out_dir, rows)
         batches_done += 1
         if fail_after_batches is not None and batches_done >= fail_after_batches:
-            enriched.unpersist()
+            if multi_batch:
+                enriched.unpersist()
             raise RuntimeError("injected failure for resume test")
-    enriched.unpersist()
+    if multi_batch:
+        enriched.unpersist()
 
 
 # --- driver-side twin of Spark's xxhash64(string) (XXH64, seed 42) -------

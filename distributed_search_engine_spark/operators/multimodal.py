@@ -186,13 +186,16 @@ def decode_real(data: bytes, kind: str):
     if kind == "image" and data[:2] == b"BM":
         px, w, h = decode_bmp(data)
         return px.reshape(-1), w, h, 1
+    if kind == "image" and data[:2] == b"\xff\xd8":
+        px, w, h = decode_jpeg(data)
+        return px.reshape(-1), w, h, 1
     if kind == "audio" and data[:4] == b"RIFF":
         s, rate, ch = decode_wav(data)
         return s.reshape(-1), int(rate), ch, 1
     raise NotImplementedError(
-        f"unsupported {kind} container: PNG/PPM/BMP images and PCM16 WAV "
-        "audio decode natively (stdlib zlib + numpy); JPEG/MP3/MP4 still "
-        "need PIL/soundfile/pyav, which this container does not ship"
+        f"unsupported {kind} container: PNG/JPEG/PPM/BMP images and PCM16 "
+        "WAV audio decode natively (stdlib zlib + numpy); MP3/MP4 still "
+        "need soundfile/pyav, which this container does not ship"
     )
 
 
@@ -451,3 +454,453 @@ def decode_png(data: bytes) -> tuple[np.ndarray, int, int]:
         out[r] = rec.astype(np.uint8)
         prior = rec
     return out.reshape(h, w, 3), w, h
+
+
+# ---------------------------------------------------------------------------
+# Baseline-sequential JPEG codec (ITU-T T.81 / JFIF), pure numpy + stdlib.
+# Closes the last common compressed-image seam without PIL: the encoder
+# writes 4:4:4 baseline JPEGs with the Annex-K example quantization and
+# Huffman tables; the decoder handles baseline sequential scans with
+# 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals, and byte stuffing.
+# Reference behavior parity target: the reference pipeline treats media
+# as opaque blobs + metadata; the decode path here feeds the same
+# extract_features/resize operators as PNG/PPM/BMP.
+# ---------------------------------------------------------------------------
+
+# Annex K.1/K.2 example quantization tables (quality ~50), zigzag order
+_JPEG_QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int32)
+
+# zigzag scan order: _JPEG_ZZ[i] = raster index of the i-th zigzag entry
+def _zigzag_order() -> np.ndarray:
+    order = sorted(
+        ((r, c) for r in range(8) for c in range(8)),
+        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+    )
+    return np.array([r * 8 + c for r, c in order], dtype=np.int64)
+
+
+_JPEG_ZZ = _zigzag_order()
+
+# Annex K.3 example Huffman tables: (bits[1..16], huffval)
+_JPEG_HT = {
+    ("dc", 0): (
+        [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("dc", 1): (
+        [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+        list(range(12)),
+    ),
+    ("ac", 0): (
+        [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+        [
+            0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+            0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+            0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+            0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+            0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+            0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+            0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+            0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+            0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+            0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+            0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+            0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+            0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+            0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+    ("ac", 1): (
+        [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+        [
+            0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+            0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+            0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+            0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+            0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+            0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+            0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+            0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+            0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+            0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+            0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+            0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+            0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+            0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+            0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+        ],
+    ),
+}
+
+
+def _huff_codes(bits: list[int], huffval: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical order per T.81 Annex C."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[huffval[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT_M = np.array([
+    [
+        (np.sqrt(1.0 / 8) if u == 0 else np.sqrt(2.0 / 8))
+        * np.cos((2 * x + 1) * u * np.pi / 16)
+        for x in range(8)
+    ]
+    for u in range(8)
+])
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) for a DC diff / AC coefficient."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> baseline JFIF bytes (4:4:4, Annex-K
+    tables). Edge blocks are padded by edge replication."""
+    px = np.asarray(pixels, dtype=np.float64)
+    h, w = px.shape[:2]
+    # RGB -> YCbCr (BT.601 full range, the JFIF convention)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [y, cb, cr]
+    qts = [_JPEG_QT_LUMA, _JPEG_QT_CHROMA, _JPEG_QT_CHROMA]
+    tsel = [0, 1, 1]
+
+    bw = _BitWriter()
+    dc_codes = {t: _huff_codes(*_JPEG_HT[("dc", t)]) for t in (0, 1)}
+    ac_codes = {t: _huff_codes(*_JPEG_HT[("ac", t)]) for t in (0, 1)}
+    pred = [0, 0, 0]
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    padded = [
+        np.pad(p, ((0, bh * 8 - h), (0, bwid * 8 - w)), mode="edge") for p in planes
+    ]
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci in range(3):
+                block = padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coef = _DCT_M @ block @ _DCT_M.T
+                zz = coef.reshape(-1)[_JPEG_ZZ]
+                # tables are stored raster-order; quantize in zigzag space
+                q = (_JPEG_QT_CHROMA if ci else _JPEG_QT_LUMA)[_JPEG_ZZ]
+                qz = np.round(zz / q).astype(np.int64)
+                t = tsel[ci]
+                # DC
+                diff = int(qz[0]) - pred[ci]
+                pred[ci] = int(qz[0])
+                size, bits = _magnitude(diff)
+                c, ln = dc_codes[t][size]
+                bw.write(c, ln)
+                if size:
+                    bw.write(bits, size)
+                # AC with run-length + ZRL/EOB
+                run = 0
+                for i in range(1, 64):
+                    v = int(qz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_codes[t][0xF0]
+                        bw.write(c, ln)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    c, ln = ac_codes[t][(run << 4) | size]
+                    bw.write(c, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if run:
+                    c, ln = ac_codes[t][0x00]  # EOB
+                    bw.write(c, ln)
+    scan = bw.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # APP0/JFIF: version 1.1, density units 0, 1x1 density, no thumbnail
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 1, 1, 0, 0
+    )
+    for tid, qt in ((0, _JPEG_QT_LUMA), (1, _JPEG_QT_CHROMA)):
+        # DQT entries are written in zigzag order per T.81 B.2.4.1
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+            int(v) for v in qt[_JPEG_ZZ]
+        )
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    for cid, t in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, 0x11, t])  # 4:4:4
+    for (kind, tid), (bits, vals) in _JPEG_HT.items():
+        tc = 0 if kind == "dc" else 1
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes(
+            [(tc << 4) | tid]
+        ) + bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    for cid, t in ((1, 0), (2, 1), (3, 1)):
+        out += bytes([cid, (t << 4) | t])
+    out += b"\x00\x3f\x00"
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        while self.nbits <= 24 and self.pos < len(self.data):
+            byte = self.data[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed FF
+                else:
+                    # marker: rewind and feed 1-bits (spec: pad at segment end)
+                    self.pos -= 1
+                    byte = 0xFF  # consumed as padding
+                    self.acc = (self.acc << 8) | byte
+                    self.nbits += 8
+                    return
+            self.acc = (self.acc << 8) | byte
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+            if self.nbits == 0:
+                return 1  # pad
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop buffered bits and skip a restart marker if present."""
+        self.acc = 0
+        self.nbits = 0
+        while self.pos + 1 < len(self.data) and self.data[self.pos] == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if 0xD0 <= nxt <= 0xD7:
+                self.pos += 2
+                return
+            break
+
+
+def _huff_decode_table(bits: list[int], huffval: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: "_BitReader", table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[np.ndarray, int, int]:
+    """Baseline-sequential JFIF -> ((h, w, 3) uint8 RGB, width, height).
+    Supports 1- or 3-component scans, sampling factors 1-2 (4:4:4, 4:2:2,
+    4:2:0), restart intervals, byte stuffing. Progressive/arithmetic
+    modes raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    i, n = 2, len(data)
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    h = w = None
+    restart = 0
+    scan_comps: list[dict] = []
+    scan_start = None
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[i + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        body = data[i + 4 : i + 2 + seglen]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = np.frombuffer(
+                    body[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int32)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + c * 3 : 9 + c * 3]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("only baseline-sequential JPEG is supported")
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tt = body[1 + c * 2 : 3 + c * 2]
+                comp = next(x for x in comps if x["id"] == cid)
+                scan_comps.append(
+                    {**comp, "dc": tt >> 4, "ac": tt & 0x0F}
+                )
+            scan_start = i + 2 + seglen
+            break
+        i += 2 + seglen
+    if scan_start is None or h is None:
+        raise ValueError("missing SOF/SOS")
+
+    hmax = max(c["h"] for c in scan_comps)
+    vmax = max(c["v"] for c in scan_comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        for c in scan_comps
+    ]
+    br = _BitReader(data[scan_start:])
+    pred = [0] * len(scan_comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                br.align_to_marker()
+                pred = [0] * len(scan_comps)
+            for ci, c in enumerate(scan_comps):
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        dct = huff[(0, c["dc"])]
+                        act = huff[(1, c["ac"])]
+                        size = _read_symbol(br, dct)
+                        diff = _extend(br.read_bits(size), size)
+                        pred[ci] += diff
+                        zz = np.zeros(64, dtype=np.int64)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _read_symbol(br, act)
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(rs & 0x0F), rs & 0x0F)
+                            k += 1
+                        # DQT bytes are zigzag-ordered: dequantize in
+                        # zigzag space, then scatter to raster positions
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[_JPEG_ZZ] = zz * qt[c["tq"]]
+                        block = _DCT_M.T @ coef.reshape(8, 8) @ _DCT_M + 128.0
+                        py = (my * c["v"] + vy) * 8
+                        pxx = (mx * c["h"] + vx) * 8
+                        planes[ci][py : py + 8, pxx : pxx + 8] = block
+            mcu_count += 1
+
+    # upsample subsampled planes to full res, crop, color-convert
+    full = []
+    for ci, c in enumerate(scan_comps):
+        p = planes[ci]
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        ych = np.clip(full[0], 0, 255)
+        rgb = np.stack([ych] * 3, axis=-1)
+    else:
+        y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        r = y + 1.402 * cr
+        g = y - 0.344136 * cb - 0.714136 * cr
+        b = y + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), w, h

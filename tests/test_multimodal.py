@@ -126,10 +126,14 @@ def test_extract_features_over_real_formats(spark):
 def test_compressed_formats_still_raise(spark):
     from distributed_search_engine_spark.operators.multimodal import decode_real
 
-    # JPEG remains the documented PIL seam (PNG now decodes natively)
+    # MP3/MP4 remain the documented seam (PNG and JPEG decode natively)
     with pytest.raises(NotImplementedError):
+        decode_real(b"ID3\x04\x00....", "audio")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00\x00\x00\x20ftypisom....", "video")
+    # a JPEG/PNG signature followed by garbage is malformed, not a seam
+    with pytest.raises(ValueError):
         decode_real(b"\xff\xd8\xff\xe0....", "image")
-    # a PNG signature followed by garbage is a malformed PNG, not a seam
     with pytest.raises(ValueError):
         decode_real(b"\x89PNG\r\n\x1a\n....", "image")
 
@@ -242,3 +246,62 @@ def test_png_flows_through_feature_pipeline(spark):
     r = out[0]
     assert r["doc_id"] == "png1"
     assert abs(r["feat_mean"] - float(px.reshape(-1).mean())) < 1e-6
+
+
+def test_jpeg_roundtrip_smooth_and_uniform():
+    """Baseline JPEG codec (T.81, Annex-K tables): a smooth gradient is
+    near-lossless (quantization error only), a uniform field is within
+    +/-1, and padded edge blocks crop back to the exact source dims."""
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    h, w = 24, 40
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            xx * 255 / (w - 1),
+            yy * 255 / (h - 1),
+            (xx + yy) * 255 / (w + h - 2),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    data = encode_jpeg(img)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec, dw, dh = decode_jpeg(data)
+    assert (dw, dh) == (w, h) and dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 16
+
+    uni = np.full((8, 8, 3), [200, 64, 120], dtype=np.uint8)
+    udec, _, _ = decode_jpeg(encode_jpeg(uni))
+    assert np.abs(udec.astype(int) - uni.astype(int)).max() <= 1
+
+    # non-multiple-of-8 dims exercise edge-replication padding + crop
+    odd = np.full((17, 13, 3), 99, dtype=np.uint8)
+    odec, ow, oh = decode_jpeg(encode_jpeg(odd))
+    assert (ow, oh) == (13, 17) and odec.shape == (17, 13, 3)
+
+
+def test_jpeg_flows_through_feature_pipeline(spark):
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_jpeg,
+        extract_features,
+    )
+
+    # smooth image so decoded stats track the source closely
+    yy, xx = np.mgrid[0:16, 0:16]
+    px = np.stack([xx * 16, yy * 16, (xx + yy) * 8], axis=-1).astype(np.uint8)
+    rows = [("jp1", "image", bytearray(encode_jpeg(px)), (16, 16, None, 1, "jpeg"))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = extract_features(media).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["doc_id"] == "jp1"
+    assert abs(r["feat_mean"] - float(px.reshape(-1).mean())) < 4.0

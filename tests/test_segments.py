@@ -237,3 +237,43 @@ def test_manifest_input_rows_from_accumulator(built):
     total = sum(row["input_rows"] for row in done.values())
     assert total == idx["postings"].count()
     assert all(row["input_rows"] >= 0 for row in done.values())
+
+
+def test_vectorized_encode_bytes_equal_per_block_reference(spark, built):
+    """The round-4 partition-wide stream encode must produce byte-identical
+    blocks/positions to the straightforward per-block codec calls (the
+    pre-round-4 implementation): decode every stored block and position
+    list and re-encode it per block — the bytes must round-trip exactly."""
+    _, _, _, _, out = built
+    df = spark.read.parquet(out + "/data")
+    rows = df.collect()
+    assert rows
+    n_blocks = 0
+    for r in rows:
+        n_docs_seen = 0
+        for b in r["blocks"]:
+            docs = codec.decode_docnums(bytes(b["docs"]))
+            tfs = codec.varint_decode(bytes(b["tfs"]))
+            dls = codec.varint_decode(bytes(b["dls"]))
+            assert len(docs) == len(tfs) == len(dls) > 0
+            assert bytes(b["docs"]) == codec.encode_docnums(docs)
+            assert bytes(b["tfs"]) == codec.varint_encode(tfs)
+            assert bytes(b["dls"]) == codec.varint_encode(dls)
+            assert int(b["last_docnum"]) == int(docs[-1])
+            n_docs_seen += len(docs)
+            n_blocks += 1
+        assert n_docs_seen == r["n_docs"]
+        plists = codec.decode_positions(bytes(r["positions"]), r["n_docs"])
+        assert bytes(r["positions"]) == codec.encode_positions(
+            [p.tolist() for p in plists]
+        )
+    assert n_blocks >= len(rows)
+
+
+def test_varint_encode_with_offsets_cuts_match_separate_encodes():
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << 62, size=1000, dtype=np.uint64)
+    full, off = codec.varint_encode_with_offsets(vals)
+    assert off[0] == 0 and off[-1] == len(full)
+    for s, e in ((0, 10), (10, 500), (500, 1000), (999, 1000), (7, 7)):
+        assert full[off[s]:off[e]] == codec.varint_encode(vals[s:e])
