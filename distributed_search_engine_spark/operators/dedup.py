@@ -7,8 +7,8 @@ shingles / band buckets, which is the LSH scale path. Exact verification
 
 Operators:
   exact_dedup          — sha256(content) group, keep min doc_id
-  shingles             — word n-gram shingles via window lead (JVM-side)
-  minhash_signatures   — H min-hashes per doc (md5-derived, engine-portable)
+  shingles             — word n-gram shingles, zero-shuffle (map-side arrays)
+  minhash_signatures   — H affine min-hashes over one md5 base (portable)
   lsh_candidate_pairs  — banding -> bucket join -> distinct pairs
   jaccard_pairs        — exact n-gram jaccard for candidate (or all) pairs
   simhash              — 64-bit majority-vote fingerprint + hamming pairs
@@ -21,7 +21,7 @@ from __future__ import annotations
 import itertools
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_SHINGLE_N = 3
@@ -29,6 +29,39 @@ DEFAULT_MINHASHES = 16
 DEFAULT_BANDS = 4
 SIMHASH_BITS = 64
 HASH_MOD = 1_000_000_007
+
+# MinHash hash family: h_k(s) = (a_k * (md5_60(s) mod P) + b_k) mod P over a
+# single 60-bit md5 base hash — Carter-Wegman pairwise-independent affine
+# maps, the same scheme Spark MLlib's MinHashLSH uses ((1 + elem*coeff) mod
+# prime). ONE md5 per shingle instead of H; base-collision probability per
+# doc pair is ~n_shingles^2 / 2^32 (md5_60 mod P), negligible for near-dup
+# detection. P = 2^31 - 1 keeps every intermediate < 2^62: ANSI-overflow-safe
+# in Spark AND identical int64 arithmetic in DuckDB (oracle portability).
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1 (Mersenne)
+_MINHASH_SEED = 0x5EED_1A7E_5EED_1A7E
+
+
+def _splitmix64(x: int):
+    mask = (1 << 64) - 1
+    while True:
+        x = (x + 0x9E3779B97F4A7C15) & mask
+        z = x
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & mask
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & mask
+        yield z ^ (z >> 31)
+
+
+def minhash_coeffs(n_hashes: int = DEFAULT_MINHASHES) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) affine coefficients, a_k in [1, P-1],
+    b_k in [0, P-1]. Inlined as literals into BOTH the Spark plan and the
+    DuckDB oracle SQL (cross-engine determinism recipe)."""
+    g = _splitmix64(_MINHASH_SEED)
+    out = []
+    for _ in range(n_hashes):
+        a = 1 + next(g) % (MINHASH_PRIME - 1)
+        b = next(g) % MINHASH_PRIME
+        out.append((a, b))
+    return out
 
 
 def exact_dedup(docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
@@ -63,31 +96,75 @@ def shingles(
     doc_id_col: str = "doc_id",
     content_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, shingle): distinct word n-grams, built with window lead()
-    so the same SQL shape works in the DuckDB oracle."""
-    t = _tokens(docs, doc_id_col, content_col)
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cols = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = t.select("doc_id", F.concat_ws(" ", *cols).alias("shingle"), *[
-        F.lead("tok", i).over(w).alias(f"_l{i}") for i in range(1, n)
-    ])
-    sh = sh.where(F.col(f"_l{n-1}").isNotNull()).select("doc_id", "shingle")
-    return sh.distinct()
+    """(doc_id, shingle): distinct word n-grams, built entirely map-side.
+
+    Each document is ONE input row, so per-row ``array_distinct`` over the
+    shingle array IS global (doc, shingle) distinctness — the whole operator
+    is a zero-shuffle projection (token array -> transform over a 1-based
+    index sequence -> array_distinct -> explode). The previous shape paid a
+    per-doc window sort (full shuffle+sort of the exploded token stream)
+    plus a distinct exchange; at 100 TB those were the two dominant
+    exchanges of the dedup pipeline. DuckDB twin: oracle._shingle_ctes
+    (list_transform + list_distinct + unnest — value-identical)."""
+    from ..functions import text as T
+
+    # The token array MUST be materialized as its own projection: HOF
+    # lambdas are codegen-fallback (no subexpression elimination), so an
+    # element_at over the inline tokenize expression would re-run the whole
+    # regex tokenization per element access — O(tokens^2) per doc.
+    # CollapseProject will not inline the alias back (multi-referenced,
+    # non-cheap), so the lambda sees a plain attribute.
+    t = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        T.tokens_col(F.col(content_col)).alias("_toks"),
+    )
+    arr = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.size(arr) - F.lit(n - 1))
+    sh_arr = F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+    )
+    # CaseWhen short-circuits per row, so the sequence/element_at branch
+    # never evaluates for docs shorter than n tokens (where sequence would
+    # run descending and element_at(_, 0) would raise under ANSI).
+    return t.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(arr) >= n, sh_arr).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("shingle"),
+    )
 
 
 def minhash_signatures(
     shingles_df: DataFrame, n_hashes: int = DEFAULT_MINHASHES
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{H-1}): per-doc min over md5('<h>:'||shingle).
-
-    String-min over md5 hex is engine-portable (identical in Spark and
-    DuckDB) and uniform. At scale this is one groupBy(doc_id) with map-side
-    partial min aggregation."""
+    """(doc_id, mh_0..mh_{H-1}): per-doc min over H affine maps of ONE
+    60-bit md5 base hash (see minhash_coeffs) — integer arithmetic identical
+    in Spark and DuckDB. One md5 per shingle row instead of H; at scale this
+    is one groupBy(doc_id) with map-side partial min aggregation. The base
+    hash is projected as a column BEFORE the aggregate so it is computed
+    exactly once per row (Catalyst keeps Project under Aggregate)."""
+    P = MINHASH_PRIME
+    base = shingles_df.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % P
+        ).alias("_x"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"mh_{h}")
-        for h in range(n_hashes)
+        F.min((F.col("_x") * F.lit(a) + F.lit(b)) % P).alias(f"mh_{h}")
+        for h, (a, b) in enumerate(minhash_coeffs(n_hashes))
     ]
-    return shingles_df.groupBy("doc_id").agg(*aggs)
+    return base.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -365,19 +365,31 @@ WHERE h1.term = '{w1}' AND h2.term = '{w2}'
 # ---------------------------------------------------------------------------
 
 def _shingle_ctes(n: int = 3) -> str:
-    """docs -> token stream -> distinct word n-gram shingles (window lead,
-    same shape as operators/dedup.shingles)."""
-    leads = " || ' ' || ".join(
-        ["tok"] + [f"lead(tok, {i}) OVER w" for i in range(1, n)]
-    )
+    """docs -> token array -> distinct word n-gram shingles, value-identical
+    twin of operators/dedup.shingles (map-side list_transform +
+    list_distinct + unnest — no window, no DISTINCT)."""
     return base_ctes() + f""",
-toks AS (SELECT doc_id, pos, tok FROM tokstream WHERE tok <> ''),
-sh0 AS (
-  SELECT doc_id, {leads} AS shingle, lead(tok, {n - 1}) OVER w AS lastlead
-  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE lastlead IS NOT NULL)
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, len(toks) - {n - 1}),
+    i -> array_to_string(toks[i:i + {n - 1}], ' ')))) AS shingle
+  FROM tokarr
+)
 """
+
+
+def _minhash_select(n_hashes: int) -> str:
+    """min-hash aggregate expressions: H affine maps over one 60-bit md5
+    base, coefficients from operators/dedup.minhash_coeffs (the SAME Python
+    literals the Spark plan inlines)."""
+    from .operators.dedup import MINHASH_PRIME, minhash_coeffs
+
+    p = MINHASH_PRIME
+    xm = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p})"
+    return ", ".join(
+        f"min(({xm} * {a} + {b}) % {p}) AS mh_{h}"
+        for h, (a, b) in enumerate(minhash_coeffs(n_hashes))
+    )
 
 
 def stratified_sample_sql(
@@ -433,11 +445,8 @@ GROUP BY 1
 
 
 def minhash_sql(n_hashes: int = 16) -> str:
-    mins = ",\n       ".join(
-        f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(n_hashes)
-    )
     return _shingle_ctes() + f"""
-SELECT doc_id, {mins}
+SELECT doc_id, {_minhash_select(n_hashes)}
 FROM sh GROUP BY doc_id
 """
 
@@ -446,14 +455,13 @@ def lsh_pairs_sql(n_hashes: int = 16, bands: int = 4) -> str:
     rpb = n_hashes // bands
     band_selects = []
     for b in range(bands):
-        key = " || '|' || ".join(f"mh_{b * rpb + i}" for i in range(rpb))
+        key = " || '|' || ".join(f"mh_{b * rpb + i}::varchar" for i in range(rpb))
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
     bands_sql = "\nUNION ALL\n".join(band_selects)
-    mins = ", ".join(f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(n_hashes))
     return _shingle_ctes() + f""",
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_minhash_select(n_hashes)} FROM sh GROUP BY doc_id),
 banded AS ({bands_sql})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b
@@ -485,14 +493,13 @@ def _lsh_band_ctes(n_hashes: int, bands: int) -> str:
     rpb = n_hashes // bands
     band_selects = []
     for b in range(bands):
-        key = " || '|' || ".join(f"mh_{b * rpb + i}" for i in range(rpb))
+        key = " || '|' || ".join(f"mh_{b * rpb + i}::varchar" for i in range(rpb))
         band_selects.append(
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
         )
     bands_sql = "\nUNION ALL\n".join(band_selects)
-    mins = ", ".join(f"min(md5('{h}:' || shingle)) AS mh_{h}" for h in range(n_hashes))
     return f""",
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+sig AS (SELECT doc_id, {_minhash_select(n_hashes)} FROM sh GROUP BY doc_id),
 banded AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

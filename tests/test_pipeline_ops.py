@@ -42,6 +42,22 @@ def test_shingles_and_jaccard(spark, docs):
     assert ("1", "4") not in pairs  # no shared trigram
 
 
+def test_shingles_plan_is_shuffle_free_and_minhash_single_md5(spark, docs):
+    """shingles is a pure projection (each doc is one row -> per-row
+    array_distinct IS per-doc distinctness: no window sort, no distinct
+    exchange); signatures pay exactly ONE exchange (the groupBy) and
+    compute exactly ONE md5 per shingle row (H affine maps share the
+    projected base hash)."""
+    from tests.test_plans import plan_of
+
+    sh = D.shingles(docs, n=3)
+    assert "Exchange" not in plan_of(sh)
+    sig_plan = plan_of(D.minhash_signatures(sh, n_hashes=16))
+    # formatted plans list each node twice (tree + details section)
+    assert sig_plan.count("+- Exchange") == 1
+    assert sig_plan.count("md5") == 1
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     sh = D.shingles(docs, n=3)
     sig = D.minhash_signatures(sh, n_hashes=16)
