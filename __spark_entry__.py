@@ -494,6 +494,24 @@ def _q_simhash_pairs(spark, sf_dir):
     return out.select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def _q_substring_spans(spark, sf_dir):
+    # window-granular exact duplicate-substring detection (Lee et al. 2022
+    # shape): zero-shuffle window hashing -> count groupBy -> island merge
+    return D.substring_spans(
+        D.duplicate_windows(_capped_docs(spark, sf_dir), w=8), w=8
+    )
+
+
+def _q_substring_stats(spark, sf_dir):
+    return D.substring_dup_stats(_capped_docs(spark, sf_dir), w=8)
+
+
+def _q_bigram_lm(spark, sf_dir):
+    # CCNet-shape LM quality scoring: add-alpha bigram model self-trained
+    # on the capped corpus, per-doc avg logprob + perplexity
+    return TA.bigram_lm_stats(_capped_docs(spark, sf_dir))
+
+
 def _q_neardup_emb(spark, sf_dir):
     # scale path: multi-band sign-LSH candidates + exact cosine rerank
     # (oracle applies the identical banding; exact=True is the pytest-only
@@ -1401,6 +1419,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_csv_roundtrip": _q_source_roundtrip("csv"),
         "source_json_roundtrip": _q_source_roundtrip("json"),
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
+        "dedup_substring_spans": _q_substring_spans,
+        "dedup_substring_stats": _q_substring_stats,
+        "text_bigram_lm_ppl": _q_bigram_lm,
         "index_doc_stats": _q_doc_stats,
         "index_postings": _q_postings,
         "index_term_stats": _q_term_stats,
@@ -1481,6 +1502,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": oracle.jaccard_pairs_lsh_sql(0.5, 16, 4),
         "dedup_simhash": oracle.SIMHASH_SQL,
         "dedup_simhash_pairs": oracle.simhash_pairs_sql(3),
+        "dedup_substring_spans": oracle.substring_spans_sql(8),
+        "dedup_substring_stats": oracle.substring_stats_sql(8),
+        "text_bigram_lm_ppl": oracle.bigram_lm_sql(TA.LM_ALPHA),
         "neardup_embedding_cosine": oracle.embedding_neardup_lsh_sql(
             _lsh_plane_weights(D.NEARDUP_BANDS * D.NEARDUP_PLANES),
             D.NEARDUP_BANDS,

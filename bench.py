@@ -310,6 +310,19 @@ def main() -> None:
         t0 = time.time()
         n_simp = simhash_pairs(simhash(ded, content_col="text"), 3).count()
         timings["dedup_simhash_60k"] = time.time() - t0
+
+        # exact duplicate-substring coverage (Lee et al. window-granular):
+        # the planted boilerplate prefixes are real duplicated spans, so
+        # this stage tracks window hashing + hot-hash count + island merge
+        from distributed_search_engine_spark.operators.dedup import (
+            substring_dup_stats,
+        )
+
+        t0 = time.time()
+        n_subdup_docs = (
+            substring_dup_stats(ded, w=8).where("dup_fraction > 0").count()
+        )
+        timings["dedup_substring_60k"] = time.time() - t0
         dsh.unpersist()
         dcand.unpersist()
         big.unpersist()
@@ -367,6 +380,7 @@ def main() -> None:
             "dedup_lsh_candidates_60k": n_cand,
             "dedup_jaccard_pairs_60k": n_dup,
             "dedup_simhash_pairs_60k": n_simp,
+            "dedup_substring_docs_60k": n_subdup_docs,
         }
     else:
         extra_big = {}

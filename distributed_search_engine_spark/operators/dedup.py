@@ -586,3 +586,142 @@ def embedding_neardup(
             .distinct()
         )
     return _vec_pairs_cosine(v, pairs).where(F.col("cosine") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring detection (window-granular)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SUBSTRING_W = 8
+
+
+def _window_hashes(toks_df: DataFrame, w: int) -> DataFrame:
+    """(doc_id, pos, whash): md5 of every w-token window, pos = 1-based
+    start index in the token stream. Pure per-doc projection (transform
+    over a start-index sequence + slice) — ZERO shuffle, like shingles.
+
+    The CASE guard matters: Spark's sequence(1, n) DESCENDS when n < 1,
+    which would fabricate windows for short docs.
+
+    The window array expression is passed INLINE to posexplode, never
+    aliased into its own projection first: posexplode over an ATTRIBUTE
+    makes InferFiltersFromGenerate synthesize `size(ws) > 0`, and predicate
+    pushdown then substitutes the whole expression — tokenizer included —
+    into a Filter below the toks projection, re-running the regex
+    tokenization per WINDOW inside the lambda (O(tokens^2) per doc;
+    measured 138 s vs 1.7 s on a 4k-doc corpus). Generators over complex
+    expressions are skipped by that rule (same reason shingles() explodes
+    its CASE expression directly). The toks projection itself survives
+    (multi-referenced, non-cheap — CollapseProject keeps it), so the
+    lambda sees a plain attribute."""
+    arr = F.col("toks")
+    ws = F.when(
+        F.size(arr) >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - F.lit(w - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(arr, i, w))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_df.select(
+        "doc_id", F.posexplode(ws).alias("pos0", "whash")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "whash")
+
+
+def _token_arrays(docs: DataFrame, doc_id_col: str, content_col: str) -> DataFrame:
+    from ..functions import text as T
+
+    return docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        T.tokens_col(F.col(content_col)).alias("toks"),
+    )
+
+
+def duplicate_windows(
+    docs: DataFrame,
+    w: int = DEFAULT_SUBSTRING_W,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, pos, whash): every w-token window whose hash occurs >=
+    min_count times corpus-wide — window-granular exact duplicate-substring
+    detection (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": drop exact substrings of >= N tokens repeated in the
+    corpus; their suffix-array pass is replaced here by fixed-width window
+    hashing, which finds exactly the duplicated substrings of length >= w
+    as runs of duplicated windows).
+
+    Scale shape: window hashing is map-side only, then ONE exchange keyed
+    by the uniform md5 hash with a whole-partition window count (a
+    count-groupBy + join-back would shuffle the window stream twice and
+    re-run the hashing pass for the join side). Work is
+    O(total_tokens * w) map-side + one hash-keyed shuffle — never O(N^2)
+    in docs. A corpus-dominating boilerplate window (one whash carrying a
+    large fraction of all rows) concentrates in one spill-able window
+    partition; at that skew, pre-aggregate counts per (whash, salt) first."""
+    from pyspark.sql.window import Window
+
+    wins = _window_hashes(_token_arrays(docs, doc_id_col, content_col), w)
+    cw = Window.partitionBy("whash")
+    return (
+        wins.withColumn("_c", F.count(F.lit(1)).over(cw))
+        .where(F.col("_c") >= min_count)
+        .select("doc_id", "pos", "whash")
+    )
+
+
+def substring_spans(dup_wins: DataFrame, w: int = DEFAULT_SUBSTRING_W) -> DataFrame:
+    """(doc_id, span_start, span_end, n_windows): maximal duplicated token
+    spans, from merging overlapping/adjacent duplicated windows (two window
+    starts merge iff gap <= w). One shuffle keyed by doc_id (uniform); the
+    lag + running-sum island detection shares a single sort."""
+    from pyspark.sql.window import Window
+
+    ww = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(ww)
+    brk = F.when(prev.isNull() | ((F.col("pos") - prev) > w), 1).otherwise(0)
+    g = (
+        dup_wins.select("doc_id", "pos")
+        .withColumn("_brk", brk)
+        .withColumn("_g", F.sum("_brk").over(ww))
+    )
+    return (
+        g.groupBy("doc_id", "_g")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(w - 1)).cast("int").alias("span_end"),
+            F.count(F.lit(1)).cast("int").alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    w: int = DEFAULT_SUBSTRING_W,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_dup_windows, dup_tokens, dup_fraction): per-doc
+    duplicated-substring coverage — the drop/keep metric training pipelines
+    threshold on (e.g. drop docs with > 50% duplicated tokens)."""
+    toks = _token_arrays(docs, doc_id_col, content_col)
+    ntok = toks.select("doc_id", F.size("toks").alias("n_tokens"))
+    dup = duplicate_windows(docs, w, doc_id_col, content_col).select("doc_id", "pos")
+    spans = substring_spans(dup, w)
+    agg = spans.groupBy("doc_id").agg(
+        F.sum("n_windows").cast("int").alias("n_dup_windows"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).cast("int").alias("dup_tokens"),
+    )
+    out = ntok.join(agg, "doc_id", "left")
+    nd = F.coalesce(F.col("n_dup_windows"), F.lit(0))
+    dt = F.coalesce(F.col("dup_tokens"), F.lit(0))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        nd.cast("int").alias("n_dup_windows"),
+        dt.cast("int").alias("dup_tokens"),
+        F.round(
+            F.when(F.col("n_tokens") > 0, dt / F.col("n_tokens")).otherwise(0.0), 6
+        ).alias("dup_fraction"),
+    )

@@ -792,3 +792,103 @@ def chunk_documents(
         F.length("_chunk").cast("int").alias("chunk_len"),
         F.md5("_chunk").alias("chunk_sha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model perplexity scoring (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+LM_ALPHA = 0.1
+
+
+def _bigram_stream(
+    docs: DataFrame, doc_id_col: str, content_col: str
+) -> DataFrame:
+    """(doc_id, bigram): every adjacent token pair as a space-joined
+    string key. Pure per-doc projection — the bigram array expression is
+    fed INLINE to explode (an aliased attribute would trip
+    InferFiltersFromGenerate + pushdown into re-tokenizing per bigram;
+    see dedup._window_hashes for the measured pathology). Tokens cannot
+    contain whitespace, so the string key round-trips to (w1, w2)."""
+    toks_df = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        T.tokens_col(F.col(content_col)).alias("toks"),
+    )
+    arr = F.col("toks")
+    bg = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.concat_ws(" ", F.slice(arr, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_df.select("doc_id", F.explode(bg).alias("bigram"))
+
+
+def bigram_lm_stats(
+    docs: DataFrame,
+    alpha: float = LM_ALPHA,
+    train_docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob, ppl): score every document under
+    an add-alpha-smoothed bigram LM trained on ``train_docs`` (default:
+    the corpus itself) — the CCNet quality-filter shape (Wenzek et al.
+    2020 score web text under a KenLM model and threshold on per-doc
+    perplexity; the n-gram-counts-as-model mechanics are identical, CCNet
+    just trains 5-grams on Wikipedia).
+
+    p(w2|w1) = (c(w1 w2) + a) / (c(w1) + a*V); avg_logprob is the mean
+    ln p over the doc's bigrams; ppl = exp(-avg_logprob). Docs with < 2
+    tokens report (0, 0.0, 1.0) but still appear.
+
+    Scale shape: training is two partial-agg groupBys (bigram + unigram
+    counts) over one map-side bigram projection; scoring is two
+    equi-joins (model tables keyed by bigram / w1 — AQE broadcasts them
+    when small, handles hot-bigram skew otherwise) + one per-doc partial
+    agg. V rides a 1-row broadcast cross join, never a driver collect.
+    No UDF anywhere. At 1e12 docs swap countDistinct for
+    approx_count_distinct and cap the model table by min count — both
+    are one-line changes flagged here rather than silently applied,
+    because the DuckDB twin gates on exact V.
+    """
+    train = docs if train_docs is None else train_docs
+    tbg = _bigram_stream(train, doc_id_col, content_col)
+    bcnt = tbg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    ttok = train.select(
+        F.explode(T.tokens_col(F.col(content_col))).alias("tok")
+    )
+    ucnt = ttok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    voc = ttok.agg(F.countDistinct("tok").alias("V"))
+
+    sc = (
+        _bigram_stream(docs, doc_id_col, content_col)
+        .join(bcnt, "bigram", "left")
+        .join(
+            ucnt.withColumnRenamed("tok", "_w1"),
+            F.substring_index(F.col("bigram"), " ", 1) == F.col("_w1"),
+            "left",
+        )
+        .crossJoin(F.broadcast(voc))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("V"))
+    )
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum(lp).alias("_slp"),
+    )
+    ids = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    out = ids.join(agg, "doc_id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    avg = F.when(nb > 0, F.col("_slp") / nb).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        nb.cast("int").alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.when(nb > 0, F.exp(-avg)).otherwise(F.lit(1.0)), 6).alias(
+            "ppl"
+        ),
+    )

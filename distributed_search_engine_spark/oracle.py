@@ -1745,3 +1745,99 @@ SELECT doc_id, chunk_id,
        md5(substr(text, chunk_id * {step} + 1, {chunk_chars})) AS chunk_sha
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-substring detection (twins of operators/dedup
+# duplicate_windows / substring_spans / substring_dup_stats)
+# ---------------------------------------------------------------------------
+
+def _substring_window_ctes(w: int = 8) -> str:
+    """docs -> filtered token array -> w-token window hashes (1-based start
+    pos) -> corpus-wide counts -> duplicated window starts. Value-identical
+    twin of dedup._window_hashes + the min_count=2 filter."""
+    return base_ctes() + f""",
+wtok AS (SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM tokarr),
+wins AS (
+  SELECT doc_id, unnest(ws) AS whash, generate_subscripts(ws, 1) AS pos
+  FROM (SELECT doc_id, list_transform(generate_series(1, len(toks) - {w - 1}),
+          i -> md5(array_to_string(toks[i:i + {w - 1}], ' '))) AS ws FROM wtok)
+),
+wcnt AS (SELECT whash, count(*) AS c FROM wins GROUP BY 1),
+dup AS (SELECT wi.doc_id, wi.pos FROM wins wi JOIN wcnt USING (whash) WHERE c >= 2)"""
+
+
+def _substring_span_ctes(w: int = 8) -> str:
+    return _substring_window_ctes(w) + f""",
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > {w}
+              THEN 1 ELSE 0 END AS brk
+  FROM dup),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM isl),
+spans AS (
+  SELECT doc_id, min(pos)::int AS span_start, (max(pos) + {w - 1})::int AS span_end,
+         count(*)::int AS n_windows
+  FROM grp GROUP BY doc_id, g)"""
+
+
+def substring_spans_sql(w: int = 8) -> str:
+    return _substring_span_ctes(w) + """
+SELECT doc_id, span_start, span_end, n_windows FROM spans
+"""
+
+
+def substring_stats_sql(w: int = 8) -> str:
+    return _substring_span_ctes(w) + """,
+agg AS (
+  SELECT doc_id, sum(n_windows) AS ndw, sum(span_end - span_start + 1) AS dtok
+  FROM spans GROUP BY 1),
+ntok AS (SELECT doc_id, len(toks)::int AS n_tokens FROM wtok)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(a.ndw, 0)::int AS n_dup_windows,
+       coalesce(a.dtok, 0)::int AS dup_tokens,
+       round(CASE WHEN n.n_tokens > 0
+                  THEN coalesce(a.dtok, 0) / n.n_tokens ELSE 0.0 END, 6) AS dup_fraction
+FROM ntok n LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (twin of text_analysis.bigram_lm_stats,
+# self-trained form: train corpus == scored corpus)
+# ---------------------------------------------------------------------------
+
+def bigram_lm_sql(alpha: float = 0.1) -> str:
+    a = repr(float(alpha))
+    return base_ctes() + f""",
+wtok AS MATERIALIZED (
+  SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM tokarr),
+bg AS MATERIALIZED (
+  SELECT doc_id, unnest(bs) AS bigram
+  FROM (SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]) AS bs FROM wtok)),
+bcnt AS MATERIALIZED (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
+ucnt AS MATERIALIZED (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM wtok) GROUP BY 1),
+voc AS (SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM wtok)),
+sc AS (
+  SELECT g.doc_id,
+         ln((coalesce(c.c12, 0) + {a}) / (coalesce(u.c1, 0) + {a} * voc.v)) AS lp
+  FROM bg g
+  LEFT JOIN bcnt c USING (bigram)
+  LEFT JOIN ucnt u ON split_part(g.bigram, ' ', 1) = u.tok
+  CROSS JOIN voc),
+agg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp FROM sc GROUP BY 1)
+SELECT w.doc_id,
+       coalesce(a2.nb, 0)::int AS n_bigrams,
+       round(CASE WHEN a2.nb > 0 THEN a2.slp / a2.nb ELSE 0.0 END, 6) AS avg_logprob,
+       round(CASE WHEN a2.nb > 0 THEN exp(-(a2.slp / a2.nb)) ELSE 1.0 END, 6) AS ppl
+FROM wtok w LEFT JOIN agg a2 USING (doc_id)
+"""

@@ -898,3 +898,177 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         TA.chunk_documents(docs, chunk_chars=5, overlap=5)
+
+
+# ---------------------------------------------------------------------------
+# exact duplicate-substring detection (window-granular, Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+SUB_DOCS = [
+    # docs a+b share the 10-token run "one two ... ten" at different offsets;
+    # doc c is unique; doc d is too short to hold a full window
+    ("a", "alpha beta one two three four five six seven eight nine ten gamma"),
+    ("b", "one two three four five six seven eight nine ten delta epsilon zeta"),
+    ("c", "totally unrelated content with enough tokens to form windows here ok"),
+    ("d", "tiny doc"),
+]
+
+
+@pytest.fixture(scope="module")
+def sub_docs(spark):
+    return spark.createDataFrame(SUB_DOCS, "doc_id string, text string")
+
+
+def test_duplicate_windows_and_spans(spark, sub_docs):
+    w = 8
+    wins = D.duplicate_windows(sub_docs, w=w)
+    got = {(r["doc_id"], r["pos"]) for r in wins.collect()}
+    # the shared 10-token run yields 10-8+1 = 3 duplicated windows per doc:
+    # doc a: run starts at token 3 -> starts 3,4,5; doc b: run at 1 -> 1,2,3
+    assert got == {("a", 3), ("a", 4), ("a", 5), ("b", 1), ("b", 2), ("b", 3)}
+
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["n_windows"])
+        for r in D.substring_spans(wins, w=w).collect()
+    }
+    # consecutive starts merge into ONE maximal span covering the 10 tokens
+    assert spans == {"a": (3, 12, 3), "b": (1, 10, 3)}
+
+
+def test_substring_spans_split_on_gap(spark):
+    # two duplicated regions separated by > w tokens stay separate spans
+    run1 = "one two three four"
+    run2 = "red blue green yellow"
+    filler = " ".join(f"f{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            ("x", f"{run1} {filler} {run2}"),
+            ("y", f"{run1} {filler.replace('f', 'g')} {run2}"),
+        ],
+        "doc_id string, text string",
+    )
+    w = 4
+    spans = {
+        (r["doc_id"], r["span_start"]): (r["span_end"], r["n_windows"])
+        for r in D.substring_spans(D.duplicate_windows(docs, w=w), w=w).collect()
+    }
+    # doc x: run1 at 1..4, run2 at 17..20 -> two spans per doc
+    assert spans[("x", 1)] == (4, 1)
+    assert spans[("x", 17)] == (20, 1)
+    assert len([k for k in spans if k[0] == "x"]) == 2
+
+
+def test_substring_dup_stats(spark, sub_docs):
+    stats = {
+        r["doc_id"]: r for r in D.substring_dup_stats(sub_docs, w=8).collect()
+    }
+    # doc a: 13 tokens, one 10-token dup span
+    assert stats["a"]["n_tokens"] == 13
+    assert stats["a"]["n_dup_windows"] == 3
+    assert stats["a"]["dup_tokens"] == 10
+    assert abs(stats["a"]["dup_fraction"] - round(10 / 13, 6)) < 1e-9
+    # unique and too-short docs report zero but still appear
+    assert stats["c"]["dup_tokens"] == 0 and stats["c"]["dup_fraction"] == 0.0
+    assert stats["d"]["n_tokens"] == 2 and stats["d"]["n_dup_windows"] == 0
+
+
+def test_window_hash_plan_is_shuffle_free(spark, sub_docs):
+    """window hashing is a pure per-doc projection: the (doc_id, pos, whash)
+    stream reaches its count groupBy with ZERO prior exchanges — and ZERO
+    Filter nodes. A Filter here is the InferFiltersFromGenerate trap:
+    posexplode over an aliased attribute synthesizes `size(ws) > 0`, and
+    pushdown substitutes the whole window expression (tokenizer included)
+    into the Filter, re-running tokenization per WINDOW (O(tokens^2)/doc,
+    measured 138 s vs 1.7 s on a 4k-doc corpus). The generator must consume
+    the window expression inline, and the toks projection must survive as
+    the single place tokenization happens."""
+    from tests.test_plans import plan_of
+
+    wins = D._window_hashes(D._token_arrays(sub_docs, "doc_id", "text"), 8)
+    p = plan_of(wins)
+    assert "Exchange" not in p
+    assert "Filter" not in p
+    # tokenization stays a standalone projection: the Generate node's
+    # argument must reference the toks attribute, not an inlined regexp
+    # pipeline (its detail block is the paragraph headed "(N) Generate")
+    import re as _re
+
+    m = _re.search(r"\(\d+\) Generate\n(.*?)(\n\n|$)", p, _re.S)
+    assert m is not None
+    assert "regexp_replace" not in m.group(1)
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity scoring (CCNet quality-filter shape)
+# ---------------------------------------------------------------------------
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Self-trained corpus small enough to compute the smoothed model by
+    hand: docs 'a b a b' and 'b c'. Train counts: bigrams {a b:2, b a:1,
+    b c:1}, unigrams {a:2, b:3, c:1}, V=3."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in TA.bigram_lm_stats(docs, alpha=0.5).collect()}
+    a, V = 0.5, 3
+    lp_ab = math.log((2 + a) / (2 + a * V))  # p(b|a)
+    lp_ba = math.log((1 + a) / (3 + a * V))  # p(a|b)
+    lp_bc = math.log((1 + a) / (3 + a * V))  # p(c|b)
+    avg1 = (2 * lp_ab + lp_ba) / 3
+    assert out["1"]["n_bigrams"] == 3
+    assert abs(out["1"]["avg_logprob"] - round(avg1, 6)) < 1e-9
+    assert abs(out["1"]["ppl"] - round(math.exp(-avg1), 6)) < 1e-9
+    assert out["2"]["n_bigrams"] == 1
+    assert abs(out["2"]["avg_logprob"] - round(lp_bc, 6)) < 1e-9
+
+
+def test_bigram_lm_unseen_and_short_docs(spark):
+    """A doc scored under a model trained on OTHER docs: unseen context
+    w1 -> p = alpha/(alpha*V) = 1/V; short docs report (0, 0.0, 1.0)."""
+    import math
+
+    train = spark.createDataFrame(
+        [(10, "x y x y x y")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [(1, "q r"), (2, "solo")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.bigram_lm_stats(docs, alpha=0.1, train_docs=train).collect()
+    }
+    # V=2 (x, y); bigram 'q r' unseen, context 'q' unseen: ln(0.1/(0.1*2))
+    lp = math.log(0.1 / (0.1 * 2))
+    assert out["1"]["n_bigrams"] == 1
+    assert abs(out["1"]["avg_logprob"] - round(lp, 6)) < 1e-9
+    assert out["2"] and out["2"]["n_bigrams"] == 0
+    assert out["2"]["avg_logprob"] == 0.0 and out["2"]["ppl"] == 1.0
+
+
+def test_bigram_lm_repetitive_scores_lower_ppl(spark):
+    """The filter's point: under a self-trained model, a repetitive doc
+    has lower perplexity than a doc of hapax tokens."""
+    docs = spark.createDataFrame(
+        [(1, "spam " * 30), (2, " ".join(f"tok{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["ppl"] for r in TA.bigram_lm_stats(docs).collect()}
+    assert out["1"] < out["2"]
+
+
+def test_bigram_stream_plan_is_shuffle_free(spark):
+    """bigram emission is a pure projection (same InferFiltersFromGenerate
+    guard as window hashing): no Exchange, no Filter, no regexp in the
+    Generate node."""
+    import re as _re
+
+    from tests.test_plans import plan_of
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    p = plan_of(TA._bigram_stream(docs, "doc_id", "text"))
+    assert "Exchange" not in p and "Filter" not in p
+    m = _re.search(r"\(\d+\) Generate\n(.*?)(\n\n|$)", p, _re.S)
+    assert m and "regexp_replace" not in m.group(1)
