@@ -1072,3 +1072,16 @@ def test_bigram_stream_plan_is_shuffle_free(spark):
     assert "Exchange" not in p and "Filter" not in p
     m = _re.search(r"\(\d+\) Generate\n(.*?)(\n\n|$)", p, _re.S)
     assert m and "regexp_replace" not in m.group(1)
+
+
+def test_simhash_plan_single_exchange_no_bit_explode(spark, docs):
+    """simhash pays ONE exchange (the per-doc groupBy, map-side combined
+    to ~1 row/doc since a doc's tokens are colocated) and ONE Generate
+    (the token explode). The 64x bit-id explode + per-(doc,bit) shuffle
+    of the first implementation (2 Generates, 2 Exchanges, ~500M rows at
+    60k docs, measured 3.8x slower) must not come back."""
+    from tests.test_plans import plan_of
+
+    p = plan_of(D.simhash(docs))
+    assert p.count("+- Exchange") == 1
+    assert p.count("+- Generate") == 1
