@@ -305,3 +305,76 @@ def test_jpeg_flows_through_feature_pipeline(spark):
     r = out[0]
     assert r["doc_id"] == "jp1"
     assert abs(r["feat_mean"] - float(px.reshape(-1).mean())) < 4.0
+
+
+# ---------------------------------------------------------------------------
+# audio spectral features (numpy rfft pipeline over WAV binary columns)
+# ---------------------------------------------------------------------------
+
+
+def test_audio_spectral_features_sine(spark):
+    """A pure 1 kHz tone at 16 kHz: dominant bin lands on 1000 Hz (bin
+    width 31.25 Hz at n_fft=512), zcr ~ 2f/sr, centroid near the tone,
+    band_energy concentrates in the band holding 1 kHz."""
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+        encode_wav,
+    )
+
+    sr, f = 16000, 1000.0
+    t = np.arange(sr) / sr  # 1 second
+    tone = (0.5 * np.sin(2 * np.pi * f * t) * 32767).astype(np.int16)
+    quiet = np.zeros(sr, dtype=np.int16)
+    rows = [
+        ("tone", "audio", bytearray(encode_wav(tone, sr)), (0, 0, sr, 1, "wav")),
+        ("silence", "audio", bytearray(encode_wav(quiet, sr)), (0, 0, sr, 1, "wav")),
+        ("img", "image", bytearray(b"\x00" * 8), (2, 2, 0, 1, "raw")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["doc_id"]: r for r in audio_spectral_features(media).collect()}
+    assert set(out) == {"tone", "silence"}  # image row filtered out
+
+    r = out["tone"]
+    assert r["sample_rate"] == sr and r["n_samples"] == sr
+    assert abs(r["duration_sec"] - 1.0) < 1e-9
+    assert abs(r["rms"] - 0.5 / 2**0.5) < 0.01  # sine rms = A/sqrt(2)
+    assert abs(r["zcr"] - 2 * f / sr) < 0.01
+    assert abs(r["dominant_hz"] - f) < 16000 / 512 + 1e-9  # within one bin
+    assert abs(r["spectral_centroid"] - f) < 150  # window leakage spreads it
+    # 8 bands over 0..8 kHz -> 1 kHz sits in band 1 ([1, 2) kHz);
+    # Hann leakage puts some mass in band 0
+    be = r["band_energy"]
+    assert len(be) == 8 and abs(sum(be) - 1.0) < 1e-6
+    assert be[0] + be[1] > 0.95 and max(be) in (be[0], be[1])
+
+    s = out["silence"]
+    assert s["rms"] == 0.0 and s["zcr"] == 0.0
+    assert s["spectral_centroid"] == 0.0 and s["dominant_hz"] >= 0.0
+
+
+def test_audio_spectral_features_short_and_fake(spark):
+    """Signals shorter than n_fft zero-pad to one frame; fake blobs run
+    through the same path at the fake 16 kHz rate."""
+    import numpy as np
+
+    from distributed_search_engine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_spectral_features,
+        encode_wav,
+        pack_fake_media,
+    )
+
+    short = (np.ones(100) * 1000).astype(np.int16)
+    rows = [
+        ("short", "audio", bytearray(encode_wav(short, 8000)), (0, 0, 8000, 1, "wav")),
+        ("fake", "audio", bytearray(pack_fake_media("audio", seed=3)), (0, 0, 16000, 1, "fake")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["doc_id"]: r for r in audio_spectral_features(media).collect()}
+    assert out["short"]["n_samples"] == 100
+    assert out["short"]["rms"] > 0
+    assert out["fake"]["sample_rate"] == 16000
+    assert len(out["fake"]["band_energy"]) == 8
