@@ -323,6 +323,21 @@ def main() -> None:
             substring_dup_stats(ded, w=8).where("dup_fraction > 0").count()
         )
         timings["dedup_substring_60k"] = time.time() - t0
+
+        # bigram-LM quality scoring (CCNet shape): self-trained model +
+        # per-doc perplexity — tracks the two model groupBys and the
+        # bigram/unigram scoring joins
+        from distributed_search_engine_spark.operators.text_analysis import (
+            bigram_lm_stats,
+        )
+
+        t0 = time.time()
+        n_lm_bigrams = int(
+            bigram_lm_stats(ded)
+            .agg(F.sum("n_bigrams"))
+            .collect()[0][0]
+        )
+        timings["lm_bigram_60k"] = time.time() - t0
         dsh.unpersist()
         dcand.unpersist()
         big.unpersist()
@@ -381,6 +396,7 @@ def main() -> None:
             "dedup_jaccard_pairs_60k": n_dup,
             "dedup_simhash_pairs_60k": n_simp,
             "dedup_substring_docs_60k": n_subdup_docs,
+            "lm_bigrams_60k": n_lm_bigrams,
         }
     else:
         extra_big = {}

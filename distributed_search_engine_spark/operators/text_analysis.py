@@ -860,7 +860,9 @@ def bigram_lm_stats(
         F.explode(T.tokens_col(F.col(content_col))).alias("tok")
     )
     ucnt = ttok.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
-    voc = ttok.agg(F.countDistinct("tok").alias("V"))
+    # V = |vocab| = row count of the unigram table — no second
+    # distinct-expand pass over the token stream
+    voc = ucnt.agg(F.count(F.lit(1)).alias("V"))
 
     sc = (
         _bigram_stream(docs, doc_id_col, content_col)
