@@ -740,6 +740,75 @@ def _q_corpus_clean_v2(spark, sf_dir):
     )
 
 
+def _q_gopher_rules(spark, sf_dir):
+    # Gopher A1.1 rule battery as auditable per-rule 0/1 flags; the
+    # stop-word rule uses the corpus' own function words ('a', 'the') so
+    # the flag discriminates on synthetic text the way Gopher's 8-word
+    # list does on web text
+    return TA.gopher_rules(
+        _capped_docs(spark, sf_dir), stop_words=("a", "the"), min_stop=2
+    )
+
+
+def _q_dsir_importance(spark, sf_dir):
+    # DSIR data selection: weight every doc by how src0-like its unigram
+    # distribution is vs the whole-corpus background (exact unigram form
+    # of Xie et al. 2023's hashed-ngram importance weights)
+    docs = _capped_docs(spark, sf_dir)
+    return TA.dsir_importance(docs, docs.where(F.col("source") == "src0"))
+
+
+def _q_bpe_pairs(spark, sf_dir):
+    # one BPE merge iteration over the corpus: frequency-weighted
+    # adjacent-char pair counts, top-20 (the tokenizer-training kernel;
+    # corpus-scale work is one groupBy(word) — pairs expand vocab-side)
+    return TA.bpe_pair_counts(_capped_docs(spark, sf_dir), k=20)
+
+
+def _q_tfidf_keywords(spark, sf_dir):
+    # per-doc top-5 salient terms by raw tf*ln(N/df) — keyword
+    # extraction / topic faceting; scores rounded before ranking so the
+    # cross-engine ordering is exact
+    return TA.tfidf_keywords(_capped_docs(spark, sf_dir), k=5)
+
+
+def _q_ngram_novelty(spark, sf_dir):
+    # fraction of each doc's distinct trigrams first seen (min numeric
+    # doc id) in that doc — the memorization/recombination lens
+    return TA.ngram_novelty(_capped_docs(spark, sf_dir), n=3)
+
+
+def _q_corpus_clean_v3(spark, sf_dir):
+    # round-4 composed cleaning recipe, still ONE plan: the v2 chain
+    # (dedup keeper ∘ decontamination ceiling ∘ repetition ceiling ∘
+    # stratified sample) with the CCNet-shaped bigram-LM perplexity
+    # ceiling composed in (ppl <= 31.5 trims the worst ~7% at sf0.01).
+    # The LM is trained on the same capped corpus it scores — two
+    # groupBys + two joins that Catalyst folds into the same DAG.
+    docs = _capped_docs(spark, sf_dir)
+    keep = D.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    bench = docs.where(F.col("doc_id").cast("int") < 25)
+    deco = D.decontaminate(docs, bench, n=3).select("doc_id", "hit_ratio")
+    rep = TA.repetition_stats(docs).select("doc_id", "top_token_ratio")
+    lm = TA.bigram_lm_stats(docs).select("doc_id", "ppl")
+    sampled = TA.stratified_sample(
+        docs, {"src0": 1.0, "src1": 1.0, "src2": 0.5}, group_col="source",
+        default_fraction=0.75,
+    ).select(F.col("doc_id").cast("string").alias("doc_id"), "source")
+    return (
+        sampled.join(keep, "doc_id", "left_semi")
+        .join(deco, "doc_id")
+        .join(rep, "doc_id")
+        .join(lm, "doc_id")
+        .where(
+            (F.col("hit_ratio") <= 0.5)
+            & (F.col("top_token_ratio") <= 0.12)
+            & (F.col("ppl") <= 31.5)
+        )
+        .select("doc_id", "source", "hit_ratio", "top_token_ratio", "ppl")
+    )
+
+
 # ---------------------------------------------------------------------------
 # connected components (operators/graph.py): near-dup pairs -> transitive
 # clusters -> canonical keeper — the dedup stage the pairwise operators
@@ -1387,6 +1456,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_fingerprint,
         "pipeline_corpus_clean": _q_corpus_clean,
         "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
+        "pipeline_corpus_clean_v3": _q_corpus_clean_v3,
+        "text_gopher_rules": _q_gopher_rules,
+        "pipeline_dsir_importance": _q_dsir_importance,
+        "text_bpe_pairs": _q_bpe_pairs,
+        "text_tfidf_keywords": _q_tfidf_keywords,
+        "text_ngram_novelty": _q_ngram_novelty,
         "graph_components_prop4": _q_cc_prop4,
         "graph_components_chain": _q_cc_chain,
         "dedup_cc_keepers": _q_cc_keepers,
@@ -1531,6 +1606,14 @@ def oracle_sql() -> dict[str, str]:
         "text_lang_id": oracle.lang_id_sql(TA.LANG_WORDLISTS),
         "dedup_decontaminate": oracle.decontaminate_sql(25, 3),
         "pipeline_corpus_clean_v2": oracle.corpus_clean_v2_sql(),
+        "pipeline_corpus_clean_v3": oracle.corpus_clean_v3_sql(),
+        "text_gopher_rules": oracle.gopher_rules_sql(
+            stop_words=("a", "the"), min_stop=2
+        ),
+        "pipeline_dsir_importance": oracle.dsir_importance_sql("src0"),
+        "text_bpe_pairs": oracle.bpe_pair_counts_sql(20),
+        "text_tfidf_keywords": oracle.tfidf_keywords_sql(5),
+        "text_ngram_novelty": oracle.ngram_novelty_sql(3),
         "graph_components_prop4": oracle.cc_propagate_sql(4),
         "graph_components_chain": oracle.cc_chain_sql(50),
         "dedup_cc_keepers": oracle.cc_keepers_sql(4),

@@ -894,3 +894,309 @@ def bigram_lm_stats(
             "ppl"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rule-set (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", appendix A1.1) —
+# the standard pre-training document filter battery, as explicit per-rule
+# flags so downstream mixes can audit WHY a document was dropped rather
+# than only that it was.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    docs: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    stop_words: tuple[str, ...] = GOPHER_STOP,
+    min_stop: int = 2,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, frac_alpha_words, symbol_ratio,
+    n_stop_distinct, pass_* int flags, pass_gopher): Gopher's document-
+    level quality rules, each as its own 0/1 column plus the conjunction.
+
+    Every metric is a map-side projection over the token array — no
+    shuffle, no UDF: word count and mean length via size/aggregate,
+    alphabetic fraction via a filtered size, the symbol ratio from
+    replace-length arithmetic on the raw text ('#' occurrences plus
+    '...' runs, the two symbols Gopher counts), and the stop-word rule
+    counts DISTINCT required words present (array_intersect against a
+    literal array). At 100 TB this is embarrassingly parallel; the flags
+    are cheap ints so the pass/fail audit table costs ~40 bytes/doc.
+    """
+    c = F.col(content_col)
+    stop_arr = F.array(*[F.lit(w) for w in sorted(stop_words)])
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))
+    ) / 3
+    base = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        T.tokens_col(c).alias("toks"),
+        (n_hash + n_ellipsis).alias("n_symbols"),
+    )
+    agg = base.select(
+        "doc_id",
+        F.size("toks").alias("n_words"),
+        F.aggregate("toks", F.lit(0), lambda a, t: a + F.length(t)).alias(
+            "_tok_chars"
+        ),
+        F.size(
+            F.filter("toks", lambda t: t.rlike("[a-z]"))
+        ).alias("_n_alpha"),
+        F.size(F.array_intersect(F.array_distinct("toks"), stop_arr)).alias(
+            "n_stop_distinct"
+        ),
+        "n_symbols",
+    )
+    nw = F.col("n_words")
+    mean_len = F.when(nw > 0, F.col("_tok_chars") / nw).otherwise(F.lit(0.0))
+    frac_alpha = F.when(nw > 0, F.col("_n_alpha") / nw).otherwise(F.lit(0.0))
+    sym_ratio = F.when(nw > 0, F.col("n_symbols") / nw).otherwise(F.lit(0.0))
+    p_wc = ((nw >= min_words) & (nw <= max_words)).cast("int")
+    p_ml = ((mean_len >= min_mean_len) & (mean_len <= max_mean_len)).cast("int")
+    p_sym = (sym_ratio <= max_symbol_ratio).cast("int")
+    p_al = (frac_alpha >= min_alpha_frac).cast("int")
+    p_st = (F.col("n_stop_distinct") >= min_stop).cast("int")
+    return agg.select(
+        "doc_id",
+        nw.cast("int").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(frac_alpha, 6).alias("frac_alpha_words"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.col("n_stop_distinct").cast("int").alias("n_stop_distinct"),
+        p_wc.alias("pass_word_count"),
+        p_ml.alias("pass_mean_len"),
+        p_sym.alias("pass_symbol"),
+        p_al.alias("pass_alpha"),
+        p_st.alias("pass_stop"),
+        (p_wc * p_ml * p_sym * p_al * p_st).alias("pass_gopher"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-shaped importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score every document by
+# how much more likely its tokens are under a TARGET domain's unigram LM
+# than under the whole-corpus background LM — the data-selection
+# primitive behind "make my 100 TB crawl look like Wikipedia". DSIR uses
+# hashed n-gram features; this is the exact unigram form (the hashing is
+# a capacity knob, not a semantics change), add-alpha smoothed like the
+# bigram LM above.
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_docs: DataFrame,
+    alpha: float = 0.1,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, avg_llr): mean per-token log-likelihood ratio
+    ln p_target(w) - ln p_background(w), smoothed over the BACKGROUND
+    vocabulary (target probabilities are defined on the same support so
+    unseen-in-target tokens get mass alpha/(N_t + alpha*V), never -inf).
+
+    Scale shape: two partial-agg unigram groupBys (background + target),
+    one equi-join of the token stream against each count table (AQE
+    broadcasts them when small), scalars (V, N_b, N_t) ride 1-row
+    broadcast cross joins. Resampling on the weights is then
+    stratified/temperature sampling on avg_llr — already separate gated
+    operators. Docs with no tokens report (0, 0.0)."""
+    t = _tok_df(docs, doc_id_col, content_col)
+    tt = _tok_df(target_docs, doc_id_col, content_col)
+    cb = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c_b"))
+    ct = tt.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    scal = (
+        cb.agg(
+            F.count(F.lit(1)).alias("V"), F.sum("c_b").alias("N_b")
+        )
+        .crossJoin(ct.agg(F.sum("c_t").alias("N_t")))
+    )
+    a = float(alpha)
+    scored = (
+        t.join(cb, "tok")
+        .join(ct, "tok", "left")
+        .crossJoin(F.broadcast(scal))
+    )
+    llr = F.log(
+        (F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(a))
+        / (F.coalesce(F.col("N_t"), F.lit(0)) + F.lit(a) * F.col("V"))
+    ) - F.log(
+        (F.col("c_b") + F.lit(a)) / (F.col("N_b") + F.lit(a) * F.col("V"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.sum(llr).alias("_sllr"),
+    )
+    ids = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    out = ids.join(agg, "doc_id", "left")
+    nt = F.coalesce(F.col("n_tokens"), F.lit(0))
+    return out.select(
+        "doc_id",
+        nt.cast("int").alias("n_tokens"),
+        F.round(
+            F.when(nt > 0, F.col("_sllr") / nt).otherwise(F.lit(0.0)), 6
+        ).alias("avg_llr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-iteration pair counts (Sennrich et al. 2016, "Neural Machine
+# Translation of Rare Words with Subword Units" §3.2): the inner loop of
+# tokenizer training — count every adjacent symbol pair across the
+# corpus, weighted by word frequency; the argmax pair is the next merge.
+# One iteration is exactly SQL-shaped (the full training loop re-runs it
+# ~32k times over a shrinking distinct-word table that fits in one
+# executor after iteration 1 — the distributed win is THIS first pass
+# over the raw corpus).
+# ---------------------------------------------------------------------------
+
+
+def bpe_pair_counts(
+    docs: DataFrame,
+    k: int = 20,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(pair, pair_count, rank): top-k adjacent character pairs over the
+    corpus, each word's internal pairs counted with multiplicity and
+    weighted by the word's corpus frequency (the BPE objective). The
+    corpus-size pass is ONE groupBy(word); pair expansion then runs over
+    the tiny distinct-word table (vocab-sized, not corpus-sized), so the
+    explode touches |vocab| * avg_len rows regardless of corpus scale.
+    Ties break pair-ascending for determinism."""
+    t = _tok_df(docs, doc_id_col, content_col).where(F.col("tok") != "")
+    wcnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("wc"))
+    chars = F.split(F.col("tok"), "")
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.length("tok") - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(chars, i), F.element_at(chars, i + 1)
+        ),
+    )
+    pairs = (
+        wcnt.where(F.length("tok") >= 2)
+        .select(F.explode(pair_arr).alias("pair"), "wc")
+    )
+    counted = pairs.groupBy("pair").agg(
+        F.sum("wc").cast("long").alias("pair_count")
+    )
+    top = counted.orderBy(F.desc("pair_count"), F.asc("pair")).limit(k)
+    rank_w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction — the classic per-document salient-term view
+# (raw tf·idf over the worthy token stream; the INDEX pipeline's
+# capped/normalized variant lives in operators/postings.py — this is the
+# corpus-analysis form, e.g. topic labeling / faceting at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, term, tf, df, tfidf, rank): top-k terms per document by
+    tf·ln(N/df). Two partial-agg groupBys (per-doc tf, per-term df) +
+    one equi-join (AQE broadcasts the df table when small) + one per-doc
+    window top-k — the same shuffle budget as the posting pipeline's
+    first stage. Scores are rounded to 6dp BEFORE ranking so the
+    ordering is identical cross-engine; ties break term-ascending."""
+    t = _tok_df(docs, doc_id_col, content_col).where(
+        T.is_worth_col(F.col("tok"))
+    )
+    tf = t.groupBy("doc_id", F.col("tok").alias("term")).agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("int").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("N"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("N") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty — per-document fraction of distinct n-grams appearing
+# for the FIRST time in corpus order (min numeric doc id). The
+# memorization/repetition lens over a growing corpus: bulk-dedup's
+# complement (a doc can be no exact/near dup yet still be mostly
+# recombined old phrases).
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, novelty): novelty = |{s in shingles(doc):
+    first_seen(s) = doc}| / |shingles(doc)|, where first_seen is the
+    minimum NUMERIC doc id containing the n-gram (corpus = ingestion
+    order; ids must be castable to long, the testdata/ingest shape).
+
+    Scale shape: the zero-shuffle shingle projection + one groupBy
+    (shingle) for first-seen + one equi-join back + one per-doc partial
+    agg — the same shuffle budget as LSH candidate generation, and the
+    first-seen table is reusable across both."""
+    from .dedup import shingles as _shingles
+
+    sh = _shingles(docs, n=n, doc_id_col=doc_id_col, content_col=content_col)
+    first = sh.groupBy("shingle").agg(
+        F.min(F.col("doc_id").cast("long")).alias("first_seen")
+    )
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(
+                (F.col("first_seen") == F.col("doc_id").cast("long")).cast(
+                    "int"
+                )
+            ).alias("_novel"),
+        )
+    )
+    ids = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    out = ids.join(per_doc, "doc_id", "left")
+    ns = F.coalesce(F.col("n_shingles"), F.lit(0))
+    return out.select(
+        "doc_id",
+        ns.alias("n_shingles"),
+        F.round(
+            F.when(ns > 0, F.col("_novel") / ns).otherwise(F.lit(0.0)), 6
+        ).alias("novelty"),
+    )

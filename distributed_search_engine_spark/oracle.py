@@ -1812,32 +1812,283 @@ FROM ntok n LEFT JOIN agg a USING (doc_id)
 # self-trained form: train corpus == scored corpus)
 # ---------------------------------------------------------------------------
 
-def bigram_lm_sql(alpha: float = 0.1) -> str:
+def _bigram_lm_ctes(alpha: float = 0.1) -> str:
+    """CTE suffix (appended to any chain containing tokarr) ending in
+    lmstats(doc_id, n_bigrams, avg_logprob, ppl) — composable into the
+    cleaning-pipeline oracles. lm-prefixed names avoid collisions."""
     a = repr(float(alpha))
-    return base_ctes() + f""",
-wtok AS MATERIALIZED (
+    return f""",
+lmtok AS MATERIALIZED (
   SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM tokarr),
-bg AS MATERIALIZED (
+lmbg AS MATERIALIZED (
   SELECT doc_id, unnest(bs) AS bigram
   FROM (SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
-          i -> toks[i] || ' ' || toks[i + 1]) AS bs FROM wtok)),
-bcnt AS MATERIALIZED (SELECT bigram, count(*) AS c12 FROM bg GROUP BY 1),
-ucnt AS MATERIALIZED (
+          i -> toks[i] || ' ' || toks[i + 1]) AS bs FROM lmtok)),
+lmbcnt AS MATERIALIZED (SELECT bigram, count(*) AS c12 FROM lmbg GROUP BY 1),
+lmucnt AS MATERIALIZED (
   SELECT tok, count(*) AS c1
-  FROM (SELECT unnest(toks) AS tok FROM wtok) GROUP BY 1),
-voc AS (SELECT count(DISTINCT tok) AS v
-        FROM (SELECT unnest(toks) AS tok FROM wtok)),
-sc AS (
+  FROM (SELECT unnest(toks) AS tok FROM lmtok) GROUP BY 1),
+lmvoc AS (SELECT count(*) AS v FROM lmucnt),
+lmsc AS (
   SELECT g.doc_id,
-         ln((coalesce(c.c12, 0) + {a}) / (coalesce(u.c1, 0) + {a} * voc.v)) AS lp
-  FROM bg g
-  LEFT JOIN bcnt c USING (bigram)
-  LEFT JOIN ucnt u ON split_part(g.bigram, ' ', 1) = u.tok
-  CROSS JOIN voc),
-agg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp FROM sc GROUP BY 1)
-SELECT w.doc_id,
-       coalesce(a2.nb, 0)::int AS n_bigrams,
-       round(CASE WHEN a2.nb > 0 THEN a2.slp / a2.nb ELSE 0.0 END, 6) AS avg_logprob,
-       round(CASE WHEN a2.nb > 0 THEN exp(-(a2.slp / a2.nb)) ELSE 1.0 END, 6) AS ppl
-FROM wtok w LEFT JOIN agg a2 USING (doc_id)
+         ln((coalesce(c.c12, 0) + {a}) / (coalesce(u.c1, 0) + {a} * lmvoc.v)) AS lp
+  FROM lmbg g
+  LEFT JOIN lmbcnt c USING (bigram)
+  LEFT JOIN lmucnt u ON split_part(g.bigram, ' ', 1) = u.tok
+  CROSS JOIN lmvoc),
+lmagg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp FROM lmsc GROUP BY 1),
+lmstats AS (
+  SELECT w.doc_id,
+         coalesce(a2.nb, 0)::int AS n_bigrams,
+         round(CASE WHEN a2.nb > 0 THEN a2.slp / a2.nb ELSE 0.0 END, 6) AS avg_logprob,
+         round(CASE WHEN a2.nb > 0 THEN exp(-(a2.slp / a2.nb)) ELSE 1.0 END, 6) AS ppl
+  FROM lmtok w LEFT JOIN lmagg a2 USING (doc_id))"""
+
+
+def bigram_lm_sql(alpha: float = 0.1) -> str:
+    return base_ctes() + _bigram_lm_ctes(alpha) + """
+SELECT doc_id, n_bigrams, avg_logprob, ppl FROM lmstats
+"""
+
+
+def corpus_clean_v3_sql(
+    bench_max_doc_id: int = 25,
+    max_hit_ratio: float = 0.5,
+    max_top_token_ratio: float = 0.12,
+    max_ppl: float = 31.5,
+    alpha: float = 0.1,
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.75,
+    seed: str = "mix1",
+) -> str:
+    """Round-4 composite: the v2 recipe (dedup keeper ∘ decontamination
+    ceiling ∘ repetition ceiling ∘ stratified sample) with the bigram-LM
+    perplexity ceiling composed in — every stage still the same SQL as
+    its stand-alone gated oracle, one statement."""
+    if fractions is None:
+        fractions = {"src0": 1.0, "src1": 1.0, "src2": 0.5}
+    case = "CASE"
+    for g, f in sorted(fractions.items()):
+        case += f" WHEN src.source = '{g}' THEN {float(f)!r}"
+    case += f" ELSE {float(default_fraction)!r} END"
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || d.doc_id), 1, 8))::bigint"
+        f" / {float(16 ** 8)!r})"
+    )
+    return _shingle_ctes(3) + _bigram_lm_ctes(alpha) + f""",
+keep AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY sha256(text)),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id::int < {bench_max_doc_id}),
+totals AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_hit FROM sh s JOIN bsh USING (shingle)
+  GROUP BY 1
+),
+deco AS (
+  SELECT t.doc_id,
+         round(CASE WHEN t.n_sh > 0 THEN coalesce(h.n_hit, 0) / t.n_sh
+                    ELSE 0.0 END, 6) AS hit_ratio
+  FROM totals t LEFT JOIN hits h USING (doc_id)
+),
+tk AS (SELECT doc_id, tok FROM tokstream WHERE tok <> ''),
+rep AS (
+  SELECT doc_id,
+         round(max(c) * 1.0 / sum(c), 6) AS top_token_ratio
+  FROM (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2)
+  GROUP BY doc_id
+),
+src AS (
+  SELECT doc_id::varchar AS doc_id, source FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+)
+SELECT d.doc_id, src.source, deco.hit_ratio, rep.top_token_ratio, lm.ppl
+FROM docs d
+JOIN src ON src.doc_id = d.doc_id
+JOIN keep k ON k.doc_id = d.doc_id
+JOIN deco ON deco.doc_id = d.doc_id
+JOIN rep ON rep.doc_id = d.doc_id
+JOIN lmstats lm ON lm.doc_id = d.doc_id
+WHERE {u} < {case}
+  AND deco.hit_ratio <= {max_hit_ratio}
+  AND rep.top_token_ratio <= {max_top_token_ratio}
+  AND lm.ppl <= {max_ppl}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rule-set (twin of text_analysis.gopher_rules)
+# ---------------------------------------------------------------------------
+
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    stop_words: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+    min_stop: int = 2,
+) -> str:
+    """Twin of text_analysis.gopher_rules: identical thresholds inlined,
+    token aggregates from the shared tokstream, symbol counts via the
+    same replace-length arithmetic on raw text."""
+    stops = ", ".join(f"'{w}'" for w in sorted(stop_words))
+    return base_ctes() + f""",
+gt AS (SELECT doc_id, tok FROM tokstream WHERE tok <> ''),
+ga AS (
+  SELECT doc_id,
+         count(*) AS n_words,
+         sum(length(tok)) AS tok_chars,
+         count(*) FILTER (WHERE regexp_matches(tok, '[a-z]')) AS n_alpha,
+         count(DISTINCT tok) FILTER (WHERE tok IN ({stops})) AS n_stop
+  FROM gt GROUP BY 1
+),
+gsym AS (
+  SELECT doc_id,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) / 3 AS n_symbols
+  FROM docs
+),
+gm AS (
+  SELECT d.doc_id,
+         coalesce(a.n_words, 0) AS n_words,
+         CASE WHEN coalesce(a.n_words, 0) > 0
+              THEN a.tok_chars * 1.0 / a.n_words ELSE 0.0 END AS mean_len,
+         CASE WHEN coalesce(a.n_words, 0) > 0
+              THEN a.n_alpha * 1.0 / a.n_words ELSE 0.0 END AS frac_alpha,
+         CASE WHEN coalesce(a.n_words, 0) > 0
+              THEN s.n_symbols * 1.0 / a.n_words ELSE 0.0 END AS sym_ratio,
+         coalesce(a.n_stop, 0) AS n_stop
+  FROM docs d
+  LEFT JOIN ga a USING (doc_id)
+  JOIN gsym s ON s.doc_id = d.doc_id
+)
+SELECT doc_id,
+       n_words::int AS n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(frac_alpha, 6) AS frac_alpha_words,
+       round(sym_ratio, 6) AS symbol_ratio,
+       n_stop::int AS n_stop_distinct,
+       (n_words >= {min_words} AND n_words <= {max_words})::int AS pass_word_count,
+       (mean_len >= {min_mean_len!r} AND mean_len <= {max_mean_len!r})::int AS pass_mean_len,
+       (sym_ratio <= {max_symbol_ratio!r})::int AS pass_symbol,
+       (frac_alpha >= {min_alpha_frac!r})::int AS pass_alpha,
+       (n_stop >= {min_stop})::int AS pass_stop,
+       ((n_words >= {min_words} AND n_words <= {max_words})
+        AND (mean_len >= {min_mean_len!r} AND mean_len <= {max_mean_len!r})
+        AND (sym_ratio <= {max_symbol_ratio!r})
+        AND (frac_alpha >= {min_alpha_frac!r})
+        AND (n_stop >= {min_stop}))::int AS pass_gopher
+FROM gm
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (twin of text_analysis.dsir_importance with the
+# target = documents of one source value, the gated query's form)
+# ---------------------------------------------------------------------------
+
+def dsir_importance_sql(target_source: str = "src0", alpha: float = 0.1) -> str:
+    a = repr(float(alpha))
+    return base_ctes() + f""",
+dk AS (SELECT doc_id, tok FROM tokstream WHERE tok <> ''),
+dtgt AS (
+  SELECT k.doc_id, k.tok FROM dk k
+  JOIN documents dd ON dd.doc_id::varchar = k.doc_id
+  WHERE dd.source = '{target_source}'
+),
+dcb AS MATERIALIZED (SELECT tok, count(*) AS c_b FROM dk GROUP BY 1),
+dct AS MATERIALIZED (SELECT tok, count(*) AS c_t FROM dtgt GROUP BY 1),
+dscal AS (
+  SELECT (SELECT count(*) FROM dcb) AS V,
+         (SELECT sum(c_b) FROM dcb) AS n_b,
+         (SELECT coalesce(sum(c_t), 0) FROM dct) AS n_t
+),
+dsc AS (
+  SELECT k.doc_id,
+         ln((coalesce(t.c_t, 0) + {a}) / (s.n_t + {a} * s.V))
+         - ln((b.c_b + {a}) / (s.n_b + {a} * s.V)) AS llr
+  FROM dk k
+  JOIN dcb b USING (tok)
+  LEFT JOIN dct t USING (tok)
+  CROSS JOIN dscal s
+),
+dagg AS (SELECT doc_id, count(*) AS n, sum(llr) AS s FROM dsc GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a2.n, 0)::int AS n_tokens,
+       round(CASE WHEN a2.n > 0 THEN a2.s / a2.n ELSE 0.0 END, 6) AS avg_llr
+FROM docs d LEFT JOIN dagg a2 USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts (twin of text_analysis.bpe_pair_counts)
+# ---------------------------------------------------------------------------
+
+def bpe_pair_counts_sql(k: int = 20) -> str:
+    return base_ctes() + f""",
+bw AS (
+  SELECT tok, count(*) AS wc
+  FROM tokstream WHERE tok <> '' GROUP BY 1
+),
+bp AS (
+  SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+           i -> substr(tok, i, 1) || ' ' || substr(tok, i + 1, 1))) AS pair,
+         wc
+  FROM bw WHERE length(tok) >= 2
+),
+bc AS (SELECT pair, sum(wc)::bigint AS pair_count FROM bp GROUP BY 1),
+br AS (
+  SELECT pair, pair_count,
+         row_number() OVER (ORDER BY pair_count DESC, pair ASC) AS rank
+  FROM bc
+)
+SELECT pair, pair_count, rank::int AS rank FROM br WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keywords (twin of text_analysis.tfidf_keywords)
+# ---------------------------------------------------------------------------
+
+def tfidf_keywords_sql(k: int = 5) -> str:
+    """Same worthy-token tf table as base_ctes, df by term, idf=ln(N/df),
+    round BEFORE rank, ties term-ascending."""
+    return base_ctes() + f""",
+kdf AS (SELECT term, count(*)::int AS df FROM tf GROUP BY 1),
+kn AS (SELECT count(*) AS N FROM docs),
+ksc AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf * ln(kn.N * 1.0 / d.df), 6) AS tfidf
+  FROM tf t JOIN kdf d USING (term) CROSS JOIN kn
+),
+krk AS (
+  SELECT doc_id, term, tf, df, tfidf,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+  FROM ksc
+)
+SELECT doc_id, term, tf::int AS tf, df, tfidf, rank::int AS rank
+FROM krk WHERE rank <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (twin of text_analysis.ngram_novelty)
+# ---------------------------------------------------------------------------
+
+def ngram_novelty_sql(n: int = 3) -> str:
+    return _shingle_ctes(n) + """,
+nfs AS MATERIALIZED (
+  SELECT shingle, min(doc_id::bigint) AS first_seen FROM sh GROUP BY 1),
+npd AS (
+  SELECT s.doc_id,
+         count(*) AS n_sh,
+         count(*) FILTER (WHERE f.first_seen = s.doc_id::bigint) AS novel
+  FROM sh s JOIN nfs f USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_sh, 0)::int AS n_shingles,
+       round(CASE WHEN p.n_sh > 0 THEN p.novel * 1.0 / p.n_sh
+                  ELSE 0.0 END, 6) AS novelty
+FROM docs d LEFT JOIN npd p USING (doc_id)
 """

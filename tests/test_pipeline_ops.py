@@ -1085,3 +1085,176 @@ def test_simhash_plan_single_exchange_no_bit_explode(spark, docs):
     p = plan_of(D.simhash(docs))
     assert p.count("+- Exchange") == 1
     assert p.count("+- Generate") == 1
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery (Rae et al. 2021 A1.1 as per-rule flags)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat and the dog runs fast"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.gopher_rules(
+            docs, min_words=3, max_words=10, stop_words=("the", "and"),
+            min_stop=2,
+        ).collect()
+    }
+    d1 = out["1"]
+    assert d1["n_words"] == 7
+    assert abs(d1["mean_word_len"] - round(23 / 7, 6)) < 1e-9
+    assert d1["frac_alpha_words"] == 1.0 and d1["symbol_ratio"] == 0.0
+    assert d1["n_stop_distinct"] == 2
+    assert (
+        d1["pass_word_count"], d1["pass_mean_len"], d1["pass_symbol"],
+        d1["pass_alpha"], d1["pass_stop"], d1["pass_gopher"],
+    ) == (1, 1, 1, 1, 1, 1)
+    d2 = out["2"]  # 2 words < min 3; mean len 1 < 3; no stop words
+    assert d2["n_words"] == 2 and d2["pass_word_count"] == 0
+    assert d2["pass_mean_len"] == 0 and d2["pass_stop"] == 0
+    assert d2["pass_gopher"] == 0
+
+
+def test_gopher_symbols_and_alpha(spark):
+    # '#' and '...' count from RAW text (the tokenizer strips them);
+    # digit-only tokens lower the alphabetic fraction
+    docs = spark.createDataFrame(
+        [(1, "aa bb 22 # ...")], "doc_id long, text string"
+    )
+    r = TA.gopher_rules(docs, min_alpha_frac=0.8, max_symbol_ratio=0.1).collect()[0]
+    assert r["n_words"] == 3  # aa, bb, 22
+    assert abs(r["frac_alpha_words"] - round(2 / 3, 6)) < 1e-9
+    assert abs(r["symbol_ratio"] - round(2 / 3, 6)) < 1e-9  # 1 hash + 1 ellipsis
+    assert r["pass_symbol"] == 0 and r["pass_alpha"] == 0
+
+
+def test_gopher_rules_zero_shuffle_plan(spark):
+    # every Gopher metric is a map-side projection: the physical plan
+    # over a parquet scan must contain NO Exchange
+    import contextlib
+    import io
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        TA.gopher_rules(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, exact unigram form)
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_importance_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c")], "doc_id long, text string"
+    )
+    target = docs.where(F.col("doc_id") == 1)
+    out = {
+        r["doc_id"]: r
+        for r in TA.dsir_importance(docs, target, alpha=0.5).collect()
+    }
+    # background: a:1 b:2 c:1, V=3, N_b=4; target: a:1 b:1, N_t=2; alpha=.5
+    def llr(ct, cb):
+        return math.log((ct + 0.5) / (2 + 0.5 * 3)) - math.log(
+            (cb + 0.5) / (4 + 0.5 * 3)
+        )
+
+    avg1 = (llr(1, 1) + llr(1, 2)) / 2
+    avg2 = (llr(1, 2) + llr(0, 1)) / 2
+    assert out["1"]["n_tokens"] == 2
+    assert abs(out["1"]["avg_llr"] - round(avg1, 6)) < 1e-9
+    assert abs(out["2"]["avg_llr"] - round(avg2, 6)) < 1e-9
+    # target-like doc scores strictly higher
+    assert out["1"]["avg_llr"] > out["2"]["avg_llr"]
+
+
+def test_dsir_empty_doc_reports_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "x y"), (2, "")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.dsir_importance(docs, docs.where("doc_id = 1")).collect()
+    }
+    assert out["2"]["n_tokens"] == 0 and out["2"]["avg_llr"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counts (Sennrich et al. 2016 merge-iteration kernel)
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab ab ba"), (2, "abc")], "doc_id long, text string"
+    )
+    rows = [tuple(r) for r in TA.bpe_pair_counts(docs, k=5).collect()]
+    # words: ab x2, ba x1, abc x1 -> 'a b': 2+1=3, 'b a': 1, 'b c': 1
+    assert rows == [("a b", 3, 1), ("b a", 1, 2), ("b c", 1, 3)]
+
+
+def test_bpe_pair_multiplicity_within_word(spark):
+    docs = spark.createDataFrame([(1, "aaa")], "doc_id long, text string")
+    rows = [tuple(r) for r in TA.bpe_pair_counts(docs, k=5).collect()]
+    assert rows == [("a a", 2, 1)]  # 'aaa' contains the pair twice
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keywords + n-gram novelty
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_keywords_hand_computed(spark):
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id long, text string",
+    )
+    out = TA.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # N=3; df: apple 1, banana 2, cherry 2, date 1
+    d1 = sorted(by_doc["1"], key=lambda r: r["rank"])
+    assert d1[0]["term"] == "apple" and d1[0]["tf"] == 2
+    assert abs(d1[0]["tfidf"] - round(2 * math.log(3 / 1), 6)) < 1e-9
+    assert d1[1]["term"] == "banana"
+    assert abs(d1[1]["tfidf"] - round(1 * math.log(3 / 2), 6)) < 1e-9
+    # doc 3: cherry (df 2) vs date (df 1) -> date scores higher
+    d3 = sorted(by_doc["3"], key=lambda r: r["rank"])
+    assert d3[0]["term"] == "date" and d3[1]["term"] == "cherry"
+
+
+def test_tfidf_keywords_tie_breaks_term_asc(spark):
+    docs = spark.createDataFrame(
+        [(1, "zebra yak zebra yak")], "doc_id long, text string"
+    )
+    out = sorted(TA.tfidf_keywords(docs, k=2).collect(), key=lambda r: r["rank"])
+    # identical tf and df -> identical score; tie broken term-ascending
+    assert [r["term"] for r in out] == ["yak", "zebra"]
+
+
+def test_ngram_novelty_first_doc_all_novel(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),          # shingles: 'a b c', 'b c d'
+            (2, "a b c d"),          # exact repeat: nothing novel
+            (3, "a b c x y z"),      # 'a b c' old; 'b c x','c x y','x y z' new
+            (4, "q"),                # too short for any trigram
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in TA.ngram_novelty(docs, n=3).collect()}
+    assert out["1"]["n_shingles"] == 2 and out["1"]["novelty"] == 1.0
+    assert out["2"]["n_shingles"] == 2 and out["2"]["novelty"] == 0.0
+    assert out["3"]["n_shingles"] == 4 and out["3"]["novelty"] == 0.75
+    assert out["4"]["n_shingles"] == 0 and out["4"]["novelty"] == 0.0
