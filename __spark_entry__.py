@@ -506,6 +506,12 @@ def _q_substring_stats(spark, sf_dir):
     return D.substring_dup_stats(_capped_docs(spark, sf_dir), w=8)
 
 
+def _q_span_removal(spark, sf_dir):
+    # the excision step completing the duplicate-substring pipeline:
+    # cut every corpus-duplicated >=8-token span, re-join the remainder
+    return D.remove_dup_spans(_capped_docs(spark, sf_dir), w=8)
+
+
 def _q_bigram_lm(spark, sf_dir):
     # CCNet-shape LM quality scoring: add-alpha bigram model self-trained
     # on the capped corpus, per-doc avg logprob + perplexity
@@ -1496,6 +1502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_orc_roundtrip": _q_source_roundtrip("orc"),
         "dedup_substring_spans": _q_substring_spans,
         "dedup_substring_stats": _q_substring_stats,
+        "dedup_span_removal": _q_span_removal,
         "text_bigram_lm_ppl": _q_bigram_lm,
         "index_doc_stats": _q_doc_stats,
         "index_postings": _q_postings,
@@ -1579,6 +1586,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_pairs": oracle.simhash_pairs_sql(3),
         "dedup_substring_spans": oracle.substring_spans_sql(8),
         "dedup_substring_stats": oracle.substring_stats_sql(8),
+        "dedup_span_removal": oracle.remove_dup_spans_sql(8),
         "text_bigram_lm_ppl": oracle.bigram_lm_sql(TA.LM_ALPHA),
         "neardup_embedding_cosine": oracle.embedding_neardup_lsh_sql(
             _lsh_plane_weights(D.NEARDUP_BANDS * D.NEARDUP_PLANES),

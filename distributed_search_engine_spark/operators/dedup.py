@@ -740,3 +740,66 @@ def substring_dup_stats(
             F.when(F.col("n_tokens") > 0, dt / F.col("n_tokens")).otherwise(0.0), 6
         ).alias("dup_fraction"),
     )
+
+def remove_dup_spans(
+    docs: DataFrame,
+    w: int = DEFAULT_SUBSTRING_W,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_removed, clean_text): the excision step that
+    completes the duplicate-substring pipeline — every maximal duplicated
+    span (substring_spans) is cut from the token stream and the remainder
+    re-joined with single spaces. RefinedWeb-style removal: ALL
+    occurrences of a corpus-duplicated substring are excised (min_count
+    guarantees only >= min_count-occurrence material is touched);
+    Lee et al. 2022's keep-one-occurrence variant is a per-hash argmin
+    refinement documented as out of contract in RECALL.md.
+
+    Output is TOKEN-level text (lowercased, punctuation-stripped by the
+    shared tokenizer), the form downstream tokenizer/LM stages consume.
+
+    Scale shape: span detection is the existing one-exchange window-hash
+    pipeline; reconstruction adds ONE doc-keyed equi-join (uniform key)
+    of the per-doc span list against the token arrays, then a pure
+    map-side filter/rebuild. The kept-pair array is materialized as its
+    own projection before being sized and re-joined: HOF lambdas are
+    codegen-fallback with NO subexpression elimination, so referencing
+    the filter expression three times would run the O(tokens * spans)
+    scan three times per row."""
+    toks = _token_arrays(docs, doc_id_col, content_col)
+    spans = (
+        substring_spans(
+            duplicate_windows(docs, w, doc_id_col, content_col, min_count), w
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
+    )
+    j = toks.join(spans, "doc_id", "left")
+    sp = F.coalesce(
+        F.col("spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"),
+    )
+    pairs = F.transform(
+        F.col("toks"),
+        lambda t, i: F.struct(
+            t.alias("t"), (i + F.lit(1)).cast("int").alias("p")
+        ),
+    )
+    kept = F.filter(
+        pairs,
+        lambda s: ~F.exists(
+            sp,
+            lambda x: (s["p"] >= x["span_start"]) & (s["p"] <= x["span_end"]),
+        ),
+    )
+    j2 = j.select("doc_id", F.size("toks").alias("n_tokens"), kept.alias("kept"))
+    return j2.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("n_tokens") - F.size("kept")).cast("int").alias("n_removed"),
+        F.concat_ws(
+            " ", F.transform("kept", lambda s: s["t"])
+        ).alias("clean_text"),
+    )

@@ -1792,6 +1792,32 @@ SELECT doc_id, span_start, span_end, n_windows FROM spans
 """
 
 
+def remove_dup_spans_sql(w: int = 8) -> str:
+    """Twin of dedup.remove_dup_spans: excise every duplicated span from
+    the token stream, re-join with single spaces (token-level text)."""
+    return _substring_span_ctes(w) + """,
+rtok AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM wtok),
+rkept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM rtok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = t.doc_id
+      AND t.pos BETWEEN s.span_start AND s.span_end)
+),
+ragg AS (
+  SELECT doc_id, count(*) AS nk,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM rkept GROUP BY 1),
+rtot AS (SELECT doc_id, len(toks)::int AS n_tokens FROM wtok)
+SELECT r.doc_id, r.n_tokens,
+       (r.n_tokens - coalesce(a.nk, 0))::int AS n_removed,
+       coalesce(a.clean_text, '') AS clean_text
+FROM rtot r LEFT JOIN ragg a USING (doc_id)
+"""
+
+
 def substring_stats_sql(w: int = 8) -> str:
     return _substring_span_ctes(w) + """,
 agg AS (

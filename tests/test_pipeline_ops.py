@@ -1258,3 +1258,46 @@ def test_ngram_novelty_first_doc_all_novel(spark):
     assert out["2"]["n_shingles"] == 2 and out["2"]["novelty"] == 0.0
     assert out["3"]["n_shingles"] == 4 and out["3"]["novelty"] == 0.75
     assert out["4"]["n_shingles"] == 0 and out["4"]["novelty"] == 0.0
+
+
+def test_remove_dup_spans_hand_computed(spark, sub_docs):
+    out = {r["doc_id"]: r for r in D.remove_dup_spans(sub_docs, w=8).collect()}
+    # doc a: 13 tokens, dup span 3..12 cut -> "alpha beta" + "gamma"
+    assert out["a"]["n_tokens"] == 13 and out["a"]["n_removed"] == 10
+    assert out["a"]["clean_text"] == "alpha beta gamma"
+    # doc b: span 1..10 cut -> tail survives
+    assert out["b"]["clean_text"] == "delta epsilon zeta"
+    # unique / too-short docs pass through untouched
+    assert out["c"]["n_removed"] == 0
+    assert out["c"]["clean_text"].startswith("totally unrelated")
+    assert out["d"] ["clean_text"] == "tiny doc" and out["d"]["n_removed"] == 0
+
+
+def test_remove_dup_spans_full_doc_excised(spark):
+    # two identical 8-token docs: the whole stream is one dup span in both
+    t = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [("x", t), ("y", t)], "doc_id string, text string"
+    )
+    out = {r["doc_id"]: r for r in D.remove_dup_spans(docs, w=8).collect()}
+    for d in ("x", "y"):
+        assert out[d]["n_tokens"] == 8
+        assert out[d]["n_removed"] == 8
+        assert out[d]["clean_text"] == ""
+
+
+def test_remove_dup_spans_two_spans_one_doc(spark):
+    # both duplicated regions cut, interior filler kept
+    run1 = "one two three four"
+    run2 = "red blue green yellow"
+    filler = " ".join(f"f{i}" for i in range(12))
+    docs = spark.createDataFrame(
+        [
+            ("x", f"{run1} {filler} {run2}"),
+            ("y", f"{run1} {filler.replace('f', 'g')} {run2}"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in D.remove_dup_spans(docs, w=4).collect()}
+    assert out["x"]["clean_text"] == filler
+    assert out["x"]["n_removed"] == 8
