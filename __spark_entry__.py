@@ -20,6 +20,7 @@ from distributed_search_engine_spark.operators import clustering as C
 from distributed_search_engine_spark.operators import dedup as D
 from distributed_search_engine_spark.operators import graph as G
 from distributed_search_engine_spark.operators import similarity as S
+from distributed_search_engine_spark.operators import bpe as B
 from distributed_search_engine_spark.operators import text_analysis as TA
 from distributed_search_engine_spark.operators.docstats import filter_indexable
 from distributed_search_engine_spark.operators.pagerank import (
@@ -510,6 +511,20 @@ def _q_span_removal(spark, sf_dir):
     # the excision step completing the duplicate-substring pipeline:
     # cut every corpus-duplicated >=8-token span, re-join the remainder
     return D.remove_dup_spans(_capped_docs(spark, sf_dir), w=8)
+
+
+def _q_bpe_encode(spark, sf_dir):
+    # full BPE tokenizer: distributed word-count pass -> driver merge loop
+    # (vocab-sized) -> broadcast-merge pandas-UDF encode. The merge loop
+    # is iterative with data-dependent ranks — the declared
+    # non-SQL-expressible exemption, so this entry is rows-only; the
+    # algorithm contract is pinned in tests/test_bpe.py (incl. a
+    # cross-check that merge 1 == the gated text_bpe_pairs top-1).
+    docs = _capped_docs(spark, sf_dir)
+    merges = B.bpe_train(docs, n_merges=50)
+    return B.bpe_encode(docs, merges).select(
+        "doc_id", "n_words", "n_subwords"
+    )
 
 
 def _q_bigram_lm(spark, sf_dir):
@@ -1554,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_docs_per_source": _q_top_docs_per_source,
         "text_length_histogram": _q_length_histogram,
         "layout_zorder": _q_zorder,
+        "text_bpe_encode": _q_bpe_encode,
     }
 
 
