@@ -307,6 +307,12 @@ def main() -> None:
             .count()
         )
         timings["dedup_lsh_60k"] = time.time() - t0
+        # the 9M-row shingle/candidate caches are only inputs to the LSH
+        # stage; holding them through the simhash/substring/LM stages
+        # pressures storage memory and can evict `big`, silently charging
+        # corpus REGENERATION to those stages' timings
+        dsh.unpersist()
+        dcand.unpersist()
         t0 = time.time()
         n_simp = simhash_pairs(simhash(ded, content_col="text"), 3).count()
         timings["dedup_simhash_60k"] = time.time() - t0
@@ -338,8 +344,6 @@ def main() -> None:
             .collect()[0][0]
         )
         timings["lm_bigram_60k"] = time.time() - t0
-        dsh.unpersist()
-        dcand.unpersist()
         big.unpersist()
 
         # q8: connected components on a 300k-node chain graph (chains of

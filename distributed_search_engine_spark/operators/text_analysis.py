@@ -1200,3 +1200,101 @@ def ngram_novelty(
             F.when(ns > 0, F.col("_novel") / ns).otherwise(F.lit(0.0)), 6
         ).alias("novelty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005, "An
+# improved data stream summary: the count-min sketch and its
+# applications"): estimate hot-token frequencies in d*width counters
+# regardless of vocabulary size — the bounded-memory form of "what are
+# the boilerplate tokens" at 100 TB, where an exact token groupBy's
+# state is vocab-sized but a sketch is ~KBs and mergeable across
+# partitions/streams by plain addition.
+# ---------------------------------------------------------------------------
+
+
+def cms_build(
+    docs: DataFrame,
+    d: int = 4,
+    width: int = 1024,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(row, bucket, c): the d x width counter table. One partial-agg
+    groupBy over (token-stream x d) rows; counters merge across any
+    split of the input by summing, which is what makes the sketch the
+    streaming/mergeable swap for exact token counts."""
+    from ..functions.hashing import md5_bucket
+
+    t = _tok_df(docs, doc_id_col, content_col).where(F.col("tok") != "")
+    rows = t.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    md5_bucket(F.col("tok"), width, salt=f"cms{r}:").alias(
+                        "bucket"
+                    ),
+                )
+                for r in range(d)
+            ])
+        ).alias("rb")
+    )
+    return rows.groupBy(
+        F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    k: int = 20,
+    d: int = 4,
+    width: int = 1024,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(token, est_count, rank): top-k tokens by count-min ESTIMATE
+    (min over the d counters each token maps to). Estimates only
+    overestimate (est >= true, property-tested), by at most
+    ~2/width * stream_length with probability 1 - 2^-d.
+
+    The candidate set is the distinct-token table (vocab-sized — the
+    exact-count comparison this sketch replaces is the same groupBy over
+    the full stream; at true stream scale candidates come from a prior
+    round's dictionary or the sketch rides a streaming query, where its
+    fixed d*width state is the point). Ties break token-ascending."""
+    from ..functions.hashing import md5_bucket
+
+    cms = cms_build(docs, d, width, doc_id_col, content_col)
+    toks = (
+        _tok_df(docs, doc_id_col, content_col)
+        .where(F.col("tok") != "")
+        .select("tok")
+        .distinct()
+    )
+    probes = toks.select(
+        "tok",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    md5_bucket(F.col("tok"), width, salt=f"cms{r}:").alias(
+                        "bucket"
+                    ),
+                )
+                for r in range(d)
+            ])
+        ).alias("rb"),
+    ).select("tok", F.col("rb.row").alias("row"), F.col("rb.bucket").alias("bucket"))
+    est = (
+        probes.join(cms, ["row", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("est_count"))
+    )
+    top = est.orderBy(F.desc("est_count"), F.asc("tok")).limit(k)
+    w = Window.orderBy(F.desc("est_count"), F.asc("tok"))
+    return top.select(
+        F.col("tok").alias("token"),
+        "est_count",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
