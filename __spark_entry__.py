@@ -507,6 +507,14 @@ def _q_substring_stats(spark, sf_dir):
     return D.substring_dup_stats(_capped_docs(spark, sf_dir), w=8)
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    # bounded-memory hot-token detection: d x width count-min counter
+    # table (mergeable by addition), min-over-rows estimate, top-20.
+    # Deterministic md5 buckets -> the overestimates are bit-identical
+    # cross-engine, so the gate is equality, not tolerance
+    return TA.cms_heavy_hitters(_capped_docs(spark, sf_dir), k=20)
+
+
 def _q_span_removal(spark, sf_dir):
     # the excision step completing the duplicate-substring pipeline:
     # cut every corpus-duplicated >=8-token span, re-join the remainder
@@ -1483,6 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pairs": _q_bpe_pairs,
         "text_tfidf_keywords": _q_tfidf_keywords,
         "text_ngram_novelty": _q_ngram_novelty,
+        "text_heavy_hitters_cms": _q_cms_heavy_hitters,
         "graph_components_prop4": _q_cc_prop4,
         "graph_components_chain": _q_cc_chain,
         "dedup_cc_keepers": _q_cc_keepers,
@@ -1638,6 +1647,7 @@ def oracle_sql() -> dict[str, str]:
         "text_bpe_pairs": oracle.bpe_pair_counts_sql(20),
         "text_tfidf_keywords": oracle.tfidf_keywords_sql(5),
         "text_ngram_novelty": oracle.ngram_novelty_sql(3),
+        "text_heavy_hitters_cms": oracle.cms_heavy_hitters_sql(20),
         "graph_components_prop4": oracle.cc_propagate_sql(4),
         "graph_components_chain": oracle.cc_chain_sql(50),
         "dedup_cc_keepers": oracle.cc_keepers_sql(4),

@@ -2118,3 +2118,36 @@ SELECT d.doc_id,
                   ELSE 0.0 END, 6) AS novelty
 FROM docs d LEFT JOIN npd p USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (twin of text_analysis.cms_heavy_hitters)
+# ---------------------------------------------------------------------------
+
+def cms_heavy_hitters_sql(k: int = 20, d: int = 4, width: int = 1024) -> str:
+    """Identical md5-prefix bucket arithmetic (functions/hashing.py
+    contract), same d x width counter table, min-over-rows estimate,
+    ties token-ascending."""
+    rows = f"(SELECT unnest(generate_series(0, {d - 1})) AS row) r"
+    bucket = (
+        f"(('0x' || substr(md5('cms' || r.row || ':' || tok), 1, 8))::bigint"
+        f" % {width})"
+    )
+    return base_ctes() + f""",
+ctk AS (SELECT tok FROM tokstream WHERE tok <> ''),
+ccnt AS (
+  SELECT row, bucket, count(*)::bigint AS c
+  FROM (SELECT r.row, {bucket} AS bucket FROM ctk, {rows})
+  GROUP BY 1, 2),
+cdist AS (SELECT DISTINCT tok FROM ctk),
+cprobe AS (
+  SELECT tok, r.row, {bucket} AS bucket FROM cdist, {rows}),
+cest AS (
+  SELECT p.tok, min(c.c) AS est_count
+  FROM cprobe p JOIN ccnt c USING (row, bucket) GROUP BY 1),
+crk AS (
+  SELECT tok AS token, est_count,
+         row_number() OVER (ORDER BY est_count DESC, tok ASC) AS rank
+  FROM cest)
+SELECT token, est_count, rank::int AS rank FROM crk WHERE rank <= {k}
+"""

@@ -1301,3 +1301,51 @@ def test_remove_dup_spans_two_spans_one_doc(spark):
     out = {r["doc_id"]: r for r in D.remove_dup_spans(docs, w=4).collect()}
     assert out["x"]["clean_text"] == filler
     assert out["x"]["n_removed"] == 8
+
+
+def test_cms_exact_when_no_collisions(spark):
+    docs = spark.createDataFrame(
+        [("1", "a a a b b c"), ("2", "a b d")], "doc_id string, text string"
+    )
+    got = {
+        r["token"]: (r["est_count"], r["rank"])
+        for r in TA.cms_heavy_hitters(docs, k=10).collect()
+    }
+    # width=1024, 4 tokens: collisions virtually impossible -> exact
+    assert got == {"a": (4, 1), "b": (3, 2), "c": (1, 3), "d": (1, 4)}
+
+
+def test_cms_only_overestimates(spark):
+    rows = [(str(i), f"t{i % 7} t{i % 3} common") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    # brutal sketch (width=2, d=1) forces collisions
+    est = {
+        r["token"]: r["est_count"]
+        for r in TA.cms_heavy_hitters(docs, k=100, d=1, width=2).collect()
+    }
+    true = {
+        r["tok"]: r["c"]
+        for r in TA._tok_df(docs, "doc_id", "text")
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert set(est) == set(true)
+    for t, c in true.items():
+        assert est[t] >= c  # CMS never underestimates
+
+
+def test_cms_counters_merge_by_addition(spark):
+    docs = spark.createDataFrame(
+        [("1", "x x y"), ("2", "x z z")], "doc_id string, text string"
+    )
+    whole = {
+        (r["row"], r["bucket"]): r["c"] for r in TA.cms_build(docs).collect()
+    }
+    parts = {}
+    for i in ("1", "2"):
+        for r in TA.cms_build(docs.where(F.col("doc_id") == i)).collect():
+            k = (r["row"], r["bucket"])
+            parts[k] = parts.get(k, 0) + r["c"]
+    assert whole == parts
