@@ -507,6 +507,19 @@ def _q_substring_stats(spark, sf_dir):
     return D.substring_dup_stats(_capped_docs(spark, sf_dir), w=8)
 
 
+def _q_hybrid_rrf(spark, sf_dir):
+    # modern hybrid search: BM25 through the inverted index + embedding
+    # cosine through the broadcast-query ANN scan, fused by reciprocal
+    # ranks over the union of the two top-100 pools (Cormack et al.
+    # SIGIR'09). Fusion is pool-bounded — costs max(retriever costs)
+    from distributed_search_engine_spark.query.engine import hybrid_rrf_topk
+
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    return hybrid_rrf_topk(
+        spark, sidx, "spark join", _emb(spark, sf_dir), query_vec_id=0, k=10
+    )
+
+
 def _q_cms_heavy_hitters(spark, sf_dir):
     # bounded-memory hot-token detection: d x width count-min counter
     # table (mergeable by addition), min-over-rows estimate, top-20.
@@ -1492,6 +1505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_keywords": _q_tfidf_keywords,
         "text_ngram_novelty": _q_ngram_novelty,
         "text_heavy_hitters_cms": _q_cms_heavy_hitters,
+        "search_hybrid_rrf": _q_hybrid_rrf,
         "graph_components_prop4": _q_cc_prop4,
         "graph_components_chain": _q_cc_chain,
         "dedup_cc_keepers": _q_cc_keepers,
@@ -1648,6 +1662,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tfidf_keywords": oracle.tfidf_keywords_sql(5),
         "text_ngram_novelty": oracle.ngram_novelty_sql(3),
         "text_heavy_hitters_cms": oracle.cms_heavy_hitters_sql(20),
+        "search_hybrid_rrf": oracle.hybrid_rrf_sql(["spark", "join"], 0, 10),
         "graph_components_prop4": oracle.cc_propagate_sql(4),
         "graph_components_chain": oracle.cc_chain_sql(50),
         "dedup_cc_keepers": oracle.cc_keepers_sql(4),

@@ -2151,3 +2151,51 @@ crk AS (
   FROM cest)
 SELECT token, est_count, rank::int AS rank FROM crk WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid BM25 + vector retrieval via reciprocal-rank fusion (twin of
+# query/engine.hybrid_rrf_topk)
+# ---------------------------------------------------------------------------
+
+def hybrid_rrf_sql(
+    terms: list[str],
+    query_id: int = 0,
+    k: int = 10,
+    pool: int = 100,
+    rrf_k: int = 60,
+) -> str:
+    """Composes the two gated retriever oracles as subqueries (each
+    carries its own WITH scope) and fuses with the identical rounded-
+    rank arithmetic."""
+    lex = bm25_sql(terms)
+    ann = ann_bruteforce_sql(query_id, pool)
+    return f"""
+WITH hlex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS lex_rank
+  FROM ({lex})
+  QUALIFY lex_rank <= {pool}
+),
+hann AS (SELECT id::varchar AS doc_id, rank AS ann_rank FROM ({ann})),
+hfused AS (
+  SELECT coalesce(l.doc_id, a.doc_id) AS doc_id,
+         coalesce(l.lex_rank, 0)::int AS lex_rank,
+         coalesce(a.ann_rank, 0)::int AS ann_rank
+  FROM hlex l FULL JOIN hann a ON l.doc_id = a.doc_id
+),
+hscored AS (
+  SELECT doc_id, lex_rank, ann_rank,
+         round(CASE WHEN lex_rank > 0 THEN 1.0 / ({rrf_k} + lex_rank) ELSE 0.0 END
+             + CASE WHEN ann_rank > 0 THEN 1.0 / ({rrf_k} + ann_rank) ELSE 0.0 END,
+               6) AS rrf
+  FROM hfused
+),
+hranked AS (
+  SELECT doc_id, lex_rank, ann_rank, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+  FROM hscored
+)
+SELECT doc_id, lex_rank, ann_rank, rrf, rank::int AS rank
+FROM hranked WHERE rank <= {k}
+"""

@@ -674,3 +674,61 @@ def more_like_this_pruned(
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     rank_w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(rank_w).cast("int"))
+
+
+def hybrid_rrf_topk(
+    spark: SparkSession,
+    sidx: "SearchIndex",
+    query_text: str,
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    pool: int = 100,
+    rrf_k: int = 60,
+) -> DataFrame:
+    """(doc_id, lex_rank, ann_rank, rrf, rank): hybrid lexical+vector
+    retrieval via reciprocal-rank fusion (Cormack, Clarke & Buettcher
+    SIGIR'09): rrf = sum over lists of 1/(rrf_k + rank), over the UNION
+    of the BM25 top-``pool`` and the embedding-cosine top-``pool``
+    (absent-from-a-list contributes 0; absent rank reported as 0).
+
+    The modern search stack in one plan: both retrievers are the
+    existing gated operators (BM25 through the inverted index, cosine
+    through the broadcast-query ANN scan), the fusion is one
+    ``pool``-bounded full-outer join + ordered-limit top-k — nothing in
+    the fusion stage scales with corpus size, so the hybrid costs
+    max(retriever costs) at 100 TB. Ranks on BOTH engines are assigned
+    over 6dp-rounded scores (deterministic cross-engine order)."""
+    from ..operators.similarity import ann_bruteforce_topk
+
+    lex = search(spark, sidx, query_text, k=1_000_000, mode="bm25").select(
+        "doc_id", F.round("score", 6).alias("_s")
+    )
+    wl = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
+    lexr = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .where(F.col("lex_rank") <= pool)
+        .select("doc_id", "lex_rank")
+    )
+    annr = ann_bruteforce_topk(emb, query_id=query_vec_id, k=pool).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.col("rank").alias("ann_rank"),
+    )
+    fused = lexr.join(annr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(0)).cast("int").alias("lex_rank"),
+        F.coalesce("ann_rank", F.lit(0)).cast("int").alias("ann_rank"),
+    )
+    rrf = F.round(
+        F.when(
+            F.col("lex_rank") > 0, 1.0 / (F.lit(rrf_k) + F.col("lex_rank"))
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("ann_rank") > 0, 1.0 / (F.lit(rrf_k) + F.col("ann_rank"))
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = fused.withColumn("rrf", rrf)
+    top = scored.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
+    wr = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))
