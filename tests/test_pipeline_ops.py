@@ -1349,3 +1349,33 @@ def test_cms_counters_merge_by_addition(spark):
             k = (r["row"], r["bucket"])
             parts[k] = parts.get(k, 0) + r["c"]
     assert whole == parts
+
+
+def _plan_of(df):
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_cms_build_single_exchange(spark):
+    # the counter table is ONE partial-agg groupBy: exactly one Exchange,
+    # preceded by a partial HashAggregate (map-side combine), and the d x
+    # token fanout happens map-side (no join, no second shuffle)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan_of(TA.cms_build(docs))
+    # formatted explain prints each node once in the tree and once as a
+    # "(n) Exchange" detail header — count the detail headers
+    assert plan.count(") Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_span_removal_no_cartesian(spark):
+    # reconstruction adds only equi-exchanges (window count, span merge,
+    # doc-keyed join) — never a theta join or cartesian product
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _plan_of(D.remove_dup_spans(docs, w=8))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
