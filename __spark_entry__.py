@@ -507,6 +507,14 @@ def _q_substring_stats(spark, sf_dir):
     return D.substring_dup_stats(_capped_docs(spark, sf_dir), w=8)
 
 
+def _q_hll_distinct(spark, sf_dir):
+    # HyperLogLog distinct-token estimate: m=256 max-rank registers,
+    # one partial-agg exchange; with linear counting + count-min this
+    # completes the mergeable-sketch family. Deterministic md5 hash ->
+    # the ESTIMATE is bit-identical cross-engine (equality gate)
+    return TA.hll_distinct(_capped_docs(spark, sf_dir), b=8)
+
+
 def _q_hybrid_rrf(spark, sf_dir):
     # modern hybrid search: BM25 through the inverted index + embedding
     # cosine through the broadcast-query ANN scan, fused by reciprocal
@@ -1506,6 +1514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": _q_ngram_novelty,
         "text_heavy_hitters_cms": _q_cms_heavy_hitters,
         "search_hybrid_rrf": _q_hybrid_rrf,
+        "text_distinct_hll": _q_hll_distinct,
         "graph_components_prop4": _q_cc_prop4,
         "graph_components_chain": _q_cc_chain,
         "dedup_cc_keepers": _q_cc_keepers,
@@ -1663,6 +1672,7 @@ def oracle_sql() -> dict[str, str]:
         "text_ngram_novelty": oracle.ngram_novelty_sql(3),
         "text_heavy_hitters_cms": oracle.cms_heavy_hitters_sql(20),
         "search_hybrid_rrf": oracle.hybrid_rrf_sql(["spark", "join"], 0, 10),
+        "text_distinct_hll": oracle.hll_distinct_sql(8),
         "graph_components_prop4": oracle.cc_propagate_sql(4),
         "graph_components_chain": oracle.cc_chain_sql(50),
         "dedup_cc_keepers": oracle.cc_keepers_sql(4),

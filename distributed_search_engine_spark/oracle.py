@@ -2199,3 +2199,36 @@ hranked AS (
 SELECT doc_id, lex_rank, ann_rank, rrf, rank::int AS rank
 FROM hranked WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct estimate (twin of text_analysis.hll_distinct)
+# ---------------------------------------------------------------------------
+
+def hll_distinct_sql(b: int = 8) -> str:
+    m = 1 << b
+    rem = 32 - b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    mask = (1 << rem) - 1
+    return base_ctes() + f""",
+htok AS (SELECT tok FROM tokstream WHERE tok <> ''),
+hh AS (
+  SELECT ('0x' || substr(md5(tok), 1, 8))::bigint AS h FROM htok),
+hr AS (
+  SELECT h // {1 << rem} AS bucket,
+         CASE WHEN (h & {mask}) = 0 THEN {rem + 1}
+              ELSE {rem + 1} - length(bin(h & {mask})) END AS rho
+  FROM hh),
+hregs AS (SELECT bucket, max(rho) AS reg FROM hr GROUP BY 1),
+hagg AS (
+  SELECT count(*) AS nb, sum(power(2.0, -reg)) AS s FROM hregs)
+SELECT {m}::int AS m,
+       ({m} - nb)::int AS n_zero_registers,
+       round(CASE WHEN {alpha!r}::double * {m * m} / (s + ({m} - nb))
+                       <= {2.5 * m!r}::double
+                  AND ({m} - nb) > 0
+                  THEN {float(m)!r}::double * ln({float(m)!r}::double / ({m} - nb))
+                  ELSE {alpha!r}::double * {m * m} / (s + ({m} - nb)) END,
+             4) AS est_distinct
+FROM hagg
+"""

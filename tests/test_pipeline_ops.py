@@ -1379,3 +1379,37 @@ def test_span_removal_no_cartesian(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _plan_of(D.remove_dup_spans(docs, w=8))
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hll_estimate_accuracy_and_merge_shape(spark):
+    # 2000 distinct tokens, each appearing twice (multiplicity must not
+    # move the estimate): HLL at b=8 should land within ~3 sigma of
+    # 1.04/sqrt(256) ~= 6.5% relative error
+    rows = [
+        (str(i), " ".join(f"w{j}" for j in range(i * 50, (i + 1) * 50)) * 2)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = TA.hll_distinct(docs, b=8).collect()[0]
+    assert out["m"] == 256
+    true = 2000
+    assert abs(out["est_distinct"] - true) / true < 0.2
+    # duplicated stream -> identical registers -> identical estimate
+    out2 = TA.hll_distinct(
+        docs.union(docs), b=8
+    ).collect()[0]
+    assert out2["est_distinct"] == out["est_distinct"]
+
+
+def test_hll_small_range_correction(spark):
+    # 3 distinct tokens at m=256 -> raw estimate is far below 2.5m with
+    # many zero registers: linear-counting correction m*ln(m/V) applies
+    import math
+
+    docs = spark.createDataFrame(
+        [("1", "alpha beta gamma alpha")], "doc_id string, text string"
+    )
+    out = TA.hll_distinct(docs, b=8).collect()[0]
+    v = out["n_zero_registers"]
+    assert v == 253  # 3 distinct tokens -> 3 occupied registers
+    assert abs(out["est_distinct"] - round(256 * math.log(256 / v), 4)) < 1e-9
