@@ -507,6 +507,15 @@ def _q_substring_stats(spark, sf_dir):
     return D.substring_dup_stats(_capped_docs(spark, sf_dir), w=8)
 
 
+def _q_priority_sample(spark, sf_dir):
+    # weighted sampling without replacement (Efraimidis-Spirakis A-Res):
+    # inclusion probability tracks n_chars; deterministic md5 uniform ->
+    # the "random" sample equality-gates. One ordered limit, no shuffle
+    return TA.priority_sample(
+        _capped_docs(spark, sf_dir), k=50, weight_col="n_chars"
+    )
+
+
 def _q_hll_distinct(spark, sf_dir):
     # HyperLogLog distinct-token estimate: m=256 max-rank registers,
     # one partial-agg exchange; with linear counting + count-min this
@@ -1515,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_heavy_hitters_cms": _q_cms_heavy_hitters,
         "search_hybrid_rrf": _q_hybrid_rrf,
         "text_distinct_hll": _q_hll_distinct,
+        "pipeline_priority_sample": _q_priority_sample,
         "graph_components_prop4": _q_cc_prop4,
         "graph_components_chain": _q_cc_chain,
         "dedup_cc_keepers": _q_cc_keepers,
@@ -1673,6 +1683,7 @@ def oracle_sql() -> dict[str, str]:
         "text_heavy_hitters_cms": oracle.cms_heavy_hitters_sql(20),
         "search_hybrid_rrf": oracle.hybrid_rrf_sql(["spark", "join"], 0, 10),
         "text_distinct_hll": oracle.hll_distinct_sql(8),
+        "pipeline_priority_sample": oracle.priority_sample_sql(50, "n_chars"),
         "graph_components_prop4": oracle.cc_propagate_sql(4),
         "graph_components_chain": oracle.cc_chain_sql(50),
         "dedup_cc_keepers": oracle.cc_keepers_sql(4),

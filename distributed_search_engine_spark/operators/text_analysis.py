@@ -1364,3 +1364,45 @@ def hll_distinct(
         v.cast("int").alias("n_zero_registers"),
         F.round(est, 4).alias("est_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006,
+# "Weighted random sampling with a reservoir"): one pass, no global
+# shuffle of the data — the way a 100 TB pipeline draws a k-doc sample
+# where inclusion probability tracks a weight column (quality score,
+# length, importance weight). A-Res keys: priority = u^(1/w); the top-k
+# priorities ARE the weighted sample.
+# ---------------------------------------------------------------------------
+
+
+def priority_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "wsample1",
+) -> DataFrame:
+    """(doc_id, weight, priority, rank): top-k by A-Res priority
+    u^(1/w), u = the shared deterministic md5 uniform — reproducible
+    across runs AND engines, so the \"random\" sample equality-gates.
+    Rows with weight <= 0 are excluded (their inclusion probability is
+    0 in the scheme). Priorities are 6dp-rounded BEFORE ranking; ties
+    break doc_id-ascending. Plan shape: map-side key computation + ONE
+    ordered limit (TakeOrdered — per-partition heaps, no global sort)."""
+    from ..functions.hashing import md5_uniform
+
+    w = F.col(weight_col).cast("double")
+    u = md5_uniform(F.col(id_col), salt=f"{seed}:")
+    pri = F.round(F.pow(u, 1.0 / w), 6)
+    scored = (
+        docs.where(w > 0)
+        .select(
+            F.col(id_col).cast("string").alias("doc_id"),
+            w.alias("weight"),
+            pri.alias("priority"),
+        )
+    )
+    top = scored.orderBy(F.desc("priority"), F.asc("doc_id")).limit(k)
+    rw = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rw).cast("int"))

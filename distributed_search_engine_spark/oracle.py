@@ -2232,3 +2232,34 @@ SELECT {m}::int AS m,
              4) AS est_distinct
 FROM hagg
 """
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (twin of
+# text_analysis.priority_sample; Efraimidis & Spirakis A-Res keys)
+# ---------------------------------------------------------------------------
+
+def priority_sample_sql(
+    k: int = 50, weight_col: str = "n_chars", seed: str = "wsample1"
+) -> str:
+    u = (
+        f"(('0x' || substr(md5('{seed}:' || doc_id), 1, 8))::bigint"
+        f" / {float(16 ** 8)!r})"
+    )
+    return f"""
+WITH wdocs AS (
+  SELECT doc_id::varchar AS doc_id, {weight_col}::double AS weight
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+    AND {weight_col} > 0
+),
+wsc AS (
+  SELECT doc_id, weight,
+         round(power({u}, 1.0 / weight), 6) AS priority
+  FROM wdocs),
+wrk AS (
+  SELECT doc_id, weight, priority,
+         row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank
+  FROM wsc)
+SELECT doc_id, weight, priority, rank::int AS rank FROM wrk WHERE rank <= {k}
+"""

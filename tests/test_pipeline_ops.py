@@ -1413,3 +1413,27 @@ def test_hll_small_range_correction(spark):
     v = out["n_zero_registers"]
     assert v == 253  # 3 distinct tokens -> 3 occupied registers
     assert abs(out["est_distinct"] - round(256 * math.log(256 / v), 4)) < 1e-9
+
+
+def test_priority_sample_weight_bias_and_determinism(spark):
+    # weights spanning 4 orders of magnitude: heavy docs must dominate
+    # the sample (E[u^(1/w)] = w/(w+1) -> 1 as w grows)
+    rows = [(f"h{i}", 10_000) for i in range(20)] + [
+        (f"l{i}", 1) for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, n_chars int").withColumn(
+        "text", F.lit("x")
+    )
+    out = TA.priority_sample(docs, k=20).collect()
+    heavy = sum(1 for r in out if r["doc_id"].startswith("h"))
+    assert heavy >= 15  # u^(1/10000) ~ 1; u^(1/1) uniform
+    again = TA.priority_sample(docs, k=20).collect()
+    assert out == again
+    # zero/negative weights never sampled
+    docs2 = docs.union(
+        spark.createDataFrame(
+            [("z", 0, "x"), ("n", -5, "x")], "doc_id string, n_chars int, text string"
+        )
+    )
+    ids = {r["doc_id"] for r in TA.priority_sample(docs2, k=300).collect()}
+    assert "z" not in ids and "n" not in ids
