@@ -344,6 +344,21 @@ def main() -> None:
             .collect()[0][0]
         )
         timings["lm_bigram_60k"] = time.time() - t0
+
+        # mergeable-sketch family over the same token stream: count-min
+        # heavy hitters (d x width counters + vocab-probe min) and the
+        # HyperLogLog distinct estimate (m max-rank registers) — the
+        # bounded-memory profile pass tracked like the exact stages
+        from distributed_search_engine_spark.operators.text_analysis import (
+            cms_heavy_hitters,
+            hll_distinct,
+        )
+
+        t0 = time.time()
+        top_tok = cms_heavy_hitters(ded, k=20).collect()
+        assert len(top_tok) == 20
+        hll_est = float(hll_distinct(ded).collect()[0]["est_distinct"])
+        timings["sketches_60k"] = time.time() - t0
         big.unpersist()
 
         # q8: connected components on a 300k-node chain graph (chains of
@@ -401,6 +416,7 @@ def main() -> None:
             "dedup_simhash_pairs_60k": n_simp,
             "dedup_substring_docs_60k": n_subdup_docs,
             "lm_bigrams_60k": n_lm_bigrams,
+            "hll_est_distinct_60k": hll_est,
         }
     else:
         extra_big = {}
