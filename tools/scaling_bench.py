@@ -47,24 +47,36 @@ def ensure_corpus(n_docs: int) -> None:
     spark.stop()
 
 
-def run_level(n_executors: int, repeats: int = 1) -> dict:
-    """Best-of-``repeats`` wall time per level. This KVM sandbox shows
-    visible steal time with ~10-13% run-to-run wall variance at a given
-    level; the minimum wall of k identical runs is the standard estimator
-    of the machine's true capability under external noise (both levels get
-    the same k, so no level is favored). All runs are recorded."""
-    runs = []
+def run_once(n_executors: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "tools/scaling_job.py", str(n_executors), CORPUS],
+        capture_output=True, text=True, timeout=4000,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def run_levels_interleaved(n_base: int, repeats: int) -> tuple[dict, dict]:
+    """Best-of-``repeats`` wall per level, with the runs INTERLEAVED
+    (N, 4N, N, 4N, ...) rather than phase-blocked. This KVM sandbox shows
+    visible steal time with ~10-13% run-to-run wall variance, so each
+    level takes the minimum of k identical runs; interleaving matters
+    because absolute host speed also DRIFTS on ~30-minute scales — a
+    phase-blocked order lets that drift land entirely in the N/4N ratio
+    (measured 0.667 vs 1.065 on two same-day healthy-control runs,
+    BENCH/BASELINE.md), while alternation exposes both levels to every
+    window. All runs are recorded."""
+    runs = {n_base: [], 4 * n_base: []}
     for _ in range(repeats):
-        out = subprocess.run(
-            [sys.executable, "tools/scaling_job.py", str(n_executors), CORPUS],
-            capture_output=True, text=True, timeout=4000,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        )
-        line = out.stdout.strip().splitlines()[-1]
-        runs.append(json.loads(line))
-    best = min(runs, key=lambda r: r["wall_sec"])
-    best["all_wall_sec"] = [r["wall_sec"] for r in runs]
-    return best
+        for lvl in (n_base, 4 * n_base):
+            runs[lvl].append(run_once(lvl))
+    out = []
+    for lvl in (n_base, 4 * n_base):
+        best = min(runs[lvl], key=lambda r: r["wall_sec"])
+        best["all_wall_sec"] = [r["wall_sec"] for r in runs[lvl]]
+        out.append(best)
+    return out[0], out[1]
 
 
 def _burn(_):
@@ -100,8 +112,7 @@ def main() -> None:
         result = None
     else:
         ensure_corpus(n_docs)
-        rN = run_level(n_base, repeats)
-        r4N = run_level(4 * n_base, repeats)
+        rN, r4N = run_levels_interleaved(n_base, repeats)
         eff = (r4N["docs_per_sec"] / rN["docs_per_sec"]) / 4.0
         control = cpu_control(n_base)
         result = {
