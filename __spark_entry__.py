@@ -507,6 +507,13 @@ def _q_substring_stats(spark, sf_dir):
     return D.substring_dup_stats(_capped_docs(spark, sf_dir), w=8)
 
 
+def _q_pmi_collocations(spark, sf_dir):
+    # collocation mining: top adjacent pairs by pointwise mutual
+    # information (Church & Hanks 1990), min_count floor against PMI's
+    # low-count pathology; reuses the bigram-LM count-table shape
+    return TA.pmi_collocations(_capped_docs(spark, sf_dir), k=20, min_count=5)
+
+
 def _q_priority_sample(spark, sf_dir):
     # weighted sampling without replacement (Efraimidis-Spirakis A-Res):
     # inclusion probability tracks n_chars; deterministic md5 uniform ->
@@ -1525,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": _q_hybrid_rrf,
         "text_distinct_hll": _q_hll_distinct,
         "pipeline_priority_sample": _q_priority_sample,
+        "text_pmi_collocations": _q_pmi_collocations,
         "graph_components_prop4": _q_cc_prop4,
         "graph_components_chain": _q_cc_chain,
         "dedup_cc_keepers": _q_cc_keepers,
@@ -1684,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "search_hybrid_rrf": oracle.hybrid_rrf_sql(["spark", "join"], 0, 10),
         "text_distinct_hll": oracle.hll_distinct_sql(8),
         "pipeline_priority_sample": oracle.priority_sample_sql(50, "n_chars"),
+        "text_pmi_collocations": oracle.pmi_collocations_sql(20, 5),
         "graph_components_prop4": oracle.cc_propagate_sql(4),
         "graph_components_chain": oracle.cc_chain_sql(50),
         "dedup_cc_keepers": oracle.cc_keepers_sql(4),

@@ -1406,3 +1406,66 @@ def priority_sample(
     top = scored.orderBy(F.desc("priority"), F.asc("doc_id")).limit(k)
     rw = Window.orderBy(F.desc("priority"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (Church & Hanks 1990, "Word association norms, mutual
+# information, and lexicography"): top adjacent word pairs by pointwise
+# mutual information — the collocation/phrase-mining pass of a corpus
+# profile (and the scoring inside phrase-vocab construction a la
+# word2vec's phrase pass).
+# ---------------------------------------------------------------------------
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, c12, pmi, rank): top-k adjacent pairs by
+    pmi = ln((c12/Nb) / ((c1/Nu)*(c2/Nu))), Nb/Nu = total bigram/token
+    counts; pairs below min_count are dropped (PMI's low-count
+    pathology). Reuses the bigram-LM count tables' shape: one map-side
+    bigram projection + two partial-agg groupBys + two vocab-sized
+    equi-joins; scalars ride a 1-row broadcast. Rounded before ranking;
+    ties (w1, w2)-ascending."""
+    bg = _bigram_stream(docs, doc_id_col, content_col)
+    bcnt = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    t = docs.select(
+        F.explode(T.tokens_col(F.col(content_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    ucnt = t.groupBy("tok").agg(F.count(F.lit(1)).alias("c1"))
+    tot = bcnt.agg(F.sum("c12").alias("Nb")).crossJoin(
+        ucnt.agg(F.sum("c1").alias("Nu"))
+    )
+    w1 = F.substring_index(F.col("bigram"), " ", 1)
+    w2 = F.substring_index(F.col("bigram"), " ", -1)
+    sc = (
+        bcnt.where(F.col("c12") >= min_count)
+        .join(
+            ucnt.select(F.col("tok").alias("_t1"), F.col("c1").alias("_c1")),
+            w1 == F.col("_t1"),
+        )
+        .join(
+            ucnt.select(F.col("tok").alias("_t2"), F.col("c1").alias("_c2")),
+            w2 == F.col("_t2"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            w1.alias("w1"),
+            w2.alias("w2"),
+            F.col("c12").cast("int").alias("c12"),
+            F.round(
+                F.log(
+                    (F.col("c12") / F.col("Nb"))
+                    / ((F.col("_c1") / F.col("Nu")) * (F.col("_c2") / F.col("Nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = sc.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
+    rw = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return top.withColumn("rank", F.row_number().over(rw).cast("int"))

@@ -2263,3 +2263,39 @@ wrk AS (
   FROM wsc)
 SELECT doc_id, weight, priority, rank::int AS rank FROM wrk WHERE rank <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (twin of text_analysis.pmi_collocations)
+# ---------------------------------------------------------------------------
+
+def pmi_collocations_sql(k: int = 20, min_count: int = 5) -> str:
+    return base_ctes() + f""",
+pmtok AS (SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM tokarr),
+pmbg AS MATERIALIZED (
+  SELECT unnest(bs) AS bigram
+  FROM (SELECT list_transform(generate_series(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i + 1]) AS bs FROM pmtok)),
+pmbc AS MATERIALIZED (SELECT bigram, count(*) AS c12 FROM pmbg GROUP BY 1),
+pmuc AS MATERIALIZED (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM pmtok) GROUP BY 1),
+pmtot AS (
+  SELECT (SELECT sum(c12) FROM pmbc) AS Nb,
+         (SELECT sum(c1) FROM pmuc) AS Nu),
+pmsc AS (
+  SELECT split_part(b.bigram, ' ', 1) AS w1,
+         split_part(b.bigram, ' ', 2) AS w2,
+         b.c12::int AS c12,
+         round(ln((b.c12 / Nb) / ((u1.c1 / Nu) * (u2.c1 / Nu))), 6) AS pmi
+  FROM pmbc b
+  JOIN pmuc u1 ON split_part(b.bigram, ' ', 1) = u1.tok
+  JOIN pmuc u2 ON split_part(b.bigram, ' ', 2) = u2.tok
+  CROSS JOIN pmtot
+  WHERE b.c12 >= {min_count}),
+pmrk AS (
+  SELECT w1, w2, c12, pmi,
+         row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
+  FROM pmsc)
+SELECT w1, w2, c12, pmi, rank::int AS rank FROM pmrk WHERE rank <= {k}
+"""

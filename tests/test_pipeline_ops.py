@@ -1437,3 +1437,25 @@ def test_priority_sample_weight_bias_and_determinism(spark):
     )
     ids = {r["doc_id"] for r in TA.priority_sample(docs2, k=300).collect()}
     assert "z" not in ids and "n" not in ids
+
+
+def test_pmi_hand_computed(spark):
+    import math
+
+    # "big data" always adjacent (6x); "the", "cat" frequent but never
+    # adjacent to each other in a fixed pattern -> "big data" tops PMI
+    rows = [(str(i), "big data the cat sat big data here") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = TA.pmi_collocations(docs, k=5, min_count=2).collect()
+    got = {(r["w1"], r["w2"]): r for r in out}
+    # corpus: per doc 8 tokens, 7 bigrams -> Nb=21, Nu=24
+    # c(big)=c(data)=6, c12(big,data)=6
+    want = round(math.log((6 / 21) / ((6 / 24) * (6 / 24))), 6)
+    r = got[("big", "data")]
+    assert r["c12"] == 6 and abs(r["pmi"] - want) < 1e-9
+    # min_count floor: "sat big" occurs 3x -> present; singletons absent
+    assert all(r["c12"] >= 2 for r in out)
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert all(
+        ranked[i]["pmi"] >= ranked[i + 1]["pmi"] for i in range(len(ranked) - 1)
+    )
