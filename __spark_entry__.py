@@ -131,7 +131,7 @@ def _q_tfidf_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q1/Q4/Q5/Q9(pr=0): reference-mode single-term scoring
     sidx = _search_index(spark, sf_dir, with_stems=False)
     res = search(
-        spark, sidx, "data", k=1_000_000, mode="reference", use_title_boost=False
+        spark, sidx, "data", k=None, mode="reference", use_title_boost=False
     )
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -140,16 +140,42 @@ def _q_and_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Q5/Q7/Q8/Q10: two-term AND + phrase boost + all-matched x4.0
     sidx = _search_index(spark, sf_dir, with_stems=False)
     res = search(
-        spark, sidx, "data stream", k=1_000_000, mode="reference",
+        spark, sidx, "data stream", k=None, mode="reference",
         use_title_boost=False,
     )
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
+REFERENCE_BATCH_QUERIES = [["data"], ["data", "stream"]]
+
+
+def _q_reference_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the WHOLE reference chain Q1-Q12 for a query set in ONE job
+    # (expansion union broadcast, per-query metadata broadcast, every
+    # groupBy keyed by query) — per-query hash-equal to search() and ~the
+    # cost of one query's chain for the whole set; stem-fixpoint terms so
+    # the unstemmed oracle mirrors the expansion exactly
+    from distributed_search_engine_spark.query.engine import (
+        search_reference_batch,
+    )
+
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    res = search_reference_batch(
+        spark,
+        sidx,
+        [" ".join(t) for t in REFERENCE_BATCH_QUERIES],
+        k=None,
+        use_title_boost=False,
+    )
+    return res.select("query", "doc_id", F.round("score", 6).alias("score"))
+
+
 def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M5 scorer: BM25(k1=1.2, b=0.75) multi-term, pagerank 0
     sidx = _search_index(spark, sf_dir, with_stems=False)
-    res = search(spark, sidx, "spark join", k=1_000_000, mode="bm25")
+    # k=None = full scored frame with NO global-sort node (the gate hashes
+    # order-insensitively; a limit would be a 1M-row TakeOrdered for nothing)
+    res = search(spark, sidx, "spark join", k=None, mode="bm25")
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
 
@@ -282,7 +308,7 @@ def _q_tfidf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the segment round-trip must be score-invariant to the last 6dp
     sidx = _segment_index(spark, sf_dir)["sidx"]
     res = search(
-        spark, sidx, "data", k=1_000_000, mode="reference", use_title_boost=False
+        spark, sidx, "data", k=None, mode="reference", use_title_boost=False
     )
     return res.select("doc_id", F.round("score", 6).alias("score"))
 
@@ -290,7 +316,7 @@ def _q_tfidf_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_phrase_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sidx = _segment_index(spark, sf_dir)["sidx"]
     res = search(
-        spark, sidx, "data stream", k=1_000_000, mode="reference",
+        spark, sidx, "data stream", k=None, mode="reference",
         use_title_boost=False,
     )
     return res.select("doc_id", F.round("score", 6).alias("score"))
@@ -558,17 +584,29 @@ def _q_span_removal(spark, sf_dir):
     return D.remove_dup_spans(_capped_docs(spark, sf_dir), w=8)
 
 
+def _q_span_removal_keepone(spark, sf_dir):
+    # Lee et al. 2022 exact-paper variant: the corpus-FIRST occurrence of
+    # each duplicated window survives excision (per-hash argmin over
+    # (doc_id, pos)) so one copy of every duplicated substring remains
+    return D.remove_dup_spans(_capped_docs(spark, sf_dir), w=8, keep_one=True)
+
+
 def _q_bpe_encode(spark, sf_dir):
     # full BPE tokenizer: distributed word-count pass -> driver merge loop
-    # (vocab-sized) -> broadcast-merge pandas-UDF encode. The merge loop
-    # is iterative with data-dependent ranks — the declared
-    # non-SQL-expressible exemption, so this entry is rows-only; the
-    # algorithm contract is pinned in tests/test_bpe.py (incl. a
-    # cross-check that merge 1 == the gated text_bpe_pairs top-1).
+    # (vocab-sized) -> broadcast-merge pandas-UDF encode. The TRAIN loop is
+    # iterative with data-dependent ranks (non-SQL), but the ENCODE of the
+    # trained merges is deterministic — so the gate compares against a
+    # Python-materialized expected table (_bpe_expected_values, the
+    # index_postings_stemmed VALUES-map trick): full hash gate, no
+    # rows-only exemption. subwords_md5 pins the ENTIRE subword sequence
+    # per doc, not just the counts.
     docs = _capped_docs(spark, sf_dir)
     merges = B.bpe_train(docs, n_merges=50)
     return B.bpe_encode(docs, merges).select(
-        "doc_id", "n_words", "n_subwords"
+        "doc_id",
+        "n_words",
+        "n_subwords",
+        F.md5(F.array_join("subwords", " ")).alias("subwords_md5"),
     )
 
 
@@ -904,6 +942,45 @@ def _q_kmeans_update(spark, sf_dir):
     # one Lloyd update: per-cluster count + element-wise mean (the
     # centroid the next iteration would broadcast)
     return C.update_centroids(_emb(spark, sf_dir), _KM_CENTS)
+
+
+def _q_ann_ivf_trained(spark, sf_dir):
+    # TRAINED coarse quantizer feeding the gated IVF path: 2 fixed Lloyd
+    # rounds (6dp-rounded centroid re-inline per round — the oracle
+    # unrolls the identical kmeans_update_sql rounds), then the standard
+    # probe/rerank. Tighter cells than id-sampled seeds -> better recall
+    # at the same n_probe (measured vs brute force in RECALL.md)
+    cents = C.kmeans_fit_fixed(_emb(spark, sf_dir), _KM_CENTS, iters=2)
+    return S.ann_ivf_topk(
+        _emb(spark, sf_dir), query_id=0, k=10, n_probe=4, centroids=cents
+    )
+
+
+def _kmeans_cents_for_oracle(iters: int = 2) -> list[list[float]]:
+    """DuckDB-side twin of kmeans_fit_fixed for the ann_ivf_trained gate:
+    unrolls the same fixed Lloyd rounds through kmeans_update_sql (each
+    round 6dp-rounded, re-inlined) so the oracle's IVF literals are the
+    centroids DUCKDB computes — neither engine's unrounded float dust can
+    leak into the comparison."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    cents = [[float(x) for x in c] for c in _KM_CENTS]
+    dim = len(cents[0])
+    for _ in range(iters):
+        rows = con.execute(oracle.kmeans_update_sql(cents)).fetchall()
+        new = list(cents)
+        for r in rows:
+            new[int(r[0])] = [float(x) for x in r[2 : 2 + dim]]
+        cents = new
+    return cents
 
 
 def _q_semantic_dedup(spark, sf_dir):
@@ -1460,6 +1537,19 @@ def _q_spellcheck(spark, sf_dir):
     return spellcheck_word(ts, "strem")
 
 
+SPELLCHECK_QUERY_WORDS = ["strem", "sprak", "wndow"]
+
+
+def _q_spellcheck_query(spark, sf_dir):
+    # Q15 whole-query batch form: every word corrected in ONE job
+    # (broadcast word list x reasonable terms, min(struct(distance, term))
+    # per word) — replaces the job-per-word loop (~0.35 s/job floor each)
+    from distributed_search_engine_spark.query.suggest import spellcheck_words
+
+    ts = _index(spark, sf_dir, with_stems=False)["term_stats"]
+    return spellcheck_words(ts, SPELLCHECK_QUERY_WORDS)
+
+
 def _q_snippets(spark, sf_dir):
     # Q16/Q17: snippet windowing + highlight, oracle-gated (DuckDB
     # strpos/substr + regexp_replace replicate the 350-char window with
@@ -1517,65 +1607,102 @@ def _stem_map_for_oracle() -> list[tuple[str, str]]:
     return sorted(out)
 
 
+def _bpe_expected_sql(n_merges: int = 50) -> str:
+    """text_bpe_encode oracle: the TRAIN loop is iterative (non-SQL), but
+    the ENCODE of a fixed trained merge list is deterministic — so the
+    expected table is materialized in pure Python from the gate-SF parquet
+    (same tokenize_py + the bpe.py merge/encode kernels, train twin
+    mirroring bpe_train's exact tie-breaks) and inlined as VALUES: the
+    stemmed-postings trick, turning the repo's one rows-only entry into a
+    full rows+schema+hash gate. subwords_md5 pins the whole per-doc
+    subword sequence, not just the counts."""
+    import hashlib
+    import os
+    from collections import Counter
+
+    import duckdb
+
+    from distributed_search_engine_spark.functions.text import (
+        MAX_DOC_CHARS,
+        tokenize_py,
+    )
+    from distributed_search_engine_spark.operators.bpe import (
+        _encode_word,
+        _merge_word,
+        _pair_counts,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    rows = duckdb.connect().execute(
+        f"""SELECT doc_id::varchar, text
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}"""
+    ).fetchall()
+    doc_toks = [
+        (d, [t for t in tokenize_py(text or "") if t]) for d, text in rows
+    ]
+    wc: Counter = Counter()
+    for _, toks in doc_toks:
+        wc.update(toks)
+    # bpe_train's max_vocab_words cap: count desc, word asc (inert at gate SF)
+    top = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))[:200_000]
+    vocab: dict[tuple[str, ...], int] = {}
+    for w, n in top:
+        vocab[tuple(w)] = vocab.get(tuple(w), 0) + n
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = _pair_counts(vocab)
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        nxt: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            m = _merge_word(syms, best)
+            nxt[m] = nxt.get(m, 0) + n
+        vocab = nxt
+    ranks = {p: i for i, p in enumerate(merges)}
+    vals = []
+    for d, toks in doc_toks:
+        cache: dict[str, tuple[str, ...]] = {}
+        subs: list[str] = []
+        for w in toks:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = _encode_word(w, ranks)
+            subs.extend(got)
+        md5 = hashlib.md5(" ".join(subs).encode()).hexdigest()
+        did = d.replace("'", "''")
+        vals.append(f"('{did}', {len(toks)}, {len(subs)}, '{md5}')")
+    return (
+        "SELECT doc_id, n_words::int AS n_words, n_subwords::int AS n_subwords,"
+        " subwords_md5"
+        f" FROM (VALUES {', '.join(vals)})"
+        " AS t(doc_id, n_words, n_subwords, subwords_md5)"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "text_fingerprint": _q_fingerprint,
-        "pipeline_corpus_clean": _q_corpus_clean,
-        "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
-        "pipeline_corpus_clean_v3": _q_corpus_clean_v3,
-        "text_gopher_rules": _q_gopher_rules,
-        "pipeline_dsir_importance": _q_dsir_importance,
-        "text_bpe_pairs": _q_bpe_pairs,
-        "text_tfidf_keywords": _q_tfidf_keywords,
-        "text_ngram_novelty": _q_ngram_novelty,
-        "text_heavy_hitters_cms": _q_cms_heavy_hitters,
+        # --- round-5 new/changed entries first: the driver's 50-query gate
+        # window truncates at dict position 50, so anything new or whose
+        # plan changed this round must sit at the front (then the window
+        # rotates: the r3-gated block, then the r4-gated block)
+        "text_bpe_encode": _q_bpe_encode,
+        "suggest_spellcheck_query": _q_spellcheck_query,
+        "search_reference_batch": _q_reference_batch,
+        "ann_ivf_trained": _q_ann_ivf_trained,
         "search_hybrid_rrf": _q_hybrid_rrf,
+        "search_bm25": _q_bm25,
+        "search_tfidf_single": _q_tfidf_single,
+        "search_and_phrase": _q_and_phrase,
         "text_distinct_hll": _q_hll_distinct,
-        "pipeline_priority_sample": _q_priority_sample,
-        "text_pmi_collocations": _q_pmi_collocations,
-        "graph_components_prop4": _q_cc_prop4,
-        "graph_components_chain": _q_cc_chain,
-        "dedup_cc_keepers": _q_cc_keepers,
-        "cluster_kmeans_assign": _q_kmeans_assign,
-        "cluster_kmeans_update": _q_kmeans_update,
-        "dedup_semantic": _q_semantic_dedup,
-        "suggest_autocomplete": _q_autocomplete,
-        "suggest_spellcheck": _q_spellcheck,
-        "search_snippets": _q_snippets,
-        "flame_distinct": _q_flame_distinct,
-        "flame_sample": _q_flame_sample,
-        "flame_intersection": _q_flame_intersection,
-        "flame_fold": _q_flame_fold,
-        "flame_join": _q_flame_join,
-        "flame_cogroup": _q_flame_cogroup,
-        "flame_groupby_concat": _q_flame_groupby_concat,
-        "events_windowed_agg": _q_events_windowed,
-        "events_sessionize": _q_events_sessionize,
-        "events_asof_join": _q_events_asof,
-        "events_rollup_day": _q_events_rollup,
-        "events_range_join": _q_events_range_join,
-        "analytics_pricing_summary": _q_tpch_q1,
-        "analytics_top_orders": _q_tpch_q3,
-        "analytics_regional_revenue": _q_tpch_q5,
-        "analytics_forecast_revenue": _q_tpch_q6,
-        "pipeline_bloom_prune": _q_bloom_prune,
-        "pipeline_salted_join": _q_salted_join,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "source_csv_roundtrip": _q_source_roundtrip("csv"),
-        "source_json_roundtrip": _q_source_roundtrip("json"),
-        "source_orc_roundtrip": _q_source_roundtrip("orc"),
-        "dedup_substring_spans": _q_substring_spans,
-        "dedup_substring_stats": _q_substring_stats,
-        "dedup_span_removal": _q_span_removal,
-        "text_bigram_lm_ppl": _q_bigram_lm,
+        "dedup_span_removal_keepone": _q_span_removal_keepone,
+        # --- last driver-gated on round-3 code ---
         "index_doc_stats": _q_doc_stats,
         "index_postings": _q_postings,
         "index_term_stats": _q_term_stats,
         "content_sha256": _q_content_sha,
-        "search_tfidf_single": _q_tfidf_single,
-        "search_and_phrase": _q_and_phrase,
-        "search_bm25": _q_bm25,
         "search_bm25_batch": _q_bm25_batch,
         "search_tfidf_segments": _q_tfidf_segments,
         "search_phrase_segments": _q_phrase_segments,
@@ -1619,12 +1746,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_docs_per_source": _q_top_docs_per_source,
         "text_length_histogram": _q_length_histogram,
         "layout_zorder": _q_zorder,
-        "text_bpe_encode": _q_bpe_encode,
+        # --- driver-gated on round-4 code ---
+        "text_fingerprint": _q_fingerprint,
+        "pipeline_corpus_clean": _q_corpus_clean,
+        "pipeline_corpus_clean_v2": _q_corpus_clean_v2,
+        "pipeline_corpus_clean_v3": _q_corpus_clean_v3,
+        "text_gopher_rules": _q_gopher_rules,
+        "pipeline_dsir_importance": _q_dsir_importance,
+        "text_bpe_pairs": _q_bpe_pairs,
+        "text_tfidf_keywords": _q_tfidf_keywords,
+        "text_ngram_novelty": _q_ngram_novelty,
+        "text_heavy_hitters_cms": _q_cms_heavy_hitters,
+        "pipeline_priority_sample": _q_priority_sample,
+        "text_pmi_collocations": _q_pmi_collocations,
+        "graph_components_prop4": _q_cc_prop4,
+        "graph_components_chain": _q_cc_chain,
+        "dedup_cc_keepers": _q_cc_keepers,
+        "cluster_kmeans_assign": _q_kmeans_assign,
+        "cluster_kmeans_update": _q_kmeans_update,
+        "dedup_semantic": _q_semantic_dedup,
+        "suggest_autocomplete": _q_autocomplete,
+        "suggest_spellcheck": _q_spellcheck,
+        "search_snippets": _q_snippets,
+        "flame_distinct": _q_flame_distinct,
+        "flame_sample": _q_flame_sample,
+        "flame_intersection": _q_flame_intersection,
+        "flame_fold": _q_flame_fold,
+        "flame_join": _q_flame_join,
+        "flame_cogroup": _q_flame_cogroup,
+        "flame_groupby_concat": _q_flame_groupby_concat,
+        "events_windowed_agg": _q_events_windowed,
+        "events_sessionize": _q_events_sessionize,
+        "events_asof_join": _q_events_asof,
+        "events_rollup_day": _q_events_rollup,
+        "events_range_join": _q_events_range_join,
+        "analytics_pricing_summary": _q_tpch_q1,
+        "analytics_top_orders": _q_tpch_q3,
+        "analytics_regional_revenue": _q_tpch_q5,
+        "analytics_forecast_revenue": _q_tpch_q6,
+        "pipeline_bloom_prune": _q_bloom_prune,
+        "pipeline_salted_join": _q_salted_join,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "source_csv_roundtrip": _q_source_roundtrip("csv"),
+        "source_json_roundtrip": _q_source_roundtrip("json"),
+        "source_orc_roundtrip": _q_source_roundtrip("orc"),
+        "dedup_substring_spans": _q_substring_spans,
+        "dedup_substring_stats": _q_substring_stats,
+        "dedup_span_removal": _q_span_removal,
+        "text_bigram_lm_ppl": _q_bigram_lm,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-5 additions: the BPE encode expected table (Python-
+        # materialized VALUES — retires the repo's only rows-only
+        # exemption), the one-job spellcheck batch, the batched reference
+        # chain, and the trained-quantizer IVF
+        "text_bpe_encode": _bpe_expected_sql(50),
+        "suggest_spellcheck_query": oracle.spellcheck_query_sql(
+            SPELLCHECK_QUERY_WORDS
+        ),
+        "search_reference_batch": oracle.reference_batch_sql(
+            REFERENCE_BATCH_QUERIES
+        ),
+        "ann_ivf_trained": oracle.ann_ivf_trained_sql(
+            _kmeans_cents_for_oracle(2), 0, 10, 4
+        ),
+        "dedup_span_removal_keepone": oracle.remove_dup_spans_sql(
+            8, keep_one=True
+        ),
         "index_doc_stats": oracle.DOC_STATS_SQL,
         "index_postings": oracle.POSTINGS_SQL,
         "index_term_stats": oracle.TERM_STATS_SQL,

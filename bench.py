@@ -156,6 +156,17 @@ def main() -> None:
         search(spark, sidx, q, k=20, mode="reference").collect()
     timings["query_reference_x5"] = time.time() - t0
 
+    # q5b: the SAME 5 reference-chain queries as ONE batch job — the
+    # serving shape for reference mode (expansion union broadcast, every
+    # stage keyed by query); compare against query_reference_x5's loop
+    from distributed_search_engine_spark.query.engine import (
+        search_reference_batch,
+    )
+
+    t0 = time.time()
+    search_reference_batch(spark, sidx, QUERY_SET[:5], k=20).collect()
+    timings["query_reference_batch_x5"] = time.time() - t0
+
     # q6: BM25 logical DataFrame path (for WAND-vs-DataFrame comparison)
     t0 = time.time()
     for q in QUERY_SET[:5]:

@@ -314,14 +314,32 @@ def distributed_topk_batch(
 
         from .codec import decode_docnums, varint_decode
 
-        rows = []
-        for batch in batch_iter:
-            rows.extend(batch.to_pylist())
-        if not rows:
-            return
+        # Stream batches, grouping per query as they arrive. The pruning
+        # pass needs every (query, range) row's METADATA up front (tau is
+        # a max over the query's term_kth; the cross-term UB reads other
+        # terms' clipped spans), but it does NOT need the compressed
+        # posting blobs as Python objects: those stay as Arrow scalars
+        # (zero-copy views into the batch buffers) and are materialized
+        # per ROW only when a row survives pruning — pruned rows never
+        # leave Arrow memory.
         byq: dict = {}
-        for r in rows:
-            byq.setdefault(r["query_id"], []).append(r)
+        meta_cols = (
+            "query_id", "range_id", "term", "idf_bm25", "term_kth",
+            "first_docnum", "last_docnum", "max_score",
+        )
+        for batch in batch_iter:
+            cols = {n: batch.column(n) for n in meta_cols}
+            bdocs = batch.column("docs")
+            btfs = batch.column("tfs")
+            bdls = batch.column("dls")
+            for i in range(batch.num_rows):
+                r = {n: cols[n][i].as_py() for n in meta_cols}
+                r["_docs"] = bdocs[i]
+                r["_tfs"] = btfs[i]
+                r["_dls"] = bdls[i]
+                byq.setdefault(r["query_id"], []).append(r)
+        if not byq:
+            return
         out_q: list = []
         out_d: list = []
         out_s: list = []
@@ -358,12 +376,12 @@ def distributed_topk_batch(
                         ub += best
                     if ub < tau:
                         continue  # no doc in this span can reach the top-k
-                docs = decode_docnums(bytes(r["docs"])).astype(np.int64)
+                docs = decode_docnums(r["_docs"].as_py()).astype(np.int64)
                 mask = (docs >= lo) & (docs < hi)
                 if not mask.any():
                     continue
-                tfs = varint_decode(bytes(r["tfs"])).astype(np.float64)[mask]
-                dls = varint_decode(bytes(r["dls"])).astype(np.float64)[mask]
+                tfs = varint_decode(r["_tfs"].as_py()).astype(np.float64)[mask]
+                dls = varint_decode(r["_dls"].as_py()).astype(np.float64)[mask]
                 scores = (
                     r["idf_bm25"]
                     * tfs

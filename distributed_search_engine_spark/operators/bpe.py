@@ -23,10 +23,12 @@ rank-order variant (apply merge 1 to every word, then merge 2, ...) —
 equivalent to the min-rank greedy loop because ranks are consistent, and
 O(|word|) per merge via a single left-to-right scan.
 
-This is the one operator family in the repo whose output is genuinely
-non-SQL-expressible (the merge loop is iterative with data-dependent
-ranks), so its driver-contract entry is rows-only by the declared
-exemption; the algorithmic contract is pinned by pytest instead,
+The TRAIN loop is iterative with data-dependent ranks (genuinely
+non-SQL), but the ENCODE of a fixed trained merge list is deterministic —
+so the driver-contract entry is a FULL hash gate against a Python-
+materialized expected table (``__spark_entry__._bpe_expected_sql``: same
+tokenizer + these kernels, inlined as VALUES with a per-doc subword-
+sequence md5). pytest additionally pins the algorithmic contract,
 including a cross-check that train()'s first merge equals the gated
 ``text_bpe_pairs`` top-1.
 """

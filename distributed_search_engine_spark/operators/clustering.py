@@ -143,6 +143,35 @@ def update_centroids(
     )
 
 
+def kmeans_fit_fixed(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Fixed-iteration Lloyd refinement with 6dp-ROUNDED centroid
+    re-inlining each round — the oracle-mirrorable fit that feeds the
+    gated trained-IVF path (ann_ivf_trained): every iteration is exactly
+    one gated ``update_centroids`` step (assignment from literal
+    centroids, per-cluster count + rounded element-wise mean), so a
+    DuckDB twin can unroll the identical iterations (kmeans_update_sql
+    per round) and land on bit-identical centroids. Empty clusters keep
+    their previous centroid, like kmeans_fit. The rounding costs ~1e-6
+    centroid precision per round — irrelevant to cluster quality, and it
+    is what makes the cross-engine equality gate possible (the same
+    boundary-rounding contract every other gate uses)."""
+    cents = [[float(x) for x in c] for c in centroids]
+    dim = len(cents[0])
+    for _ in range(iters):
+        rows = update_centroids(emb, cents, id_col, vec_col).collect()
+        new = list(cents)
+        for r in rows:
+            new[r["cluster"]] = [float(r[f"c{d}"]) for d in range(dim)]
+        cents = new
+    return cents
+
+
 def kmeans_fit(
     emb: DataFrame,
     k: int,

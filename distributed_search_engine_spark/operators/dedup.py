@@ -741,21 +741,44 @@ def substring_dup_stats(
         ).alias("dup_fraction"),
     )
 
+def drop_keeper_occurrences(dup_wins: DataFrame) -> DataFrame:
+    """Lee et al. 2022 §4 keep-one refinement: for every duplicated window
+    hash, the corpus-FIRST occurrence (argmin over (doc_id, pos) — string
+    order on doc_id, deterministic) is spared from excision; all other
+    occurrences stay marked. One window function over the same
+    whash-keyed exchange duplicate_windows already pays."""
+    from pyspark.sql.window import Window
+
+    kw = Window.partitionBy("whash")
+    keeper = F.min(F.struct(F.col("doc_id"), F.col("pos"))).over(kw)
+    return (
+        dup_wins.withColumn("_k", keeper)
+        .where(
+            (F.col("doc_id") != F.col("_k.doc_id"))
+            | (F.col("pos") != F.col("_k.pos"))
+        )
+        .select("doc_id", "pos", "whash")
+    )
+
+
 def remove_dup_spans(
     docs: DataFrame,
     w: int = DEFAULT_SUBSTRING_W,
     doc_id_col: str = "doc_id",
     content_col: str = "text",
     min_count: int = 2,
+    keep_one: bool = False,
 ) -> DataFrame:
     """(doc_id, n_tokens, n_removed, clean_text): the excision step that
     completes the duplicate-substring pipeline — every maximal duplicated
     span (substring_spans) is cut from the token stream and the remainder
-    re-joined with single spaces. RefinedWeb-style removal: ALL
+    re-joined with single spaces. Default is RefinedWeb-style removal: ALL
     occurrences of a corpus-duplicated substring are excised (min_count
     guarantees only >= min_count-occurrence material is touched);
-    Lee et al. 2022's keep-one-occurrence variant is a per-hash argmin
-    refinement documented as out of contract in RECALL.md.
+    ``keep_one=True`` is Lee et al. 2022's exact-paper variant — the
+    corpus-first occurrence of each duplicated window survives
+    (drop_keeper_occurrences), so one copy of the substring remains in
+    the corpus.
 
     Output is TOKEN-level text (lowercased, punctuation-stripped by the
     shared tokenizer), the form downstream tokenizer/LM stages consume.
@@ -769,10 +792,11 @@ def remove_dup_spans(
     the filter expression three times would run the O(tokens * spans)
     scan three times per row."""
     toks = _token_arrays(docs, doc_id_col, content_col)
+    dup = duplicate_windows(docs, w, doc_id_col, content_col, min_count)
+    if keep_one:
+        dup = drop_keeper_occurrences(dup)
     spans = (
-        substring_spans(
-            duplicate_windows(docs, w, doc_id_col, content_col, min_count), w
-        )
+        substring_spans(dup, w)
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("span_start", "span_end")).alias("spans"))
     )

@@ -481,11 +481,18 @@ _JPEG_QT_CHROMA = np.array([
     99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
 ], dtype=np.int32)
 
-# zigzag scan order: _JPEG_ZZ[i] = raster index of the i-th zigzag entry
+# zigzag scan order: _JPEG_ZZ[i] = raster index of the i-th zigzag entry.
+# T.81 Figure 5: the scan starts (0,0) -> (0,1) -> (1,0), i.e. ODD
+# anti-diagonals (r+c odd) walk top-right -> bottom-left (ascending r)
+# and EVEN anti-diagonals walk bottom-left -> top-right (descending r,
+# ascending c). Sorting odd diagonals by c instead transposes the table
+# (internal round-trips still pass because encoder+decoder share it, but
+# interop with any external baseline JPEG breaks) — locked by the
+# spec-table equality test in tests/test_multimodal.py.
 def _zigzag_order() -> np.ndarray:
     order = sorted(
         ((r, c) for r in range(8) for c in range(8)),
-        key=lambda rc: (rc[0] + rc[1], rc[1] if (rc[0] + rc[1]) % 2 else rc[0]),
+        key=lambda rc: (rc[0] + rc[1], rc[0] if (rc[0] + rc[1]) % 2 else rc[1]),
     )
     return np.array([r * 8 + c for r, c in order], dtype=np.int64)
 

@@ -1355,7 +1355,9 @@ def hll_distinct(
     )
     v = F.lit(m) - F.col("nb")
     raw = F.lit(alpha * m * m) / (F.col("s") + v.cast("double"))
-    est = F.when(
+    # empty stream: nb == 0 makes s NULL and both branches fall through
+    # to NULL — pin it to 0.0 (V == m small-range gives m*ln(m/m) = 0)
+    est = F.when(F.col("nb") == 0, F.lit(0.0)).when(
         (raw <= F.lit(2.5 * m)) & (v > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
     ).otherwise(raw)

@@ -359,6 +359,26 @@ WHERE h1.term = '{w1}' AND h2.term = '{w2}'
 """
 
 
+def reference_batch_sql(queries: list[list[str]]) -> str:
+    """Twin of engine.search_reference_batch for stem-fixpoint query terms
+    (pr=0, no title boost): per-query UNION ALL of the existing single-
+    query reference oracles, each branch carrying its query label — the
+    bm25_batch_sql composition pattern."""
+    branches = []
+    for terms in queries:
+        label = " ".join(terms).replace("'", "''")
+        if len(terms) == 1:
+            sub = tfidf_single_sql(terms[0])
+        elif len(terms) == 2:
+            sub = and_phrase_sql(terms[0], terms[1])
+        else:
+            raise ValueError("oracle supports 1- or 2-term reference queries")
+        branches.append(
+            f"SELECT '{label}' AS query, doc_id, score FROM ({sub})"
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline oracles (operators/dedup.py, similarity.py,
 # text_analysis.py twins)
@@ -757,6 +777,62 @@ def ann_ivf_sql(
     nq = f"sqrt({_fold_sum('list_transform(q.qv, x -> x * x)')})"
     return _VEC_CTE + f""",
 cent AS (SELECT id AS c, v AS cv FROM v WHERE id < {n_centroids}),
+aff AS (
+  SELECT a.id, cent.c, {dot_vc} / ({nv} * {nc}) AS cos
+  FROM v a, cent
+),
+assigned AS (
+  SELECT id, c AS cluster FROM (
+    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY cos DESC, c ASC) AS rn
+    FROM aff
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT c FROM (
+    SELECT c, row_number() OVER (ORDER BY cos DESC, c ASC) AS rn
+    FROM aff WHERE id = {query_id}
+  ) WHERE rn <= {n_probe}
+),
+q AS (SELECT v AS qv FROM v WHERE id = {query_id}),
+scored AS (
+  SELECT a.id, {dot_q} / ({nv} * {nq}) AS cosine
+  FROM v a JOIN assigned s ON s.id = a.id
+  JOIN probes p ON s.cluster = p.c, q
+  WHERE a.id <> {query_id}
+),
+ranked AS (
+  SELECT id, cosine, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT id, round(cosine, 6) AS cosine, rank::int AS rank FROM ranked WHERE rank <= {k}
+"""
+
+
+def ann_ivf_trained_sql(
+    centroids: list[list[float]],
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 4,
+) -> str:
+    """Trained-quantizer IVF twin of similarity.ann_ivf_topk(centroids=…):
+    identical to ann_ivf_sql except the coarse centroids are INLINED
+    literals (the 6dp-rounded kmeans_fit_fixed output, which the caller
+    re-derives in DuckDB via unrolled kmeans_update_sql rounds so neither
+    engine's floats drift)."""
+    cent_vals = ", ".join(
+        f"({j}, {_centroid_arr(c)}::double[])" for j, c in enumerate(centroids)
+    )
+    dot_vc = _fold_sum(
+        "list_transform(generate_series(1, len(a.v)), i -> a.v[i] * cent.cv[i])"
+    )
+    nv = f"sqrt({_fold_sum('list_transform(a.v, x -> x * x)')})"
+    nc = f"sqrt({_fold_sum('list_transform(cent.cv, x -> x * x)')})"
+    dot_q = _fold_sum(
+        "list_transform(generate_series(1, len(a.v)), i -> a.v[i] * q.qv[i])"
+    )
+    nq = f"sqrt({_fold_sum('list_transform(q.qv, x -> x * x)')})"
+    return _VEC_CTE + f""",
+cent AS (SELECT * FROM (VALUES {cent_vals}) t(c, cv)),
 aff AS (
   SELECT a.id, cent.c, {dot_vc} / ({nv} * {nc}) AS cos
   FROM v a, cent
@@ -1214,6 +1290,32 @@ ranked AS (
   FROM scored WHERE distance <= {max_distance}
 )
 SELECT term, distance FROM ranked WHERE rn = 1
+"""
+
+
+def spellcheck_query_sql(words: list[str], max_distance: int = 2) -> str:
+    """Twin of query/suggest.spellcheck_words: best match per word of a
+    whole query in one statement (per-word rank over (distance, term))."""
+    values = ", ".join(
+        f"({i}, '{w}')" for i, w in enumerate(words)
+    )
+    return base_ctes() + f""",
+srt AS (
+  SELECT term FROM termstats
+  WHERE regexp_matches(term, '^[a-z]+$') AND length(term) <= 20
+),
+sqw AS (SELECT * FROM (VALUES {values}) AS t(pos, word)),
+swscored AS (
+  SELECT pos, word, term, levenshtein(word, term)::int AS distance
+  FROM srt CROSS JOIN sqw
+),
+swranked AS (
+  SELECT pos, word, term, distance,
+         row_number() OVER (PARTITION BY pos
+                            ORDER BY distance ASC, term ASC) AS rn
+  FROM swscored WHERE distance <= {max_distance}
+)
+SELECT pos::int AS pos, word, term, distance FROM swranked WHERE rn = 1
 """
 
 
@@ -1752,10 +1854,24 @@ FROM c
 # duplicate_windows / substring_spans / substring_dup_stats)
 # ---------------------------------------------------------------------------
 
-def _substring_window_ctes(w: int = 8) -> str:
+def _substring_window_ctes(w: int = 8, keep_one: bool = False) -> str:
     """docs -> filtered token array -> w-token window hashes (1-based start
     pos) -> corpus-wide counts -> duplicated window starts. Value-identical
-    twin of dedup._window_hashes + the min_count=2 filter."""
+    twin of dedup._window_hashes + the min_count=2 filter; keep_one=True
+    spares the corpus-first occurrence per hash (argmin over
+    (doc_id, pos), string order — dedup.drop_keeper_occurrences)."""
+    if keep_one:
+        dup = f"""
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT wi.doc_id, wi.pos,
+           row_number() OVER (PARTITION BY whash
+                              ORDER BY wi.doc_id ASC, wi.pos ASC) AS rn
+    FROM wins wi JOIN wcnt USING (whash) WHERE c >= 2
+  ) WHERE rn > 1)"""
+    else:
+        dup = """
+dup AS (SELECT wi.doc_id, wi.pos FROM wins wi JOIN wcnt USING (whash) WHERE c >= 2)"""
     return base_ctes() + f""",
 wtok AS (SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM tokarr),
 wins AS (
@@ -1763,12 +1879,11 @@ wins AS (
   FROM (SELECT doc_id, list_transform(generate_series(1, len(toks) - {w - 1}),
           i -> md5(array_to_string(toks[i:i + {w - 1}], ' '))) AS ws FROM wtok)
 ),
-wcnt AS (SELECT whash, count(*) AS c FROM wins GROUP BY 1),
-dup AS (SELECT wi.doc_id, wi.pos FROM wins wi JOIN wcnt USING (whash) WHERE c >= 2)"""
+wcnt AS (SELECT whash, count(*) AS c FROM wins GROUP BY 1),{dup}"""
 
 
-def _substring_span_ctes(w: int = 8) -> str:
-    return _substring_window_ctes(w) + f""",
+def _substring_span_ctes(w: int = 8, keep_one: bool = False) -> str:
+    return _substring_window_ctes(w, keep_one) + f""",
 isl AS (
   SELECT doc_id, pos,
          CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
@@ -1792,10 +1907,11 @@ SELECT doc_id, span_start, span_end, n_windows FROM spans
 """
 
 
-def remove_dup_spans_sql(w: int = 8) -> str:
+def remove_dup_spans_sql(w: int = 8, keep_one: bool = False) -> str:
     """Twin of dedup.remove_dup_spans: excise every duplicated span from
-    the token stream, re-join with single spaces (token-level text)."""
-    return _substring_span_ctes(w) + """,
+    the token stream, re-join with single spaces (token-level text);
+    keep_one=True is the Lee-et-al keep-one-occurrence variant."""
+    return _substring_span_ctes(w, keep_one) + """,
 rtok AS (
   SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
   FROM wtok),
@@ -2224,7 +2340,8 @@ hagg AS (
   SELECT count(*) AS nb, sum(power(2.0, -reg)) AS s FROM hregs)
 SELECT {m}::int AS m,
        ({m} - nb)::int AS n_zero_registers,
-       round(CASE WHEN {alpha!r}::double * {m * m} / (s + ({m} - nb))
+       round(CASE WHEN nb = 0 THEN 0.0
+                  WHEN {alpha!r}::double * {m * m} / (s + ({m} - nb))
                        <= {2.5 * m!r}::double
                   AND ({m} - nb) > 0
                   THEN {float(m)!r}::double * ln({float(m)!r}::double / ({m} - nb))

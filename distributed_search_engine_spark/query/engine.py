@@ -253,12 +253,17 @@ def search(
     spark: SparkSession,
     index: SearchIndex,
     query: str,
-    k: int = 200,
+    k: int | None = 200,
     mode: str = "reference",
     all_matched_boost: bool = True,
     use_title_boost: bool = True,
 ) -> DataFrame:
     """Returns (doc_id, score, tfidf, pagerank, title) top-k, deterministic.
+
+    ``k=None`` returns the FULL scored frame with no ordering/limit node —
+    for consumers that re-rank or hash order-insensitively (the oracle
+    gate, the hybrid-RRF pool): no million-row TakeOrdered ever enters
+    the plan.
 
     ``all_matched_boost=False`` reproduces the README-era formula (golden
     scores 1.8/1.2 instead of 7.2/4.8 — SURVEY §5 discrepancy note).
@@ -387,12 +392,11 @@ def search(
             ),
         )
 
-    # Q12: deterministic top-k
-    return (
-        agg.select("doc_id", "score", "tfidf", "pagerank", "title")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    # Q12: deterministic top-k (k=None -> full frame, no sort node)
+    out = agg.select("doc_id", "score", "tfidf", "pagerank", "title")
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def search_bm25_batch(
@@ -473,12 +477,228 @@ def search_bm25_batch(
     )
 
 
+def search_reference_batch(
+    spark: SparkSession,
+    index: SearchIndex,
+    queries: list[str],
+    k: int | None = None,
+    all_matched_boost: bool = True,
+    use_title_boost: bool = True,
+) -> DataFrame:
+    """(query, doc_id, score, tfidf, pagerank, title[, rank]): the FULL
+    reference chain Q1-Q12 (expansion, per-orig dedup, position merge, AND
+    filter, phrase x1.5, PageRank blend, matched-terms boost, title boost)
+    for a whole query SET in ONE Spark job — per-query hash-equal to
+    ``search(mode="reference")`` (pytest-asserted), at batch cost.
+
+    Plan shape mirrors ``search_bm25_batch``: every query's expansion rows
+    carry a query column; the postings table is joined ONCE against the
+    broadcast union of all expansions; the AND filter / phrase pairs /
+    matched-boost sets become tiny broadcast per-query metadata tables;
+    every groupBy and window is keyed (or partitioned) by query — bounded
+    per query, never global. The per-query driver loop this replaces costs
+    one multi-job chain per query (~2.7 s/query measured at sf0.1);
+    the batch form amortizes the whole set over one chain.
+
+    ``k=None`` returns full scored frames (the gate/bench form); with k,
+    rank is assigned per query over the 6dp-ROUNDED score (ties ->
+    doc_id asc), the deterministic refinement batch BM25 already uses.
+
+    Queries that tokenize to nothing or to a lone stop word contribute no
+    rows (Q2 short-circuit, SearchEngine.java:117-127)."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    parsed: list[tuple[str, list[str]]] = []
+    all_stems: set[str] = set()
+    for q in dict.fromkeys(queries):  # dup query strings would fan out joins
+        terms = tokenize_query(q)
+        if not terms or (len(terms) == 1 and terms[0] in STOP_WORDS):
+            continue
+        parsed.append((q, terms))
+        all_stems |= {
+            porter_stem(t) for t in terms
+            if t not in STOP_WORDS and porter_stem(t) != t
+        }
+    empty_schema = (
+        "query string, doc_id string, score double, tfidf double, "
+        "pagerank double, title string"
+        + (", rank int" if k is not None else "")
+    )
+    if not parsed:
+        return spark.createDataFrame([], empty_schema)
+
+    related = _related_words(index, all_stems)
+    exp_rows: list[tuple[str, str, str, int]] = []
+    meta_rows: list[tuple[str, int, int, bool]] = []
+    pair_rows: list[tuple[str, str, str]] = []
+    boost_rows: list[tuple[str, str, str]] = []
+    terms_by_query: dict[str, list[str]] = {}
+    for q, terms in parsed:
+        terms_by_query[q] = terms
+        for term, orig, priority in expand_terms(terms, related):
+            exp_rows.append((q, term, orig, priority))
+        n_terms = len(terms)
+        n_distinct = len(dict.fromkeys(terms))
+        meta_rows.append((q, n_terms, n_distinct, n_terms > 1))
+        if n_terms > 1:
+            pair_rows += [(q, w1, w2) for w1, w2 in zip(terms, terms[1:])]
+            if all_matched_boost:
+                boost_rows += [
+                    (q, t, o) for t, o in matched_boost_pairs(terms)
+                ]
+
+    exp_df = spark.createDataFrame(
+        exp_rows, "query string, term string, orig string, priority int"
+    )
+    qmeta = spark.createDataFrame(
+        meta_rows, "query string, n_terms int, n_distinct int, multi boolean"
+    )
+
+    base = index.lookup_postings(sorted({r[1] for r in exp_rows}))
+    cand = base.join(F.broadcast(exp_df), "term")
+    if "idf" not in base.columns:
+        cand = cand.join(
+            F.broadcast(
+                index.term_stats.select("term", "idf", "idf_bm25", "is_stop")
+            ),
+            "term",
+        )
+
+    # Q5 first-valid-expansion dedup + Q6 position merge, per (query, doc, orig)
+    valid = (~F.col("is_stop")) & (F.col("normalized_tf") > 0)
+    per_doc_orig = cand.groupBy("query", "doc_id", "orig").agg(
+        F.min(
+            F.when(
+                valid,
+                F.struct(
+                    F.col("priority"), F.col("term"),
+                    (F.col("normalized_tf") * F.col("idf")).alias("contrib"),
+                ),
+            )
+        ).alias("best"),
+        F.array_sort(
+            F.array_distinct(F.flatten(F.collect_list("positions")))
+        ).alias("positions"),
+    )
+    agg = per_doc_orig.groupBy("query", "doc_id").agg(
+        F.sum("best.contrib").alias("tfidf"),
+        F.count(F.when(F.size("positions") > 0, 1)).alias("terms_with_pos"),
+        F.map_from_entries(
+            F.collect_list(F.struct("orig", "positions"))
+        ).alias("posmap"),
+    )
+    agg = agg.where(F.col("tfidf").isNotNull()).join(
+        F.broadcast(qmeta), "query"
+    )
+    # Q7 AND filter (multi-term queries only)
+    agg = agg.where(
+        (~F.col("multi")) | (F.col("terms_with_pos") == F.col("n_distinct"))
+    )
+    # Q8 phrase x1.5: every adjacent pair adjacent somewhere in the doc
+    if pair_rows:
+        pairs_df = spark.createDataFrame(
+            pair_rows, "query string, w1 string, w2 string"
+        )
+        ph = (
+            agg.select("query", "doc_id", "posmap")
+            .join(F.broadcast(pairs_df), "query")
+            .select(
+                "query",
+                "doc_id",
+                F.arrays_overlap(
+                    F.transform(
+                        F.element_at(F.col("posmap"), F.col("w1")),
+                        lambda p: p + 1,
+                    ),
+                    F.element_at(F.col("posmap"), F.col("w2")),
+                ).alias("adj"),
+            )
+            .groupBy("query", "doc_id")
+            .agg(F.bool_and("adj").alias("phrase"))
+        )
+        agg = agg.join(ph, ["query", "doc_id"], "left").withColumn(
+            "tfidf",
+            F.when(
+                F.col("multi") & F.coalesce(F.col("phrase"), F.lit(False)),
+                F.col("tfidf") * 1.5,
+            ).otherwise(F.col("tfidf")),
+        )
+    # Q9 PageRank blend
+    ranks = index.ranks
+    if ranks is not None:
+        agg = agg.join(ranks.select("doc_id", "rank"), "doc_id", "left")
+    else:
+        agg = agg.withColumn("rank", F.lit(None).cast("double"))
+    agg = agg.withColumn(
+        "pagerank", F.coalesce(F.col("rank"), F.lit(0.0))
+    ).withColumn("score", F.col("tfidf") * (1.0 + F.col("pagerank")))
+    # Q10 matched-terms boost (multi-term queries only; raw/stem sets)
+    if boost_rows:
+        bp_df = spark.createDataFrame(
+            boost_rows, "query string, term string, orig string"
+        )
+        matched = (
+            index.lookup_postings(sorted({r[1] for r in boost_rows}))
+            .select("term", "doc_id")
+            .join(F.broadcast(bp_df), "term")
+            .select("query", "doc_id", "orig")
+            .distinct()
+            .groupBy("query", "doc_id")
+            .agg(F.count(F.lit(1)).alias("matched"))
+        )
+        agg = agg.join(matched, ["query", "doc_id"], "left").withColumn(
+            "matched", F.coalesce(F.col("matched"), F.lit(0))
+        )
+        ratio = F.col("matched") / F.col("n_terms").cast("double")
+        agg = agg.withColumn(
+            "score",
+            F.when(~F.col("multi"), F.col("score"))
+            .when(F.col("matched") == F.col("n_terms"), F.col("score") * 4.0)
+            .when(F.col("matched") > 0, F.col("score") * (0.3 + 0.7 * ratio))
+            .otherwise(F.col("score") * 0.1),
+        )
+    # Q11 title boost (pandas UDF keyed by the query column)
+    agg = agg.join(index.doc_stats.select("doc_id", "title"), "doc_id", "left")
+    if use_title_boost:
+        tbq = dict(terms_by_query)
+
+        # no type hints: `pd` is function-local, so postponed-evaluation
+        # string annotations would not resolve in pandas_udf's inference
+        def _tboost(qs, titles):
+            return pd.Series(
+                [
+                    title_boost_py(t or "", tbq.get(q, []))
+                    for q, t in zip(qs, titles)
+                ]
+            )
+
+        tb = F.pandas_udf(_tboost, DoubleType())
+        agg = agg.withColumn("tb", tb(F.col("query"), F.col("title"))).withColumn(
+            "score",
+            F.when(F.col("tb") > 1.0, F.col("score") * F.col("tb")).otherwise(
+                F.col("score")
+            ),
+        )
+    out = agg.select("query", "doc_id", "score", "tfidf", "pagerank", "title")
+    if k is None:
+        return out
+    # Q12 per-query top-k over the 6dp-rounded score (deterministic)
+    w = Window.partitionBy("query").orderBy(
+        F.desc(F.round("score", 6)), F.asc("doc_id")
+    )
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def _score_bm25(
     spark: SparkSession,
     index: SearchIndex,
     cand: DataFrame,
     search_terms: list[str],
-    k: int,
+    k: int | None,
 ) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) x (1 + PageRank), per-original-term dedup by
     expansion priority (raw posting preferred over stem, like reference)."""
@@ -509,11 +729,10 @@ def _score_bm25(
         .withColumn("score", F.col("tfidf") * (1.0 + F.col("pagerank")))
         .join(index.doc_stats.select("doc_id", "title"), "doc_id", "left")
     )
-    return (
-        agg.select("doc_id", "score", "tfidf", "pagerank", "title")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-        .limit(k)
-    )
+    out = agg.select("doc_id", "score", "tfidf", "pagerank", "title")
+    if k is None:
+        return out
+    return out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
 def more_like_this(
@@ -701,13 +920,21 @@ def hybrid_rrf_topk(
     over 6dp-rounded scores (deterministic cross-engine order)."""
     from ..operators.similarity import ann_bruteforce_topk
 
-    lex = search(spark, sidx, query_text, k=1_000_000, mode="bm25").select(
+    # Lexical arm, pool-bounded: k=None keeps the scorer's plan free of
+    # any global sort; the 6dp-rounded (score, doc_id) order is TOTAL
+    # (doc_id distinct), so TakeOrdered(limit=pool) selects exactly the
+    # rows a global rank <= pool would, and row_number over those <= pool
+    # survivors (the safe k-bounded-window-after-limit pattern) assigns
+    # the same ranks — no million-row TakeOrdered, no unpartitioned
+    # window over an unbounded input.
+    lex = search(spark, sidx, query_text, k=None, mode="bm25").select(
         "doc_id", F.round("score", 6).alias("_s")
     )
     wl = Window.orderBy(F.desc("_s"), F.asc("doc_id"))
     lexr = (
-        lex.withColumn("lex_rank", F.row_number().over(wl))
-        .where(F.col("lex_rank") <= pool)
+        lex.orderBy(F.desc("_s"), F.asc("doc_id"))
+        .limit(pool)
+        .withColumn("lex_rank", F.row_number().over(wl))
         .select("doc_id", "lex_rank")
     )
     annr = ann_bruteforce_topk(emb, query_id=query_vec_id, k=pool).select(

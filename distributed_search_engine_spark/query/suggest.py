@@ -61,17 +61,60 @@ def spellcheck_word(
     return scored.orderBy(F.asc("distance"), F.asc("term")).limit(1)
 
 
+def spellcheck_words(
+    term_stats: DataFrame,
+    words: list[str],
+    max_distance: int = SPELL_MAX_DISTANCE,
+) -> DataFrame:
+    """(pos, word, term, distance): best dictionary match per word for a
+    whole word list in ONE plan — the word list (bounded by query length)
+    is broadcast against ``reasonable_terms``, distances are JVM-side
+    ``levenshtein``, and the per-word winner is a single partial-aggregated
+    ``min(struct(distance, term))`` groupBy. Words with no match within
+    ``max_distance`` yield no row. Replaces the per-word loop that cost one
+    Spark job per query word (~0.35 s/job floor x word count)."""
+    spark = term_stats.sparkSession
+    wdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "pos int, word string"
+    )
+    scored = (
+        reasonable_terms(term_stats)
+        .crossJoin(F.broadcast(wdf))
+        .select(
+            "pos",
+            "word",
+            "term",
+            F.levenshtein(F.col("word"), F.col("term")).alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+    )
+    return (
+        scored.groupBy("pos", "word")
+        .agg(F.min(F.struct("distance", "term")).alias("best"))
+        .select(
+            "pos",
+            "word",
+            F.col("best.term").alias("term"),
+            F.col("best.distance").cast("int").alias("distance"),
+        )
+    )
+
+
 def spellcheck_query(
     spark: SparkSession, term_stats: DataFrame, query: str
 ) -> list[str]:
     """Per-word query correction (SearchEngine.java:1003-1019): each word
     replaced by its best match; words with no match within distance 2 are
-    kept as typed."""
-    out = []
-    for w in tokenize_py(query):
-        rows = spellcheck_word(term_stats, w).collect()
-        out.append(rows[0]["term"] if rows else w)
-    return out
+    kept as typed. ONE Spark job for any word count (spellcheck_words),
+    not a job-per-word loop."""
+    words = tokenize_py(query)
+    if not words:
+        return []
+    best = {
+        r["pos"]: r["term"]
+        for r in spellcheck_words(term_stats, words).collect()
+    }
+    return [best.get(i, w) for i, w in enumerate(words)]
 
 
 # ---------------------------------------------------------------------------

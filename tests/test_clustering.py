@@ -130,6 +130,27 @@ def test_seeded_centroids_unit_norm_and_deterministic():
     assert seeded_centroids(4, 16, seed=8) != a
 
 
+def test_kmeans_fit_fixed_unrolls_to_gated_updates(spark):
+    # the oracle-mirrorable fixed fit must equal exactly `iters` manual
+    # applications of the gated update_centroids step (6dp-rounded means,
+    # empty clusters keeping their previous centroid)
+    from distributed_search_engine_spark.operators.clustering import (
+        kmeans_fit_fixed,
+    )
+
+    emb = _emb(spark)
+    seeds = seeded_centroids(8, 64, seed=11)
+    got = kmeans_fit_fixed(emb, seeds, iters=2)
+    cents = [list(c) for c in seeds]
+    for _ in range(2):
+        rows = update_centroids(emb, cents).collect()
+        nxt = list(cents)
+        for r in rows:
+            nxt[r["cluster"]] = [float(r[f"c{d}"]) for d in range(64)]
+        cents = nxt
+    assert got == cents
+
+
 def test_ivf_with_kmeans_centroids(spark):
     # composition: trained coarse quantizer feeding IVF — recall vs
     # brute force must be >= the id-sampled-seed IVF at equal n_probe

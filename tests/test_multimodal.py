@@ -286,6 +286,29 @@ def test_jpeg_roundtrip_smooth_and_uniform():
     assert (ow, oh) == (13, 17) and odec.shape == (17, 13, 3)
 
 
+def test_jpeg_zigzag_matches_t81_spec_table():
+    """Interop lock: _zigzag_order() must equal the published ITU-T T.81
+    zigzag sequence exactly. The encoder and decoder SHARE the table, so
+    internal round-trips cannot catch a transposed table — any deviation
+    here silently garbles every externally-produced baseline JPEG (and
+    makes our output garble in external decoders). The 64 raster indices
+    below are the canonical spec sequence (T.81 Figure 5 / libjpeg
+    jpeg_natural_order)."""
+    from distributed_search_engine_spark.operators.multimodal import _zigzag_order
+
+    t81 = [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+    assert _zigzag_order().tolist() == t81
+
+
 def test_jpeg_flows_through_feature_pipeline(spark):
     import numpy as np
 

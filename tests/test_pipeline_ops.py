@@ -1286,6 +1286,31 @@ def test_remove_dup_spans_full_doc_excised(spark):
         assert out[d]["clean_text"] == ""
 
 
+def test_remove_dup_spans_keep_one_spares_first_occurrence(spark):
+    # Lee et al. keep-one variant: two identical 8-token docs — the
+    # corpus-first copy (doc_id 'x' < 'y') survives intact, the second
+    # is excised; default mode removes both (RefinedWeb-style)
+    t = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [("x", t), ("y", t)], "doc_id string, text string"
+    )
+    keep = {
+        r["doc_id"]: r
+        for r in D.remove_dup_spans(docs, w=8, keep_one=True).collect()
+    }
+    assert keep["x"]["n_removed"] == 0 and keep["x"]["clean_text"] == t
+    assert keep["y"]["n_removed"] == 8 and keep["y"]["clean_text"] == ""
+    # three copies: still exactly one survivor (the argmin doc)
+    docs3 = spark.createDataFrame(
+        [("x", t), ("y", t), ("w", t)], "doc_id string, text string"
+    )
+    keep3 = {
+        r["doc_id"]: r["n_removed"]
+        for r in D.remove_dup_spans(docs3, w=8, keep_one=True).collect()
+    }
+    assert keep3 == {"w": 0, "x": 8, "y": 8}  # 'w' < 'x' < 'y' string order
+
+
 def test_remove_dup_spans_two_spans_one_doc(spark):
     # both duplicated regions cut, interior filler kept
     run1 = "one two three four"
@@ -1413,6 +1438,32 @@ def test_hll_small_range_correction(spark):
     v = out["n_zero_registers"]
     assert v == 253  # 3 distinct tokens -> 3 occupied registers
     assert abs(out["est_distinct"] - round(256 * math.log(256 / v), 4)) < 1e-9
+
+
+def test_hll_empty_stream_is_zero_not_null(spark):
+    # an empty token stream (all-whitespace docs) leaves zero occupied
+    # registers; the estimate must be 0.0, not NULL (V == m small-range
+    # correction gives m*ln(m/m) = 0) — both here and in the DuckDB twin
+    docs = spark.createDataFrame(
+        [("1", "   "), ("2", "")], "doc_id string, text string"
+    )
+    out = TA.hll_distinct(docs, b=8).collect()[0]
+    assert out["n_zero_registers"] == 256
+    assert out["est_distinct"] == 0.0
+
+    import duckdb
+
+    from distributed_search_engine_spark.oracle import hll_distinct_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT '1' AS doc_id, '   ' AS text "
+        "UNION ALL SELECT '2', ''"
+    )
+    sql = hll_distinct_sql(b=8)
+    # the oracle's base_ctes read from the documents view registered above
+    row = con.execute(sql).fetchall()[0]
+    assert row[1] == 256 and row[2] == 0.0
 
 
 def test_priority_sample_weight_bias_and_determinism(spark):

@@ -260,6 +260,24 @@ def test_bloom_prune_is_map_side_only(spark):
     assert "codegen id" in plan
 
 
+def test_hybrid_rrf_lexical_arm_is_pool_bounded(spark):
+    """The RRF lexical arm must fetch only the top-`pool` BM25 rows: no
+    million-row TakeOrdered feeding the fusion, and every window in the
+    plan runs AFTER a bounded limit (the k-bounded-window-after-limit
+    pattern) — never over the unbounded scored frame."""
+    import __spark_entry__ as E
+
+    df = E.queries()["search_hybrid_rrf"](spark, "/root/testdata/sf0.001")
+    plan = plan_of(df)
+    # formatted explain prints TakeOrdered limits as "Arguments: <n>, [..."
+    assert "Arguments: 1000000," not in plan
+    # pool-bounded top-100 selection is a TakeOrdered, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Arguments: 100, [" in plan
+    # fused output still correct at this SF
+    assert df.count() > 0
+
+
 def test_pack_sequences_has_no_global_doc_window(spark):
     """The distributed prefix sum must never sort all docs in one task:
     every window over doc rows is PARTITIONED by block; the only

@@ -187,6 +187,46 @@ def test_title_boost_applied_in_search(spark, corpus_index):
     assert abs(with_tb["c3"] - without["c3"]) < 1e-9
 
 
+def test_reference_batch_matches_single_query_search(spark, corpus_index):
+    """search_reference_batch (whole query set, ONE job) must be per-query
+    value-identical (6dp) to search(mode='reference') — every chain stage:
+    stem expansion, Q5 dedup, AND filter, phrase x1.5, matched x4.0/partial,
+    title boost tiers."""
+    from distributed_search_engine_spark.query.engine import (
+        search_reference_batch,
+    )
+
+    qs = ["alpha", "alpha ship", "computing", "sails computing", "the"]
+    batch = search_reference_batch(spark, corpus_index, qs, k=None)
+    got = {
+        (r["query"], r["doc_id"]): round(r["score"], 6)
+        for r in batch.collect()
+    }
+    want = {}
+    for q in qs:
+        for r in search(spark, corpus_index, q, k=None, mode="reference").collect():
+            want[(q, r["doc_id"])] = round(r["score"], 6)
+    assert got == want
+    assert not any(q == "the" for q, _ in got)  # Q2 stop short-circuit
+    assert len({q for q, _ in got}) >= 3
+
+
+def test_reference_batch_pagerank_blend(spark, phrase_index):
+    """Batch form must apply the Q9 PageRank blend and the golden x4.0
+    all-matched boost exactly like the single-query path (7.2/4.8 goldens
+    carry through the batch)."""
+    from distributed_search_engine_spark.query.engine import (
+        search_reference_batch,
+    )
+
+    batch = search_reference_batch(
+        spark, phrase_index, ["space travel"], k=None, use_title_boost=False
+    )
+    s = {r["doc_id"]: r["score"] for r in batch.collect()}
+    assert abs(s[DOC1] - 7.2) < 1e-9
+    assert abs(s[DOC2] - 4.8) < 1e-9
+
+
 def test_phrase_pipeline(spark, corpus_index):
     # 'alpha ship': adjacent in c1 (positions 1-2 and 3-4), c2 has both,
     # adjacent? c2 tokens: beta(1) ship(2) ship(3) of(4) beta(5) computing(6)

@@ -53,6 +53,29 @@ def test_spellcheck_query(spark, ts):
     # 'animel' is distance 1 from 'animal' (FIXTURES.md §5 query 9)
     got = spellcheck_query(spark, ts, "animel strem")
     assert got[0] == "animal"
+    # unmatched words are kept as typed
+    assert spellcheck_query(spark, ts, "xyzzyplugh animel") == [
+        "xyzzyplugh", "animal",
+    ]
+
+
+def test_spellcheck_words_batch_equals_per_word_loop(spark, ts):
+    """The one-job batch form must agree word-for-word with
+    spellcheck_word's (distance asc, term asc) winner — including repeated
+    words, exact dictionary hits, and no-match words (absent rows)."""
+    from distributed_search_engine_spark.query.suggest import spellcheck_words
+
+    words = ["strem", "stream", "animel", "xyzzyplugh", "strem"]
+    got = {
+        r["pos"]: (r["word"], r["term"], r["distance"])
+        for r in spellcheck_words(ts, words).collect()
+    }
+    for i, w in enumerate(words):
+        rows = spellcheck_word(ts, w).collect()
+        if rows:
+            assert got[i] == (w, rows[0]["term"], rows[0]["distance"]), w
+        else:
+            assert i not in got, w
 
 
 def test_snippet_window():
