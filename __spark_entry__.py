@@ -591,6 +591,68 @@ def _q_span_removal_keepone(spark, sf_dir):
     return D.remove_dup_spans(_capped_docs(spark, sf_dir), w=8, keep_one=True)
 
 
+def _q_bm25f(spark, sf_dir):
+    # BM25F (Zaragoza et al. CIKM'04): field-weighted retrieval over
+    # {title (extractTitle contract, weight 2.0), body (the postings
+    # tokenizer, weight 1.0)} — per-field length-normalized tfs combine
+    # into one pseudo-frequency BEFORE k1 saturation
+    from distributed_search_engine_spark.query.engine import search_bm25f
+
+    return search_bm25f(_capped_docs(spark, sf_dir), ["spark", "join"])
+
+
+def _q_containment(spark, sf_dir):
+    # asymmetric n-gram containment (Broder SEQUENCES'97) on the MinHash-
+    # LSH candidates: |common|/|A|, |common|/|B|, and the max — the
+    # doc-inside-doc detector jaccard structurally misses
+    sh = _shingles(spark, sf_dir)
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(sh))
+    return D.containment_pairs(sh, threshold=0.5, candidates=cands)
+
+
+def _q_events_scd2(spark, sf_dir):
+    # SCD2-style state-change compression: per user, consecutive runs of
+    # the same event_type collapse to one (valid_from, valid_to) row —
+    # the lakehouse "latest state history" op. Two windows, BOTH
+    # partitioned by user_id (no global sort; scale-safe), epoch doubles
+    # so interval arithmetic is bit-identical cross-engine.
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    runs = (
+        e.withColumn(
+            "_chg",
+            F.when(
+                F.lag("event_type").over(w).isNull()
+                | (F.lag("event_type").over(w) != F.col("event_type")),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_run", F.sum("_chg").over(w))
+        .groupBy("user_id", "_run")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.min(epoch).alias("valid_from"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+    wr = Window.partitionBy("user_id").orderBy("_run")
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.round("valid_from", 6).alias("valid_from"),
+        F.round(
+            F.coalesce(
+                F.lead("valid_from").over(wr), F.lit(float("inf"))
+            ),
+            6,
+        ).alias("valid_to"),
+        "n_events",
+    )
+
+
 def _q_bpe_encode(spark, sf_dir):
     # full BPE tokenizer: distributed word-count pass -> driver merge loop
     # (vocab-sized) -> broadcast-merge pandas-UDF encode. The TRAIN loop is
@@ -1317,6 +1379,34 @@ GROUP BY 1, 2
 """
 
 
+_EVENTS_SCD2_ORACLE = """
+WITH r AS (
+  SELECT user_id, event_type, event_id, epoch(ts) AS ep,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs0 AS (
+  SELECT user_id, event_type, ep,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS run
+  FROM r
+),
+runs AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(ep) AS valid_from, count(*)::bigint AS n_events
+  FROM runs0 GROUP BY 1, 2
+)
+SELECT user_id, event_type,
+       round(valid_from, 6) AS valid_from,
+       round(coalesce(lead(valid_from)
+                        OVER (PARTITION BY user_id ORDER BY run),
+                      'infinity'::double), 6) AS valid_to,
+       n_events
+FROM runs
+"""
+
+
 def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-mitigated equi-join: deterministic 8-way salting spreads any
     # hot user's events over 8 reducers; output is ROW-IDENTICAL to the
@@ -1689,6 +1779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plan changed this round must sit at the front (then the window
         # rotates: the r3-gated block, then the r4-gated block)
         "text_bpe_encode": _q_bpe_encode,
+        "search_bm25f": _q_bm25f,
+        "dedup_containment": _q_containment,
+        "events_scd2_compress": _q_events_scd2,
         "suggest_spellcheck_query": _q_spellcheck_query,
         "search_reference_batch": _q_reference_batch,
         "ann_ivf_trained": _q_ann_ivf_trained,
@@ -1805,6 +1898,9 @@ def oracle_sql() -> dict[str, str]:
         # exemption), the one-job spellcheck batch, the batched reference
         # chain, and the trained-quantizer IVF
         "text_bpe_encode": _bpe_expected_sql(50),
+        "search_bm25f": oracle.bm25f_sql(["spark", "join"]),
+        "dedup_containment": oracle.containment_pairs_lsh_sql(0.5, 16, 4),
+        "events_scd2_compress": _EVENTS_SCD2_ORACLE,
         "suggest_spellcheck_query": oracle.spellcheck_query_sql(
             SPELLCHECK_QUERY_WORDS
         ),

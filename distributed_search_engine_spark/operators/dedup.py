@@ -268,6 +268,75 @@ def jaccard_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def containment_pairs(
+    shingles_df: DataFrame,
+    threshold: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, cont_a_in_b, cont_b_in_a, containment): exact n-gram
+    CONTAINMENT on candidate pairs — the asymmetric cousin of jaccard.
+
+    cont_a_in_b = |A ∩ B| / |A| (how much of A's shingle set B covers);
+    ``containment`` = max of the two directions, the doc-inside-doc
+    detector: a short document pasted verbatim into a long one has tiny
+    jaccard (union is dominated by the long doc) but containment ~1.0 —
+    Broder's resemblance-vs-containment split (SEQUENCES'97), the reason
+    quote/boilerplate inclusion dedup can't run on jaccard alone.
+
+    Plan shape is identical to ``jaccard_pairs(candidates=...)``: common
+    counts via two doc-keyed equi-joins against the candidate list (no
+    shingle self-join), sizes from one groupBy — O(|candidates| x
+    shingles-per-doc). NOTE the recall contract (RECALL.md): MinHash-LSH
+    candidates are tuned for high JACCARD; a containment-1.0 pair with
+    tiny jaccard collides only if the small doc's shingles win enough
+    min-hash slots (P ≈ 1-(1-j^r)^b on the pair's jaccard). For a
+    containment-complete generator, band the SMALL side's full signature
+    (threshold on |A|) — out of scope here; the kernel itself is exact on
+    every pair it is given. Threshold filters on the max direction."""
+    sizes = shingles_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    if candidates is None:
+        candidates = lsh_candidate_pairs(minhash_signatures(shingles_df))
+    a = shingles_df.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = shingles_df.select(
+        F.col("doc_id").alias("_doc_b"), F.col("shingle").alias("_shingle_b")
+    )
+    common = (
+        candidates.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(
+            b,
+            (F.col("doc_b") == F.col("_doc_b"))
+            & (F.col("shingle") == F.col("_shingle_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(
+            sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"),
+            "doc_b",
+        )
+        .where(
+            (F.col("common") / F.least(F.col("sza"), F.col("szb")))
+            >= threshold
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common") / F.col("sza"), 6).alias("cont_a_in_b"),
+            F.round(F.col("common") / F.col("szb"), 6).alias("cont_b_in_a"),
+            F.round(
+                F.col("common") / F.least(F.col("sza"), F.col("szb")), 6
+            ).alias("containment"),
+        )
+    )
+    return out
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -228,103 +228,115 @@ def emit_postings_arrow(
         names=["term", "doc_id", "positions", "tf", "weighted_tf", "raw_tf"],
     )
 
+    # Sub-batch size: the kernel's working set (flat token array +
+    # dictionary hash + lexsort permutation, ~130 tokens/doc) must stay
+    # cache-resident PER WORKER. At the session's 10k-row Arrow batches
+    # the ~1.3M-token intermediates thrash the shared LLC — measured 4.2x
+    # slower at 8 concurrent workers and 2.5x slower even at 2 (r5
+    # batch-size sweep, BENCH/BASELINE.md); zero-copy slicing each
+    # incoming batch to ~2k docs restores cache residency without
+    # touching the global Arrow batch config other operators want large.
+    CHUNK_DOCS = 2048
+
     def _kernel(batch_iter):
-        for batch in batch_iter:
-            doc_ids = batch.column("doc_id")
-            content = batch.column("content")
-            s = pc.replace_substring_regex(content, pattern=T.RE_HTML_TAGS, replacement=" ")
-            s = pc.replace_substring_regex(s, pattern=T.RE_NON_ALNUM, replacement=" ")
-            s = pc.utf8_lower(s)
-            s = pc.utf8_trim_whitespace(s)
-            lists = pc.split_pattern_regex(s, pattern=T.RE_WS)
-            lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
-            flat = pc.list_flatten(lists)
-            n_tok = len(flat)
-            if n_tok == 0:
-                yield empty
-                continue
-            starts = np.cumsum(lens) - lens
-            pos = (np.arange(n_tok, dtype=np.int64) - np.repeat(starts, lens) + 1).astype(np.int32)
-            doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-            # isWorthIndexing, vectorized (tokens are pure ascii [a-z0-9]
-            # after the cleanup, so is_alpha == ^[a-z]+$ here)
-            L = pc.utf8_length(flat)
-            worth = pc.and_(
-                pc.greater_equal(L, T.MIN_TOKEN_LEN),
-                pc.or_(
-                    pc.and_(pc.utf8_is_alpha(flat), pc.less_equal(L, T.MAX_TOKEN_LEN)),
-                    pc.and_(pc.utf8_is_numeric(flat), pc.less_equal(L, 4)),
-                ),
-            ).to_numpy(zero_copy_only=False)
-            keep = np.nonzero(worth)[0]
-            if len(keep) == 0:
-                yield empty
-                continue
-            terms = flat.take(pa.array(keep))
-            pos_k = pos[keep]
-            doc_k = doc_idx[keep]
-            dict_terms = pc.dictionary_encode(terms)
-            codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-            vocab = dict_terms.dictionary.to_pylist()
+        for full_batch in batch_iter:
+            for off in range(0, full_batch.num_rows, CHUNK_DOCS):
+                batch = full_batch.slice(off, CHUNK_DOCS)
+                doc_ids = batch.column("doc_id")
+                content = batch.column("content")
+                s = pc.replace_substring_regex(content, pattern=T.RE_HTML_TAGS, replacement=" ")
+                s = pc.replace_substring_regex(s, pattern=T.RE_NON_ALNUM, replacement=" ")
+                s = pc.utf8_lower(s)
+                s = pc.utf8_trim_whitespace(s)
+                lists = pc.split_pattern_regex(s, pattern=T.RE_WS)
+                lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False).astype(np.int64)
+                flat = pc.list_flatten(lists)
+                n_tok = len(flat)
+                if n_tok == 0:
+                    yield empty
+                    continue
+                starts = np.cumsum(lens) - lens
+                pos = (np.arange(n_tok, dtype=np.int64) - np.repeat(starts, lens) + 1).astype(np.int32)
+                doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+                # isWorthIndexing, vectorized (tokens are pure ascii [a-z0-9]
+                # after the cleanup, so is_alpha == ^[a-z]+$ here)
+                L = pc.utf8_length(flat)
+                worth = pc.and_(
+                    pc.greater_equal(L, T.MIN_TOKEN_LEN),
+                    pc.or_(
+                        pc.and_(pc.utf8_is_alpha(flat), pc.less_equal(L, T.MAX_TOKEN_LEN)),
+                        pc.and_(pc.utf8_is_numeric(flat), pc.less_equal(L, 4)),
+                    ),
+                ).to_numpy(zero_copy_only=False)
+                keep = np.nonzero(worth)[0]
+                if len(keep) == 0:
+                    yield empty
+                    continue
+                terms = flat.take(pa.array(keep))
+                pos_k = pos[keep]
+                doc_k = doc_idx[keep]
+                dict_terms = pc.dictionary_encode(terms)
+                codes = dict_terms.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                vocab = dict_terms.dictionary.to_pylist()
 
-            if with_stems:
-                # stem per DISTINCT term; stop words never stem (I12)
-                stem_target = np.full(len(vocab), -1, dtype=np.int64)
-                extra_vocab: list[str] = []
-                vocab_index = {t: i for i, t in enumerate(vocab)}
-                for i, t in enumerate(vocab):
-                    if t in STOP_WORDS:
-                        continue
-                    st = porter_stem(t)
-                    if st and st != t:
-                        j = vocab_index.get(st)
-                        if j is None:
-                            j = len(vocab) + len(extra_vocab)
-                            vocab_index[st] = j
-                            extra_vocab.append(st)
-                        stem_target[i] = j
-                tgt = stem_target[codes]
-                mask = tgt >= 0
-                all_codes = np.concatenate([codes, tgt[mask]])
-                all_doc = np.concatenate([doc_k, doc_k[mask]])
-                all_pos = np.concatenate([pos_k, pos_k[mask]])
-                raw_flag = np.concatenate(
-                    [np.ones(len(codes), dtype=np.int32), np.zeros(int(mask.sum()), dtype=np.int32)]
+                if with_stems:
+                    # stem per DISTINCT term; stop words never stem (I12)
+                    stem_target = np.full(len(vocab), -1, dtype=np.int64)
+                    extra_vocab: list[str] = []
+                    vocab_index = {t: i for i, t in enumerate(vocab)}
+                    for i, t in enumerate(vocab):
+                        if t in STOP_WORDS:
+                            continue
+                        st = porter_stem(t)
+                        if st and st != t:
+                            j = vocab_index.get(st)
+                            if j is None:
+                                j = len(vocab) + len(extra_vocab)
+                                vocab_index[st] = j
+                                extra_vocab.append(st)
+                            stem_target[i] = j
+                    tgt = stem_target[codes]
+                    mask = tgt >= 0
+                    all_codes = np.concatenate([codes, tgt[mask]])
+                    all_doc = np.concatenate([doc_k, doc_k[mask]])
+                    all_pos = np.concatenate([pos_k, pos_k[mask]])
+                    raw_flag = np.concatenate(
+                        [np.ones(len(codes), dtype=np.int32), np.zeros(int(mask.sum()), dtype=np.int32)]
+                    )
+                    full_vocab = vocab + extra_vocab
+                else:
+                    all_codes, all_doc, all_pos = codes, doc_k, pos_k
+                    raw_flag = np.ones(len(codes), dtype=np.int32)
+                    full_vocab = vocab
+
+                order = np.lexsort((all_pos, all_codes, all_doc))
+                codes_s, doc_s, pos_s = all_codes[order], all_doc[order], all_pos[order]
+                raw_s = raw_flag[order]
+                n = len(order)
+                boundary = np.empty(n, dtype=bool)
+                boundary[0] = True
+                boundary[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
+                gstart = np.nonzero(boundary)[0]
+                gsize = np.diff(np.append(gstart, n))
+                raw_tf = np.add.reduceat(raw_s, gstart)
+                offsets = np.append(gstart, n).astype(np.int32)
+                positions_arr = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(pos_s, type=pa.int32())
                 )
-                full_vocab = vocab + extra_vocab
-            else:
-                all_codes, all_doc, all_pos = codes, doc_k, pos_k
-                raw_flag = np.ones(len(codes), dtype=np.int32)
-                full_vocab = vocab
-
-            order = np.lexsort((all_pos, all_codes, all_doc))
-            codes_s, doc_s, pos_s = all_codes[order], all_doc[order], all_pos[order]
-            raw_s = raw_flag[order]
-            n = len(order)
-            boundary = np.empty(n, dtype=bool)
-            boundary[0] = True
-            boundary[1:] = (codes_s[1:] != codes_s[:-1]) | (doc_s[1:] != doc_s[:-1])
-            gstart = np.nonzero(boundary)[0]
-            gsize = np.diff(np.append(gstart, n))
-            raw_tf = np.add.reduceat(raw_s, gstart)
-            offsets = np.append(gstart, n).astype(np.int32)
-            positions_arr = pa.ListArray.from_arrays(
-                pa.array(offsets), pa.array(pos_s, type=pa.int32())
-            )
-            vocab_arr = pa.array(full_vocab, type=pa.string())
-            term_arr = vocab_arr.take(pa.array(codes_s[gstart]))
-            docid_arr = doc_ids.take(pa.array(doc_s[gstart]))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    term_arr,
-                    docid_arr,
-                    positions_arr,
-                    pa.array(gsize.astype(np.int32)),
-                    pa.array(gsize.astype(np.float64)),
-                    pa.array(raw_tf.astype(np.int32)),
-                ],
-                names=["term", "doc_id", "positions", "tf", "weighted_tf", "raw_tf"],
-            )
+                vocab_arr = pa.array(full_vocab, type=pa.string())
+                term_arr = vocab_arr.take(pa.array(codes_s[gstart]))
+                docid_arr = doc_ids.take(pa.array(doc_s[gstart]))
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        term_arr,
+                        docid_arr,
+                        positions_arr,
+                        pa.array(gsize.astype(np.int32)),
+                        pa.array(gsize.astype(np.float64)),
+                        pa.array(raw_tf.astype(np.int32)),
+                    ],
+                    names=["term", "doc_id", "positions", "tf", "weighted_tf", "raw_tf"],
+                )
 
     return sel.mapInArrow(_kernel, schema=_ARROW_OUT_SCHEMA)
 

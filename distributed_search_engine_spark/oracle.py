@@ -17,6 +17,7 @@ from __future__ import annotations
 from .functions.stopwords import STOP_WORDS
 from .functions.text import (
     MAX_DOC_CHARS,
+    _duckdb_tokens_of,
     duckdb_title_expr,
     duckdb_tokens_expr,
     duckdb_worth,
@@ -549,6 +550,34 @@ FROM common
 JOIN sz sa ON sa.doc_id = common.doc_a
 JOIN sz sb ON sb.doc_id = common.doc_b
 WHERE common.c / (sa.c + sb.c - common.c) >= {threshold}
+"""
+
+
+def containment_pairs_lsh_sql(
+    threshold: float = 0.0, n_hashes: int = 16, bands: int = 4
+) -> str:
+    """Exact n-gram containment on MinHash-LSH candidates — twin of
+    dedup.containment_pairs(candidates=lsh_candidate_pairs(...)): both
+    directional containments plus the max (doc-inside-doc detector).
+    Same candidate CTEs as the jaccard twin; only the final formula
+    differs (|common|/|A|, |common|/|B|, |common|/min)."""
+    return _shingle_ctes() + _lsh_band_ctes(n_hashes, bands) + f""",
+sz AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+common AS (
+  SELECT cd.doc_a, cd.doc_b, count(*) AS c
+  FROM cand cd
+  JOIN sh sha ON sha.doc_id = cd.doc_a
+  JOIN sh shb ON shb.doc_id = cd.doc_b AND shb.shingle = sha.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common.c / sa.c, 6) AS cont_a_in_b,
+       round(common.c / sb.c, 6) AS cont_b_in_a,
+       round(common.c / least(sa.c, sb.c), 6) AS containment
+FROM common
+JOIN sz sa ON sa.doc_id = common.doc_a
+JOIN sz sb ON sb.doc_id = common.doc_b
+WHERE common.c / least(sa.c, sb.c) >= {threshold}
 """
 
 
@@ -2415,4 +2444,85 @@ pmrk AS (
          row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS rank
   FROM pmsc)
 SELECT w1, w2, c12, pmi, rank::int AS rank FROM pmrk WHERE rank <= {k}
+"""
+
+
+def bm25f_sql(
+    terms: list[str],
+    k1: float = BM25_K1,
+    w_title: float = 2.0,
+    w_body: float = 1.0,
+    b_title: float = 0.75,
+    b_body: float = 0.75,
+) -> str:
+    """Twin of query.engine.search_bm25f: simple BM25F over {title, body}
+    — identical field extraction (duckdb_title_expr = the engine's
+    extractTitle contract), identical worthy-token filter, identical
+    pseudo-frequency and idf formulas with the same literal order."""
+    inlist = ", ".join(f"'{t}'" for t in terms if t)
+    body = duckdb_tokens_expr("text")
+    title_toks = _duckdb_tokens_of(duckdb_title_expr("text"))
+    worth = duckdb_worth("t")
+    return f"""
+WITH d AS (
+  SELECT doc_id::varchar AS doc_id,
+         list_filter({body}, t -> t <> '' AND {worth}) AS body,
+         list_filter({title_toks}, t -> t <> '' AND {worth}) AS title
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) <= {MAX_DOC_CHARS}
+),
+lens AS (
+  SELECT doc_id, len(body)::double AS len_b, len(title)::double AS len_t
+  FROM d
+),
+corpus AS (
+  SELECT count(*)::double AS n_docs, avg(len_b) AS avgl_b,
+         avg(len_t) AS avgl_t
+  FROM lens
+),
+tfb AS (
+  SELECT doc_id, term, count(*)::double AS tf_b
+  FROM (SELECT doc_id, unnest(body) AS term FROM d)
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+tft AS (
+  SELECT doc_id, term, count(*)::double AS tf_t
+  FROM (SELECT doc_id, unnest(title) AS term FROM d)
+  WHERE term IN ({inlist}) GROUP BY 1, 2
+),
+tf AS (
+  SELECT doc_id, term,
+         coalesce(tf_b, 0.0::double) AS tf_b,
+         coalesce(tf_t, 0.0::double) AS tf_t
+  FROM tfb FULL JOIN tft USING (doc_id, term)
+),
+dfs AS (SELECT term, count(*)::double AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ln((c.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+         * ({w_title}::double * tf.tf_t /
+              ((1.0 - {b_title}::double) + {b_title}::double *
+               (CASE WHEN c.avgl_t > 0.0 THEN l.len_t / c.avgl_t
+                     ELSE 1.0 END))
+            + {w_body}::double * tf.tf_b /
+              ((1.0 - {b_body}::double) + {b_body}::double *
+               (CASE WHEN c.avgl_b > 0.0 THEN l.len_b / c.avgl_b
+                     ELSE 1.0 END)))
+         / ({k1}::double
+            + ({w_title}::double * tf.tf_t /
+                 ((1.0 - {b_title}::double) + {b_title}::double *
+                  (CASE WHEN c.avgl_t > 0.0 THEN l.len_t / c.avgl_t
+                        ELSE 1.0 END))
+               + {w_body}::double * tf.tf_b /
+                 ((1.0 - {b_body}::double) + {b_body}::double *
+                  (CASE WHEN c.avgl_b > 0.0 THEN l.len_b / c.avgl_b
+                        ELSE 1.0 END)))) AS contrib
+  FROM tf
+  JOIN lens l USING (doc_id)
+  CROSS JOIN corpus c
+  JOIN dfs USING (term)
+)
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id
+HAVING round(sum(contrib), 6) > 0.0
 """

@@ -959,3 +959,137 @@ def hybrid_rrf_topk(
     top = scored.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(k)
     wr = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# BM25F — fielded BM25 (Zaragoza, Craswell, Taylor, Saria & Robertson,
+# CIKM'04 "Microsoft Cambridge at TREC-13", the "simple BM25F"): per-field
+# term frequencies are length-normalized and weight-combined into ONE
+# pseudo-frequency BEFORE the k1 saturation, so a term hit in a short
+# weighted field (title) is worth more than the same hit diluted in the
+# body — structurally different from scoring fields separately and adding
+# (which double-saturates). Fields here: title (the engine's extractTitle
+# contract — <title> inner text, else first line) and body (the full
+# worthy-token stream, same tokenizer as the postings pipeline).
+# ---------------------------------------------------------------------------
+
+BM25F_W_TITLE = 2.0
+BM25F_W_BODY = 1.0
+BM25F_B_TITLE = 0.75
+BM25F_B_BODY = 0.75
+
+
+def search_bm25f(
+    docs: DataFrame,
+    terms: list[str],
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+    k1: float = BM25_K1,
+    w_title: float = BM25F_W_TITLE,
+    w_body: float = BM25F_W_BODY,
+    b_title: float = BM25F_B_TITLE,
+    b_body: float = BM25F_B_BODY,
+) -> DataFrame:
+    """(doc_id, score): simple BM25F over {title, body} for a bag of query
+    terms.
+
+      tf~(t,d)  = w_title*tf_title/B_title + w_body*tf_body/B_body
+      B_f       = (1 - b_f) + b_f * len_f(d)/avgl_f
+      score(d)  = sum_t idf_bm25(t) * tf~ / (k1 + tf~)
+
+    idf_bm25 is the same ln((N-df+0.5)/(df+0.5)+1) the BM25 path uses, with
+    df = docs containing t in ANY field. Plan shape (scale audit): both
+    field token arrays are ONE map-side projection per doc (tokenize +
+    worthy list-filter — zero shuffle); the query-term IN filter runs
+    fused right after each explode, so only query-term tokens ever reach
+    the per-field tf groupBy (shuffle keyed by (doc, term), cardinality
+    <= |terms| x docs-hit); field tfs meet in a co-partitioned full-outer
+    join; per-doc field lengths join doc-keyed; the corpus aggregates
+    (N, avgl_title, avgl_body) are one 1-row broadcast. At index-serving
+    scale the per-field tf frame is precomputed exactly like the postings
+    table — this function IS that build restricted to the query terms.
+    DuckDB twin: oracle.bm25f_sql (identical literals, field exprs and
+    fold shapes; 6dp-rounded at the comparison boundary)."""
+    from ..functions import text as T
+
+    tlist = [t for t in terms if t]
+    d = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        F.filter(
+            T.tokens_col(F.col(content_col)),
+            lambda x: (x != "") & T.is_worth_col(x),
+        ).alias("_body"),
+        F.filter(
+            T.tokens_col(T.title_col(F.col(content_col))),
+            lambda x: (x != "") & T.is_worth_col(x),
+        ).alias("_title"),
+    )
+    lens = d.select(
+        "doc_id",
+        F.size("_body").cast("double").alias("len_b"),
+        F.size("_title").cast("double").alias("len_t"),
+    )
+    corpus = lens.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("len_b").alias("avgl_b"),
+        F.avg("len_t").alias("avgl_t"),
+    )
+
+    # ONE field-tagged token stream -> ONE (doc, term) shuffle with
+    # conditional partial sums: both field tfs come out of a single
+    # tokenize pass and a single exchange (two separate explodes would
+    # tokenize the corpus twice and meet in a full-outer join).
+    tagged = d.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "_body",
+                    lambda x: F.struct(
+                        F.lit("b").alias("f"), x.alias("term")
+                    ),
+                ),
+                F.transform(
+                    "_title",
+                    lambda x: F.struct(
+                        F.lit("t").alias("f"), x.alias("term")
+                    ),
+                ),
+            )
+        ).alias("ft"),
+    ).select("doc_id", F.col("ft.f").alias("f"), F.col("ft.term").alias("term"))
+    tf = (
+        tagged.where(F.col("term").isin(tlist))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.sum(F.when(F.col("f") == "b", 1.0).otherwise(0.0)).alias("tf_b"),
+            F.sum(F.when(F.col("f") == "t", 1.0).otherwise(0.0)).alias("tf_t"),
+        )
+    )
+    df_per_term = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
+    scored = (
+        tf.join(lens, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .join(F.broadcast(df_per_term), "term")
+    )
+    b_t = F.lit(1.0 - b_title) + F.lit(b_title) * F.when(
+        F.col("avgl_t") > 0.0, F.col("len_t") / F.col("avgl_t")
+    ).otherwise(F.lit(1.0))
+    b_b = F.lit(1.0 - b_body) + F.lit(b_body) * F.when(
+        F.col("avgl_b") > 0.0, F.col("len_b") / F.col("avgl_b")
+    ).otherwise(F.lit(1.0))
+    pseudo = F.lit(w_title) * F.col("tf_t") / b_t + F.lit(w_body) * F.col(
+        "tf_b"
+    ) / b_b
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    contrib = idf * pseudo / (F.lit(k1) + pseudo)
+    return (
+        scored.select("doc_id", contrib.alias("_c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_c"), 6).alias("score"))
+        .where(F.col("score") > 0.0)
+    )

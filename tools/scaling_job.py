@@ -43,6 +43,11 @@ def cluster_session(n_executors: int, executor_mem_mb: int = 5120) -> SparkSessi
         .appName(f"scaling-{n_executors}x2")
         .config("spark.sql.shuffle.partitions", "64")
         .config("spark.sql.adaptive.enabled", "true")
+        # keep AQE from coalescing the caps-window shuffle below the 4N
+        # core count: with the default 64 MB advisory size the ~1 GB
+        # window input coalesced to 11 partitions — 2 ragged waves on 8
+        # cores (r5 event-log stage analysis, BENCH/BASELINE.md)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32m")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.executor.memory", f"{executor_mem_mb - 512}m")
@@ -70,6 +75,13 @@ def main() -> None:
     idx = build_index(docs, doc_id_col="doc_id", content_col="content")
     idx["postings"] = idx["postings"].persist()
     n_postings = idx["postings"].count()
+    # warm term_stats before the segment build (same fix bench.py got in
+    # r4): its lineage carries is_stop, which the returned postings frame
+    # drops, so the persisted postings cache cannot serve it — without
+    # this the whole caps-window pipeline re-runs inside build_segments
+    # (r5 event logs: the 933 MB window stage appeared TWICE per run)
+    idx["term_stats"] = idx["term_stats"].persist()
+    idx["term_stats"].count()
     ds = assign_docnums(idx["doc_stats"], n_partitions=max(4, cores)).persist()
     avgdl = float(ds.agg(F.avg("doc_len")).collect()[0][0])
     seg_dir = tempfile.mkdtemp(prefix=f"dse_scale_{cores}_")
