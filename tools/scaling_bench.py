@@ -150,6 +150,17 @@ def main() -> None:
     best_n_wall = min(h["N"]["wall_sec"] for h in valid or history)
     best_4n_wall = min(h["4N"]["wall_sec"] for h in valid or history)
     cross_eff = best_n_wall / best_4n_wall / 4.0
+    # preserve hand-written analysis sections across regeneration: keep
+    # everything from the first "### Host-health marker" heading on (the
+    # generated template ends before it; r4/r5 forensics live after it)
+    hand = ""
+    try:
+        prev = open("BENCH/BASELINE.md").read()
+        marker = "### Host-health marker in bench.py output"
+        if marker in prev:
+            hand = prev[prev.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH/BASELINE — measured numbers
 
@@ -234,7 +245,10 @@ python tools/make_pyfiles_zip.py /tmp/engine.zip
 ```
 
 Reproduce: `python tools/scaling_bench.py {n_docs} {n_base}`.
+
 """)
+        if hand:
+            f.write(hand)
     print(json.dumps(result if result is not None else {"rewrote": True, "headline": headline["scaling_efficiency"]}))
 
 
