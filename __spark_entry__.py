@@ -1772,12 +1772,217 @@ def _bpe_expected_sql(n_merges: int = 50) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# anchor-text field (operators/anchors.py): the signal the reference
+# extracts (Crawler.java:307-353 Link(href, text) + cleanAnchorText) but
+# never indexes — aggregated into the TARGET document's field and blended
+# with body BM25 (Brin & Page '98 §2.2; BM25F, Zaragoza et al. CIKM'04).
+# ---------------------------------------------------------------------------
+
+_ANCHOR_TERMS = ["data", "spark"]
+
+
+def _anchor_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated anchor postings over the synthetic markdown-link layout
+    (dst1 = (id*7+3) % n, dst2 = (id+13) % n, anchor word = lex[dst % 7])
+    — built with the SAME formula in oracle._anchor_ctes."""
+    from distributed_search_engine_spark.operators import anchors as AN
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    lexarr = F.array(*[F.lit(w) for w in oracle.ANCHOR_LEX])
+    dst1 = (F.col("doc_id") * 7 + 3) % n
+    dst2 = (F.col("doc_id") + 13) % n
+    content = F.concat(
+        F.col("text"),
+        F.lit(" see ["),
+        F.element_at(lexarr, (dst1 % 7 + 1).cast("int")),
+        F.lit(" guide](mod_"),
+        dst1.cast("string"),
+        F.lit(") and ["),
+        F.element_at(lexarr, (dst2 % 7 + 1).cast("int")),
+        F.lit(" notes](mod_"),
+        dst2.cast("string"),
+        F.lit(")"),
+    )
+    linked = docs.select(F.col("doc_id"), content.alias("content"))
+    pairs = AN.extract_anchor_pairs(linked)
+    module_map = docs.select(
+        F.concat(F.lit("mod_"), F.col("doc_id").cast("string")).alias("module"),
+        F.col("doc_id").alias("dst"),
+    )
+    return AN.anchor_postings(pairs, module_map)
+
+
+def _q_anchor_postings(spark, sf_dir):
+    # extraction (JVM regexp_extract_all, zero shuffle) -> module-map
+    # resolve -> ONE (dst, term) exchange with map-side partial counts
+    return _anchor_idx(spark, sf_dir)
+
+
+def _q_anchor_blend(spark, sf_dir):
+    # body BM25 (the gated search() bm25 path) + 2.0 x saturated anchor-
+    # field score, 6dp-rounded before the k-bounded rank window
+    from pyspark.sql import Window
+
+    from distributed_search_engine_spark.operators import anchors as AN
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    ascore = AN.anchor_scores(_anchor_idx(spark, sf_dir), _ANCHOR_TERMS, n_docs=n)
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    body = search(spark, sidx, " ".join(_ANCHOR_TERMS), k=None, mode="bm25").select(
+        "doc_id", F.col("score").alias("body_score")
+    )
+    blend = body.join(ascore, "doc_id", "full").select(
+        "doc_id",
+        F.round(
+            F.coalesce("body_score", F.lit(0.0))
+            + 2.0 * F.coalesce("anchor_score", F.lit(0.0)),
+            6,
+        ).alias("score"),
+        F.round(F.coalesce("body_score", F.lit(0.0)), 6).alias("body_score"),
+        F.round(F.coalesce("anchor_score", F.lit(0.0)), 6).alias("anchor_score"),
+    )
+    top = blend.orderBy(F.desc("score"), F.asc("doc_id")).limit(20)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level keep-one dedup (operators/dedup.py): the RefinedWeb /
+# Lee-et-al unit between document dedup and substring excision, over a
+# synthetic paragraph layout (unique body + cross-doc boilerplate +
+# conditional intra-doc repeat) both engines build identically.
+# ---------------------------------------------------------------------------
+
+def _para_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    sep = "\n\n"
+    boiler = F.concat(
+        F.lit("boilerplate notice "), (F.col("doc_id") % 17).cast("string")
+    )
+    p3 = F.when(F.col("doc_id") % 5 == 0, boiler).otherwise(
+        F.concat(F.lit("tail "), F.col("doc_id").cast("string"))
+    )
+    return docs.select(
+        F.col("doc_id"),
+        F.concat(F.col("text"), F.lit(sep), boiler, F.lit(sep), p3).alias("text"),
+    )
+
+
+def _q_paragraph_stats(spark, sf_dir):
+    return D.paragraph_stats(_para_docs(spark, sf_dir))
+
+
+def _q_paragraph_removal(spark, sf_dir):
+    return D.remove_dup_paragraphs(_para_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# product quantization ADC (operators/similarity.py): 4 subspaces x 16
+# dims, K=8 codes trained per subspace by the oracle-mirrorable fixed-
+# Lloyd fit; ADC scan = map-side lookups over literal codebooks.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 16  # subspaces (dsub = 4); K = 16 codes each — measured ADC
+_PQ_K = 16  # recall@10 0.50 / rerank-50 0.80 on the gate corpus (RECALL.md)
+
+
+def _pq_seeds():
+    return C.seeded_centroids(_PQ_K, 64, seed=13)
+
+
+def _q_ann_pq_adc(spark, sf_dir):
+    books = S.pq_train(_emb(spark, sf_dir), _pq_seeds(), m_subs=_PQ_M, iters=2)
+    return S.ann_pq_adc_topk(_emb(spark, sf_dir), books, query_id=0, k=10)
+
+
+def _q_ann_pq_rerank(spark, sf_dir):
+    # the production PQ serving shape: compressed-code ADC shortlist,
+    # exact L2 rerank of 50 candidates against raw vectors
+    books = S.pq_train(_emb(spark, sf_dir), _pq_seeds(), m_subs=_PQ_M, iters=2)
+    return S.ann_pq_rerank_topk(
+        _emb(spark, sf_dir), books, query_id=0, k=10, shortlist=50
+    )
+
+
+def _pq_books_for_oracle(m_subs: int = _PQ_M, iters: int = 2) -> list[list[list[float]]]:
+    """DuckDB-side twin of pq_train: per-subspace sliced view + the same
+    unrolled kmeans_update_sql rounds as _kmeans_cents_for_oracle, so the
+    oracle's codebook literals are what DUCKDB computes."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    seeds = _pq_seeds()
+    dim = len(seeds[0])
+    dsub = dim // m_subs
+    books = []
+    for m in range(m_subs):
+        lo = m * dsub
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT vec_id, "
+            f"embedding[{lo + 1}:{lo + dsub}] AS embedding FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        cents = [[float(x) for x in c[lo : lo + dsub]] for c in seeds]
+        for _ in range(iters):
+            rows = con.execute(oracle.kmeans_update_sql(cents)).fetchall()
+            new = list(cents)
+            for r in rows:
+                new[int(r[0])] = [float(x) for x in r[2 : 2 + dsub]]
+            cents = new
+        books.append(cents)
+        con.close()
+    return books
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination (operators/bloom.py over benchmark
+# shingles): the broadcast-bitmap scale path for the decontaminate gate —
+# at 100 TB the bitmap replaces shuffling the benchmark shingle set
+# against every train shingle; membership semantics (false positives and
+# all) are hash-gated against the same md5-position arithmetic in SQL.
+# ---------------------------------------------------------------------------
+
+def _q_bloom_decontaminate(spark, sf_dir):
+    from distributed_search_engine_spark.operators import bloom as BL
+
+    sh = _shingles(spark, sf_dir)
+    bench_sh = (
+        sh.where(F.col("doc_id").cast("int") < 25).select("shingle").distinct()
+    )
+    bitmap = BL.build_bloom(bench_sh, "shingle")
+    train = sh.where(F.col("doc_id").cast("int") >= 25)
+    hits = (
+        BL.bloom_prune(train, "shingle", bitmap)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bloom_hits"))
+    )
+    base = train.select("doc_id").distinct()
+    return base.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bloom_hits", F.lit(0)).cast("int").alias("n_bloom_hits"),
+        (F.coalesce("n_bloom_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-5 new/changed entries first: the driver's 50-query gate
         # window truncates at dict position 50, so anything new or whose
         # plan changed this round must sit at the front (then the window
         # rotates: the r3-gated block, then the r4-gated block)
+        "index_anchor_postings": _q_anchor_postings,
+        "search_anchor_blend": _q_anchor_blend,
+        "dedup_paragraph_stats": _q_paragraph_stats,
+        "dedup_paragraph_removal": _q_paragraph_removal,
+        "ann_pq_adc": _q_ann_pq_adc,
+        "ann_pq_rerank": _q_ann_pq_rerank,
+        "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         "text_bpe_encode": _q_bpe_encode,
         "search_bm25f": _q_bm25f,
         "dedup_containment": _q_containment,
@@ -1893,6 +2098,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # round-5 second-wave additions: anchor-text field + blend,
+        # paragraph keep-one dedup, PQ/ADC ANN (codebooks computed by the
+        # DuckDB-side fixed-Lloyd twin), bloom-probe decontamination
+        "index_anchor_postings": oracle.anchor_postings_sql(),
+        "search_anchor_blend": oracle.anchor_blend_sql(_ANCHOR_TERMS),
+        "dedup_paragraph_stats": oracle.paragraph_stats_sql(),
+        "dedup_paragraph_removal": oracle.paragraph_removal_sql(),
+        "ann_pq_adc": oracle.ann_pq_adc_sql(_pq_books_for_oracle()),
+        "ann_pq_rerank": oracle.ann_pq_rerank_sql(_pq_books_for_oracle()),
+        "dedup_decontaminate_bloom": oracle.bloom_decontaminate_sql(),
         # round-5 additions: the BPE encode expected table (Python-
         # materialized VALUES — retires the repo's only rows-only
         # exemption), the one-job spellcheck batch, the batched reference

@@ -370,6 +370,71 @@ def main() -> None:
         assert len(top_tok) == 20
         hll_est = float(hll_distinct(ded).collect()[0]["est_distinct"])
         timings["sketches_60k"] = time.time() - t0
+
+        # paragraph-level keep-one dedup (round-5): synthetic paragraph
+        # layout (unique body + cross-doc boilerplate + conditional
+        # intra-doc repeat, the gate's shape) — tracks the split+hash
+        # projection, the ONE hash-keyed keeper window, and the doc-keyed
+        # rebuild
+        from distributed_search_engine_spark.operators.dedup import (
+            remove_dup_paragraphs,
+        )
+
+        # the 60k corpus doc_id is a sha string — derive a numeric key for
+        # the synthetic layout (remove_dup_paragraphs itself needs numeric
+        # ids for the keeper ordering)
+        pkey = F.pmod(F.xxhash64("doc_id"), F.lit(1_000_000_007))
+        pboiler = F.concat(
+            F.lit("boilerplate notice "), F.pmod(pkey, F.lit(17)).cast("string")
+        )
+        pdocs = ded.select(
+            pkey.alias("doc_id"),
+            F.concat(
+                F.col("text"), F.lit("\n\n"), pboiler, F.lit("\n\n"),
+                F.when(F.pmod(pkey, F.lit(5)) == 0, pboiler).otherwise(
+                    F.concat(F.lit("tail "), pkey.cast("string"))
+                ),
+            ).alias("text"),
+        )
+        t0 = time.time()
+        n_para_removed = int(
+            remove_dup_paragraphs(pdocs).agg(F.sum("n_removed")).collect()[0][0]
+        )
+        timings["dedup_paragraph_60k"] = time.time() - t0
+        assert n_para_removed > 0
+
+        # decontamination at 60k: the exact shingle equi-join vs the
+        # round-5 bloom-bitmap map-side probe (build over the first 2k
+        # docs' shingles, probe the other 58k) — the broadcast-filter
+        # scale path's win should grow with corpus size
+        from distributed_search_engine_spark.operators.bloom import (
+            bloom_prune,
+            build_bloom,
+        )
+        from distributed_search_engine_spark.operators.dedup import decontaminate
+
+        is_bench = F.pmod(F.xxhash64("doc_id"), F.lit(30)) == 0  # ~2k docs
+        bench_docs = ded.where(is_bench)
+        t0 = time.time()
+        n_contam_exact = (
+            decontaminate(ded.where(~is_bench), bench_docs)
+            .where("contaminated")
+            .count()
+        )
+        timings["decontam_exact_60k"] = time.time() - t0
+        t0 = time.time()
+        bench_sh = shingles(bench_docs).select("shingle").distinct()
+        bitmap = build_bloom(bench_sh, "shingle", m_bits=1 << 20)
+        train_sh = shingles(ded.where(~is_bench))
+        n_contam_bloom = (
+            bloom_prune(train_sh, "shingle", bitmap, m_bits=1 << 20)
+            .select("doc_id")
+            .distinct()
+            .count()
+        )
+        timings["decontam_bloom_60k"] = time.time() - t0
+        # bloom flags every exactly-contaminated doc (no false negatives)
+        assert n_contam_bloom >= n_contam_exact
         big.unpersist()
 
         # q8: connected components on a 300k-node chain graph (chains of

@@ -77,7 +77,10 @@ def bloom_prune(
     stage codegen); contains every true match plus deterministic false
     positives. Follow with the exact join; the shuffle then carries
     only survivors."""
-    bm = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    # ONE ArrayType literal (not CreateArray over m/64 child literals —
+    # at m=2^20+ that expression tree dominates plan/codegen time; a
+    # single literal keeps the plan O(1) nodes no matter the bitmap size)
+    bm = F.lit([int(w) for w in bitmap]).cast("array<long>")
     out = probe.withColumn("_bm", bm)
     cond = None
     for h in range(k_hashes):

@@ -896,3 +896,115 @@ def remove_dup_spans(
             " ", F.transform("kept", lambda s: s["t"])
         ).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level dedup (the RefinedWeb / Lee et al. 2022 unit between
+# whole-document exact dedup and window-granular substring excision):
+# split each document on blank lines, hash each trimmed paragraph, and
+# keep exactly ONE occurrence of every distinct paragraph corpus-wide —
+# the deterministic keeper is the (lowest doc_id, earliest position)
+# occurrence, the keep-one rule of Lee et al. §4 applied at paragraph
+# granularity. Boilerplate (nav bars, license headers, cookie notices)
+# is exactly the text this removes without touching unique prose.
+#
+# Scale shape: the split+hash is a pure map-side projection; the keeper
+# decision is ONE row_number window keyed by the paragraph hash — a
+# single hash-partitioned exchange whose keys are uniform md5 values
+# (hot boilerplate concentrates per-hash, but each group reduces to its
+# argmin, and the rebuild groupBy is doc-keyed — both partial-agg
+# friendly). No all-pairs anything.
+# ---------------------------------------------------------------------------
+
+PARA_SEP = "\n\n"
+
+
+def _paragraphs(
+    docs: DataFrame, id_col: str, content_col: str
+) -> DataFrame:
+    """(doc_id, idx, para, para_hash): trimmed non-empty paragraphs in
+    document order (idx is the 0-based split position, so the rebuild
+    preserves original ordering). doc_id stays numeric — the keep-one
+    window orders by it, and '10' < '2' under string ordering would make
+    the keeper engine-dependent."""
+    parts = F.split(F.col(content_col), PARA_SEP)
+    d = docs.select(
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.posexplode(parts).alias("idx", "_raw"),
+    )
+    return (
+        d.withColumn("para", F.trim(F.col("_raw")))
+        .where(F.col("para") != "")
+        .withColumn("para_hash", F.md5(F.col("para")))
+        .drop("_raw")
+    )
+
+
+def paragraph_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    min_occurrences: int = 2,
+) -> DataFrame:
+    """(para_hash, n_occurrences, n_docs): corpus-duplicated paragraphs —
+    the profiling pass (what fraction of the corpus is boilerplate, and
+    is it repeated within or across documents)."""
+    p = _paragraphs(docs, id_col, content_col)
+    return (
+        p.groupBy("para_hash")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("int").alias("n_docs"),
+        )
+        .where(F.col("n_occurrences") >= min_occurrences)
+    )
+
+
+def remove_dup_paragraphs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, clean_text, n_kept, n_removed): every document rebuilt
+    with only the paragraphs it is the corpus-wide keeper of. Documents
+    whose every paragraph is owned elsewhere come back with clean_text
+    '' (they stay in the corpus for the caller to length-filter — same
+    contract as remove_dup_spans)."""
+    from pyspark.sql import Window
+
+    p = _paragraphs(docs, id_col, content_col)
+    w = Window.partitionBy("para_hash").orderBy(
+        F.asc("doc_id"), F.asc("idx")
+    )
+    kept = p.withColumn("_rn", F.row_number().over(w))
+    per_doc = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_paras"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_rn") == 1,
+                                F.struct(F.col("idx"), F.col("para").alias("p")),
+                            )
+                        )
+                    ),
+                    lambda s: s["p"],
+                ),
+                PARA_SEP,
+            ).alias("clean_text"),
+        )
+        .withColumn("n_removed", (F.col("n_paras") - F.col("n_kept")).cast("int"))
+    )
+    base = docs.select(F.col(id_col).cast("bigint").alias("doc_id"))
+    return base.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce("n_removed", F.lit(0)).cast("int").alias("n_removed"),
+    )

@@ -299,3 +299,177 @@ def ann_bruteforce_batch(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze & Schmid, "Product Quantization for
+# Nearest Neighbor Search", IEEE TPAMI 2011) — the memory-resident ANN
+# scale path: D-dim vectors become M one-byte codes (here M=4 over D=64,
+# a 64x compression of float32), and query scanning is an Asymmetric
+# Distance Computation (ADC): one K-entry lookup table per subspace,
+# distance = sum of M table lookups instead of D multiply-adds.
+#
+# At 100 TB this is what makes exhaustive re-scan feasible: the coded
+# corpus for 1B vectors x M=8 is 8 GB (cache-resident per executor after
+# one scan) vs 256 GB of raw float32 — and the scan is a map-side
+# projection over literal lookup tables, no shuffle, no UDF. Recall is
+# bounded by quantization error; RECALL.md carries the measured
+# recall@10 vs ann_bruteforce_topk on the gate corpus.
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    emb: DataFrame,
+    seeds: list[list[float]],
+    m_subs: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """codebooks[m][j] = centroid j of subspace m: D/m_subs-dim k-means
+    (K = len(seeds)) run INDEPENDENTLY per subspace on the sliced
+    vectors, each via clustering.kmeans_fit_fixed (fixed Lloyd rounds,
+    6dp-rounded re-inlining) so a DuckDB twin can reproduce every
+    codebook bit-for-bit — the same oracle-mirrorable-fit contract as
+    ann_ivf_trained. Seeds are the full-dim seed centroids sliced
+    per-subspace (deterministic, data-independent)."""
+    from .clustering import kmeans_fit_fixed
+
+    dim = len(seeds[0])
+    if dim % m_subs:
+        raise ValueError(f"dim {dim} not divisible by m_subs {m_subs}")
+    dsub = dim // m_subs
+    books: list[list[list[float]]] = []
+    for m in range(m_subs):
+        lo = m * dsub
+        sub = emb.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), lo + 1, dsub).alias(vec_col),
+        )
+        sub_seeds = [list(map(float, s[lo : lo + dsub])) for s in seeds]
+        books.append(kmeans_fit_fixed(sub, sub_seeds, iters=iters, id_col=id_col, vec_col=vec_col))
+    return books
+
+
+def _sq_l2(av, lit_vals: list[float]):
+    """Squared L2 distance of an array column slice against a literal
+    centroid — zip_with + sequential left-fold, the same accumulation
+    order as the oracle's _fold_sum twin."""
+    lit_arr = F.array(*[F.lit(float(x)) for x in lit_vals])
+    return F.aggregate(
+        F.zip_with(av, lit_arr, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code_0..code_{M-1}): each vector's per-subspace nearest-
+    centroid index (1-based; ties -> lowest index). One map-side
+    projection — every distance is a codegen fold over literals, argmin
+    is array_position(array_min) over the 6dp-ROUNDED distance array
+    (rounding makes the argmin decision identical in the DuckDB twin)."""
+    dsub = len(codebooks[0][0])
+    v = _as_double(emb, id_col, vec_col)
+    cols = [F.col("id")]
+    for m, book in enumerate(codebooks):
+        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
+        darr = F.array(*[F.round(_sq_l2(sub, c), 6) for c in book])
+        cols.append(
+            F.array_position(darr, F.array_min(darr)).cast("int").alias(f"code_{m}")
+        )
+    return v.select(*cols)
+
+
+def ann_pq_adc_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, adc_dist, rank): approximate L2 top-k via PQ/ADC — encode the
+    corpus (map-side), build the query's per-subspace lookup table (one
+    broadcast 1-row frame carrying M K-entry arrays), approximate
+    distance = sum of M element_at lookups, ordered-limit top-k.
+
+    The lookup arrays' entries and the final sum are 6dp-rounded before
+    ranking, so engine order is decided on identical values (ties: id
+    asc). Exactness note: ADC is exact for vectors that coincide with
+    their codeword reconstruction and within-cell-error-bounded
+    otherwise; this is the standard IVFADC building block — compose with
+    ann_ivf_topk's coarse quantizer for the full IVFADC at scale."""
+    dsub = len(codebooks[0][0])
+    coded = pq_encode(emb, codebooks, id_col, vec_col)
+    v = _as_double(emb, id_col, vec_col)
+    lut_cols = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(F.col("v"), m * dsub + 1, dsub)
+        lut_cols.append(
+            F.array(*[F.round(_sq_l2(sub, c), 6) for c in book]).alias(f"lut_{m}")
+        )
+    q = v.where(F.col("id") == query_id).select(*lut_cols)
+    adc = None
+    for m in range(len(codebooks)):
+        term = F.element_at(F.col(f"lut_{m}"), F.col(f"code_{m}"))
+        adc = term if adc is None else adc + term
+    scored = (
+        coded.where(F.col("id") != query_id)
+        .crossJoin(F.broadcast(q))
+        .select("id", F.round(adc, 6).alias("adc_dist"))
+    )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "id", "adc_dist", "rank"
+    )
+
+
+def ann_pq_rerank_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, l2_dist, rank): PQ/ADC shortlist + exact rerank — the
+    production PQ serving shape (Jégou et al. §VII): the ADC scan prunes
+    the corpus to `shortlist` candidates (compressed codes only), then
+    exact squared-L2 re-scores just those against the raw vectors.
+    Measured on the gate corpus: ADC-only recall@10 0.50 -> 0.80 with a
+    50-candidate rerank at M=16, K=16 (RECALL.md). At scale the rerank
+    reads `shortlist` raw vectors instead of N — the broadcast of the
+    (tiny) candidate list turns it into a map-side probe of the vector
+    store."""
+    cand = ann_pq_adc_topk(
+        emb, codebooks, query_id, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("id")
+    v = _as_double(emb, id_col, vec_col)
+    q = v.where(F.col("id") == query_id).select(F.col("v").alias("qv"))
+    exact = (
+        v.join(F.broadcast(cand), "id")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("qv"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda a, x: a + x,
+                ),
+                6,
+            ).alias("l2_dist"),
+        )
+    )
+    top = exact.orderBy(F.asc("l2_dist"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("l2_dist"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "id", "l2_dist", "rank"
+    )

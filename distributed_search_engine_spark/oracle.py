@@ -2526,3 +2526,323 @@ SELECT doc_id, round(sum(contrib), 6) AS score
 FROM scored GROUP BY doc_id
 HAVING round(sum(contrib), 6) > 0.0
 """
+
+
+# ---------------------------------------------------------------------------
+# Anchor-text field (operators/anchors.py): markdown-link extraction ->
+# module-map resolution -> aggregated per-target anchor postings, and the
+# body-BM25 + anchor-field blended ranking. The synthetic link layout
+# (dst1 = (id*7+3) % n, dst2 = (id+13) % n, anchor word keyed by dst % 7)
+# is built identically in both engines.
+# ---------------------------------------------------------------------------
+
+ANCHOR_LEX = ["alpha", "data", "vector", "query", "merge", "spark", "filter"]
+ANCHOR_MD_RE = r"\[([^\]]*)\]\(([^()\s]+)\)"
+
+
+def _anchor_ctes(lead: str = "WITH") -> str:
+    lex = "[" + ", ".join(f"'{w}'" for w in ANCHOR_LEX) + "]"
+    worth = duckdb_worth("t")
+    atoks = (
+        "list_filter(string_split_regex(trim(lower(regexp_replace(regexp_replace("
+        "anchor_text, '<[^>]*>', ' ', 'g'), '[^A-Za-z0-9\\s]', ' ', 'g'))), '\\s+'),"
+        f" t -> t <> '' AND {worth})"
+    )
+    return f"""{lead}
+nn AS (SELECT count(*)::bigint AS n FROM documents),
+linked AS (
+  SELECT d.doc_id::varchar AS src,
+         d.text || ' see [' || {lex}[(((d.doc_id * 7 + 3) % nn.n) % 7 + 1)::int]
+           || ' guide](mod_' || ((d.doc_id * 7 + 3) % nn.n)::varchar || ') and ['
+           || {lex}[(((d.doc_id + 13) % nn.n) % 7 + 1)::int]
+           || ' notes](mod_' || ((d.doc_id + 13) % nn.n)::varchar || ')' AS content
+  FROM documents d, nn
+),
+rawpairs AS (
+  SELECT src,
+         unnest(regexp_extract_all(content, '{ANCHOR_MD_RE}', 2)) AS ref,
+         unnest(regexp_extract_all(content, '{ANCHOR_MD_RE}', 1)) AS rawtext
+  FROM linked
+),
+apairs AS (
+  SELECT src, ref,
+         trim(regexp_replace(regexp_replace(rawtext, '<[^>]*>', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS anchor_text
+  FROM rawpairs
+),
+aresolved AS (
+  SELECT p.src, m.dst::varchar AS doc_id, p.anchor_text
+  FROM apairs p
+  JOIN (SELECT 'mod_' || doc_id::varchar AS module, doc_id AS dst
+        FROM documents) m ON p.ref = m.module
+),
+aterms AS (
+  SELECT src, doc_id, unnest({atoks}) AS term FROM aresolved
+),
+aidx AS (
+  SELECT doc_id, term, count(*)::int AS anchor_tf,
+         count(DISTINCT src)::int AS n_srcs
+  FROM aterms GROUP BY 1, 2
+)"""
+
+
+def anchor_postings_sql() -> str:
+    """Twin of anchors.anchor_postings over the synthetic markdown-link
+    corpus (extraction via the same regex, group 1 = text / group 2 =
+    ref; cleanAnchorText twin; shared worthy-token filter)."""
+    return _anchor_ctes() + """
+SELECT doc_id, term, anchor_tf, n_srcs FROM aidx
+"""
+
+
+def anchor_blend_sql(terms: list[str], w_anchor: float = 2.0, k: int = 20) -> str:
+    """Twin of the blended body-BM25 + anchor-field ranking: body score =
+    bm25_sql's exact formula; anchor score = sum_t ln(N/df_a) * tf_a /
+    (1.2 + tf_a); blend = body + w_anchor * anchor, 6dp-rounded BEFORE
+    the rank window (ties: doc_id asc)."""
+    inlist = ", ".join(f"'{t}'" for t in terms if t)
+    return base_ctes() + _anchor_ctes(",") + f""",
+adf AS (
+  SELECT term, count(*)::double AS df_a FROM aidx
+  WHERE term IN ({inlist}) GROUP BY 1
+),
+ascore AS (
+  SELECT a.doc_id,
+         sum(ln((SELECT n FROM nn)::double / f.df_a)
+             * a.anchor_tf / (1.2 + a.anchor_tf)) AS anchor_score
+  FROM aidx a JOIN adf f USING (term)
+  WHERE a.term IN ({inlist})
+  GROUP BY 1
+),
+bscore AS (
+  SELECT p.doc_id,
+         sum(ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0)
+             / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.doc_len
+                / (SELECT avgdl FROM nstats)))) AS body_score
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})
+  GROUP BY 1
+),
+blend AS (
+  SELECT coalesce(b.doc_id, a.doc_id) AS doc_id,
+         round(coalesce(b.body_score, 0) + {w_anchor} * coalesce(a.anchor_score, 0), 6) AS score,
+         round(coalesce(b.body_score, 0), 6) AS body_score,
+         round(coalesce(a.anchor_score, 0), 6) AS anchor_score
+  FROM bscore b FULL OUTER JOIN ascore a ON b.doc_id = a.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM blend
+)
+SELECT doc_id, score, body_score, anchor_score, rn::int AS rank
+FROM ranked WHERE rn <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level keep-one dedup (operators/dedup.paragraph_stats /
+# remove_dup_paragraphs). The synthetic paragraph layout (unique body +
+# shared boilerplate + conditional intra-doc repeat) is built identically
+# in both engines.
+# ---------------------------------------------------------------------------
+
+_PARA_SEP_SQL = "chr(10) || chr(10)"
+
+
+def _paragraph_ctes() -> str:
+    return f"""
+WITH pdocs AS (
+  SELECT doc_id::bigint AS doc_id,
+         text || {_PARA_SEP_SQL} || 'boilerplate notice ' || (doc_id % 17)::varchar
+              || {_PARA_SEP_SQL} ||
+         CASE WHEN doc_id % 5 = 0
+              THEN 'boilerplate notice ' || (doc_id % 17)::varchar
+              ELSE 'tail ' || doc_id::varchar END AS content
+  FROM documents
+),
+rawparas AS (
+  SELECT doc_id,
+         generate_subscripts(parts, 1) - 1 AS idx,
+         trim(unnest(parts)) AS para
+  FROM (SELECT doc_id, string_split(content, {_PARA_SEP_SQL}) AS parts
+        FROM pdocs)
+),
+paras AS (
+  SELECT doc_id, idx, para, md5(para) AS para_hash
+  FROM rawparas WHERE para <> ''
+)"""
+
+
+def paragraph_stats_sql(min_occurrences: int = 2) -> str:
+    """Twin of dedup.paragraph_stats over the synthetic paragraphs."""
+    return _paragraph_ctes() + f"""
+SELECT para_hash, count(*)::int AS n_occurrences,
+       count(DISTINCT doc_id)::int AS n_docs
+FROM paras GROUP BY 1 HAVING count(*) >= {min_occurrences}
+"""
+
+
+def paragraph_removal_sql() -> str:
+    """Twin of dedup.remove_dup_paragraphs: keep-one (lowest doc_id,
+    earliest idx) per paragraph hash, rebuild per-doc clean text in
+    original paragraph order."""
+    return _paragraph_ctes() + f""",
+keepers AS (
+  SELECT doc_id, idx, para,
+         row_number() OVER (PARTITION BY para_hash
+                            ORDER BY doc_id ASC, idx ASC) AS rn
+  FROM paras
+),
+agg AS (
+  SELECT doc_id,
+         count(*)::int AS n_paras,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::int AS n_kept,
+         string_agg(CASE WHEN rn = 1 THEN para END, {_PARA_SEP_SQL}
+                    ORDER BY idx ASC) AS clean_text
+  FROM keepers GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_kept, 0)::int AS n_kept,
+       (coalesce(a.n_paras, 0) - coalesce(a.n_kept, 0))::int AS n_removed
+FROM (SELECT doc_id::bigint AS doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Product quantization ADC (operators/similarity.ann_pq_adc_topk): literal
+# codebooks (computed by the same fixed-Lloyd fit both engines mirror),
+# per-subspace argmin over 6dp-rounded distance arrays, ADC = sum of the
+# query's per-subspace lookup entries.
+# ---------------------------------------------------------------------------
+
+def _pq_lit(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _pq_sq_l2(vexpr: str, lo: int, code: list[float]) -> str:
+    """round(sum_i (v[lo+i] - code[i])^2, 6) with the sequential fold
+    order of the Spark side's zip_with/aggregate."""
+    dsub = len(code)
+    arr = _pq_lit(code)
+    diffs = (
+        f"list_transform(generate_series(1, {dsub}),"
+        f" i -> ({vexpr}[{lo} + i] - ({arr})[i]) * ({vexpr}[{lo} + i] - ({arr})[i]))"
+    )
+    return f"round({_fold_sum(diffs)}, 6)"
+
+
+def _pq_ctes(codebooks: list[list[list[float]]], query_id: int) -> str:
+    """Shared v/q/scored/ranked chain: ADC distance of every non-query
+    vector, ranked (adc asc, id asc)."""
+    dsub = len(codebooks[0][0])
+    code_exprs = []
+    lut_exprs = []
+    for m, book in enumerate(codebooks):
+        lo = m * dsub
+        darr = "[" + ", ".join(_pq_sq_l2("c.v", lo, cj) for cj in book) + "]"
+        code_exprs.append(f"list_position({darr}, list_min({darr}))")
+        qarr = "[" + ", ".join(_pq_sq_l2("q.qv", lo, cj) for cj in book) + "]"
+        lut_exprs.append(qarr)
+    adc = " + ".join(
+        f"({lut})[{code}]" for lut, code in zip(lut_exprs, code_exprs)
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id AS id, list_transform(embedding, x -> x::double) AS v
+  FROM embeddings
+),
+q AS (SELECT v AS qv FROM v WHERE id = {query_id}),
+scored AS (
+  SELECT c.id, round({adc}, 6) AS adc_dist
+  FROM v c, q
+  WHERE c.id <> {query_id}
+),
+ranked AS (
+  SELECT id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, id ASC) AS rn
+  FROM scored
+)"""
+
+
+def ann_pq_adc_sql(
+    codebooks: list[list[list[float]]], query_id: int = 0, k: int = 10
+) -> str:
+    """Twin of similarity.ann_pq_adc_topk with the trained codebooks
+    inlined as literals."""
+    return _pq_ctes(codebooks, query_id) + f"""
+SELECT id, adc_dist, rn::int AS rank FROM ranked WHERE rn <= {k}
+"""
+
+
+def ann_pq_rerank_sql(
+    codebooks: list[list[list[float]]],
+    query_id: int = 0,
+    k: int = 10,
+    shortlist: int = 50,
+) -> str:
+    """Twin of similarity.ann_pq_rerank_topk: ADC top-`shortlist`
+    candidates re-scored with exact squared L2 against the raw vectors."""
+    exact = _fold_sum(
+        "list_transform(generate_series(1, len(v.v)),"
+        " i -> (v.v[i] - q.qv[i]) * (v.v[i] - q.qv[i]))"
+    )
+    return _pq_ctes(codebooks, query_id) + f""",
+exact AS (
+  SELECT v.id, round({exact}, 6) AS l2_dist
+  FROM ranked r JOIN v ON v.id = r.id, q
+  WHERE r.rn <= {shortlist}
+),
+rr AS (
+  SELECT id, l2_dist,
+         row_number() OVER (ORDER BY l2_dist ASC, id ASC) AS rn2
+  FROM exact
+)
+SELECT id, l2_dist, rn2::int AS rank FROM rr WHERE rn2 <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (operators/bloom over benchmark shingles):
+# membership semantics hash-gated, false positives and all — the same
+# md5-position arithmetic as functions/hashing.md5_bucket.
+# ---------------------------------------------------------------------------
+
+def bloom_decontaminate_sql(
+    bench_max_doc_id: int = 25,
+    n: int = 3,
+    m_bits: int = 1 << 16,
+    k_hashes: int = 4,
+) -> str:
+    """Twin of the bloom-probe decontamination pass: benchmark = docs with
+    doc_id < bench_max_doc_id; a train shingle "hits" iff ALL k_hashes
+    bit positions are set by some benchmark shingle. The universe is
+    train docs that produce >= 1 shingle (docs shorter than the shingle
+    width have nothing to probe)."""
+    return _shingle_ctes(n) + f""",
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id::int < {bench_max_doc_id}),
+bpos AS (
+  SELECT DISTINCT
+    (('0x' || substr(md5(h.range::varchar || ':' || shingle), 1, 8))::bigint
+     % {m_bits}) AS pos
+  FROM bsh, range({k_hashes}) h
+),
+probe AS (SELECT doc_id, shingle FROM sh WHERE doc_id::int >= {bench_max_doc_id}),
+ppos AS (
+  SELECT doc_id, shingle,
+    (('0x' || substr(md5(h.range::varchar || ':' || shingle), 1, 8))::bigint
+     % {m_bits}) AS pos
+  FROM probe, range({k_hashes}) h
+),
+hits AS (
+  SELECT doc_id, shingle FROM ppos LEFT JOIN bpos USING (pos)
+  GROUP BY 1, 2 HAVING count(bpos.pos) = {k_hashes}
+),
+agg AS (SELECT doc_id, count(*)::int AS n_bloom_hits FROM hits GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(a.n_bloom_hits, 0) AS n_bloom_hits,
+       coalesce(a.n_bloom_hits, 0) > 0 AS contaminated
+FROM (SELECT DISTINCT doc_id FROM probe) d
+LEFT JOIN agg a USING (doc_id)
+"""

@@ -1,0 +1,252 @@
+"""Round-5 second-wave operators: anchor-text field aggregation,
+paragraph-level keep-one dedup, PQ/ADC ANN, bloom-probe decontamination.
+
+Each block checks the Spark operator against an independent hand/Python
+model on a small fixture (the DuckDB cross-engine gate runs separately
+via __spark_entry__/tools/check_oracle.py)."""
+
+import contextlib
+import io
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from distributed_search_engine_spark.operators import anchors as AN
+from distributed_search_engine_spark.operators import dedup as D
+from distributed_search_engine_spark.operators import similarity as S
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# anchor-text extraction + aggregation
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def anchor_docs(spark):
+    rows = [
+        # two links, one with nested-tag anchor text (cleanAnchorText strips)
+        (0, "intro [fast <b>vector</b> search](mod_2) and [data](mod_1)"),
+        # empty anchor text (the crawler keeps the link; no terms emitted)
+        (1, "see [](mod_2) plus [data data](mod_2)"),
+        # unresolvable ref (external import — drops at the module-map join)
+        (2, "ref [data](http_external) [spark notes](mod_0)"),
+        # no links at all
+        (3, "plain text only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_extract_anchor_pairs(anchor_docs):
+    got = {
+        (r["src"], r["ref"], r["anchor_text"])
+        for r in AN.extract_anchor_pairs(anchor_docs).collect()
+    }
+    assert got == {
+        ("0", "mod_2", "fast vector search"),  # nested <b> stripped, ws collapsed
+        ("0", "mod_1", "data"),
+        ("1", "mod_2", ""),
+        ("1", "mod_2", "data data"),
+        ("2", "http_external", "data"),
+        ("2", "mod_0", "spark notes"),
+    }
+
+
+def test_anchor_postings_aggregates_per_target(spark, anchor_docs):
+    mm = spark.createDataFrame(
+        [(f"mod_{i}", i) for i in range(4)], "module string, dst long"
+    )
+    idx = {
+        (r["doc_id"], r["term"]): (r["anchor_tf"], r["n_srcs"])
+        for r in AN.anchor_postings(AN.extract_anchor_pairs(anchor_docs), mm).collect()
+    }
+    # doc 2's inbound anchors: "fast vector search" (src 0), "" + "data data" (src 1)
+    assert idx[("2", "data")] == (2, 1)
+    assert idx[("2", "fast")] == (1, 1)
+    assert idx[("2", "vector")] == (1, 1)
+    assert idx[("2", "search")] == (1, 1)
+    # doc 1 <- "data" from src 0 only
+    assert idx[("1", "data")] == (1, 1)
+    # doc 0 <- "spark notes" from src 2
+    assert idx[("0", "spark")] == (1, 1)
+    assert idx[("0", "notes")] == (1, 1)
+    # the external ref never resolved
+    assert not any(d not in {"0", "1", "2"} for d, _ in idx)
+
+
+def test_anchor_scores_formula(spark, anchor_docs):
+    mm = spark.createDataFrame(
+        [(f"mod_{i}", i) for i in range(4)], "module string, dst long"
+    )
+    idx = AN.anchor_postings(AN.extract_anchor_pairs(anchor_docs), mm)
+    got = {
+        r["doc_id"]: r["anchor_score"]
+        for r in AN.anchor_scores(idx, ["data", "spark"], n_docs=4.0).collect()
+    }
+    # df_a(data) = 2 docs {1, 2}; df_a(spark) = 1 doc {0}
+    exp2 = math.log(4.0 / 2.0) * 2 / (1.2 + 2)  # doc 2: tf=2
+    exp1 = math.log(4.0 / 2.0) * 1 / (1.2 + 1)  # doc 1: tf=1
+    exp0 = math.log(4.0 / 1.0) * 1 / (1.2 + 1)  # doc 0: spark tf=1
+    assert got["2"] == pytest.approx(exp2)
+    assert got["1"] == pytest.approx(exp1)
+    assert got["0"] == pytest.approx(exp0)
+
+
+def test_anchor_extraction_plan_is_shuffle_free(anchor_docs):
+    # extraction + cleaning is a pure map-side projection: no Exchange
+    plan = plan_of(AN.extract_anchor_pairs(anchor_docs))
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# paragraph keep-one dedup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def para_docs(spark):
+    b = "shared boilerplate"
+    rows = [
+        (10, f"unique ten\n\n{b}\n\ntail ten"),
+        (2, f"unique two\n\n{b}\n\n{b}"),  # intra-doc repeat of the boilerplate
+        (7, b),  # the whole doc IS the boilerplate
+        (5, "   \n\n  "),  # only empty paragraphs
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_paragraph_stats(para_docs):
+    got = {
+        r["para_hash"]: (r["n_occurrences"], r["n_docs"])
+        for r in D.paragraph_stats(para_docs).collect()
+    }
+    assert len(got) == 1  # only the boilerplate repeats
+    assert list(got.values()) == [(4, 3)]  # 4 occurrences across 3 docs
+
+
+def test_remove_dup_paragraphs_keeper_is_lowest_doc_then_idx(para_docs):
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in D.remove_dup_paragraphs(para_docs).collect()
+    }
+    # doc 2 is the lowest doc_id containing the boilerplate -> keeps its
+    # FIRST occurrence (idx order), drops the intra-doc repeat
+    assert got[2] == ("unique two\n\nshared boilerplate", 2, 1)
+    # doc 7 loses its only paragraph but stays in the output
+    assert got[7] == ("", 0, 1)
+    # doc 10 keeps its unique paragraphs, loses the boilerplate
+    assert got[10] == ("unique ten\n\ntail ten", 2, 1)
+    # doc 5 had nothing hashable
+    assert got[5] == ("", 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pq_emb(spark):
+    # dim 4, two clear clusters per 2-dim subspace
+    rows = [
+        (0, [0.0, 0.0, 10.0, 10.0]),
+        (1, [0.1, 0.0, 10.0, 10.1]),
+        (2, [5.0, 5.0, 0.0, 0.0]),
+        (3, [5.1, 5.0, 0.1, 0.0]),
+        (4, [0.0, 0.1, 0.0, 0.1]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_train_shapes_and_determinism(pq_emb):
+    seeds = [[0.0, 0.0, 0.0, 0.0], [5.0, 5.0, 10.0, 10.0]]
+    books = S.pq_train(pq_emb, seeds, m_subs=2, iters=1)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    assert all(len(c) == 2 for b in books for c in b)
+    again = S.pq_train(pq_emb, seeds, m_subs=2, iters=1)
+    assert books == again
+
+
+def test_pq_encode_assigns_nearest_code(pq_emb):
+    # hand-picked codebooks: subspace 0 codes at (0,0)/(5,5); subspace 1
+    # codes at (10,10)/(0,0)
+    books = [[[0.0, 0.0], [5.0, 5.0]], [[10.0, 10.0], [0.0, 0.0]]]
+    got = {
+        r["id"]: (r["code_0"], r["code_1"])
+        for r in S.pq_encode(pq_emb, books).collect()
+    }
+    assert got[0] == (1, 1)
+    assert got[1] == (1, 1)
+    assert got[2] == (2, 2)
+    assert got[3] == (2, 2)
+    assert got[4] == (1, 2)
+
+
+def test_pq_adc_matches_hand_lookup(pq_emb):
+    books = [[[0.0, 0.0], [5.0, 5.0]], [[10.0, 10.0], [0.0, 0.0]]]
+    out = {
+        r["id"]: r["adc_dist"]
+        for r in S.ann_pq_adc_topk(pq_emb, books, query_id=0, k=4).collect()
+    }
+    # query 0 subvectors: (0,0) and (10,10); lut0 = [0, 50], lut1 = [0, 200]
+    assert out[1] == pytest.approx(0.0 + 0.0)  # codes (1,1)
+    assert out[4] == pytest.approx(0.0 + 200.0)  # codes (1,2)
+    assert out[2] == pytest.approx(50.0 + 200.0)  # codes (2,2)
+    # ranking: ties broken by id asc, distances ascending
+    ranked = sorted(out.items(), key=lambda kv: kv[1])
+    assert ranked[0][0] == 1
+
+
+def test_pq_adc_plan_is_broadcast_no_shuffle_scan(pq_emb):
+    books = [[[0.0, 0.0], [5.0, 5.0]], [[10.0, 10.0], [0.0, 0.0]]]
+    plan = plan_of(S.ann_pq_adc_topk(pq_emb, books, query_id=0, k=3))
+    # the only join is the broadcast of the 1-row query lut frame; the
+    # corpus side is scanned exactly once, map-side
+    assert "CartesianProduct" not in plan
+    # formatted explain prints each node twice (tree + detail section)
+    assert plan.count("(9) BroadcastExchange") <= 1 and "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bloom decontamination: superset-of-exact guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_decontaminate_has_no_false_negatives(spark):
+    from distributed_search_engine_spark.operators import bloom as BL
+
+    rows = [(i, f"alpha beta w{i} gamma delta epsilon w{i % 3}") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingles(docs, n=3)
+    bench = sh.where(F.col("doc_id").cast("int") < 5).select("shingle").distinct()
+    bitmap = BL.build_bloom(bench, "shingle")
+    train = sh.where(F.col("doc_id").cast("int") >= 5)
+    bloom_hit = {
+        r["doc_id"]
+        for r in BL.bloom_prune(train, "shingle", bitmap)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    exact_hit = {
+        r["doc_id"]
+        for r in train.join(
+            sh.where(F.col("doc_id").cast("int") < 5)
+            .select("shingle")
+            .distinct(),
+            "shingle",
+        )
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    # bloom may add false positives, never false negatives
+    assert exact_hit <= bloom_hit
