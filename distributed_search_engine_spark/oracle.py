@@ -2806,7 +2806,8 @@ SELECT id, l2_dist, rn2::int AS rank FROM rr WHERE rn2 <= {k}
 # ---------------------------------------------------------------------------
 # Bloom-filter decontamination (operators/bloom over benchmark shingles):
 # membership semantics hash-gated, false positives and all — the same
-# md5-position arithmetic as functions/hashing.md5_bucket.
+# one-digest slice arithmetic as operators/bloom._slice_pos (all k
+# positions are 8-hex-char slices of ONE md5 per key).
 # ---------------------------------------------------------------------------
 
 def bloom_decontaminate_sql(
@@ -2824,14 +2825,14 @@ def bloom_decontaminate_sql(
 bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id::int < {bench_max_doc_id}),
 bpos AS (
   SELECT DISTINCT
-    (('0x' || substr(md5(h.range::varchar || ':' || shingle), 1, 8))::bigint
+    (('0x' || substr(md5(shingle), 1 + 8 * h.range, 8))::bigint
      % {m_bits}) AS pos
   FROM bsh, range({k_hashes}) h
 ),
 probe AS (SELECT doc_id, shingle FROM sh WHERE doc_id::int >= {bench_max_doc_id}),
 ppos AS (
   SELECT doc_id, shingle,
-    (('0x' || substr(md5(h.range::varchar || ':' || shingle), 1, 8))::bigint
+    (('0x' || substr(md5(shingle), 1 + 8 * h.range, 8))::bigint
      % {m_bits}) AS pos
   FROM probe, range({k_hashes}) h
 ),

@@ -739,14 +739,43 @@ def test_bloom_prune_no_false_negatives(spark):
     assert kept == kept2
 
 
-def test_bloom_bitmap_signed_words(spark):
+def test_bloom_fast_family_no_false_negatives(spark):
+    from distributed_search_engine_spark.operators.bloom import (
+        bloom_prune,
+        build_bloom,
+    )
+
+    probe = spark.range(2000).select(F.col("id").alias("k"))
+    build = spark.range(0, 2000, 37).select(F.col("id").alias("k"))
+    # the production family: one xxhash64 + Kirsch-Mitzenmacher stride;
+    # k is not capped at 4 (no digest-slice limit)
+    bm = build_bloom(build, "k", m_bits=1 << 12, k_hashes=6, hash_family="fast")
+    kept = {
+        r["k"]
+        for r in bloom_prune(
+            probe, "k", bm, m_bits=1 << 12, k_hashes=6, hash_family="fast"
+        ).collect()
+    }
+    truth = set(range(0, 2000, 37))
+    assert truth <= kept
+    assert len(kept) < 2000
+    kept2 = {
+        r["k"]
+        for r in bloom_prune(
+            probe, "k", bm, m_bits=1 << 12, k_hashes=6, hash_family="fast"
+        ).collect()
+    }
+    assert kept == kept2
+
+
+def test_bloom_bitmap_bytes(spark):
     from distributed_search_engine_spark.operators.bloom import build_bloom
 
-    # enough keys that some word sets bit 63; all words must fit int64
+    # dense fill: bitmap must be exactly m/8 bytes with high bits set too
     build = spark.range(3000).select(F.col("id").alias("k"))
     bm = build_bloom(build, "k", m_bits=1 << 10, k_hashes=4)
-    assert all(-(1 << 63) <= w < (1 << 63) for w in bm)
-    assert any(w < 0 for w in bm)
+    assert isinstance(bm, bytes) and len(bm) == (1 << 10) // 8
+    assert any(b & 0x80 for b in bm)  # bit 7 of some byte is set
 
 
 def test_salted_join_equals_plain_join(spark):
