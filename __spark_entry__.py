@@ -1907,6 +1907,80 @@ def _q_ann_pq_rerank(spark, sf_dir):
     )
 
 
+# IVFADC (Jégou et al. §IV-A): trained coarse quantizer (the SAME
+# 2-round fixed-Lloyd fit the gated ann_ivf_trained uses) in front of a
+# PQ/ADC scan whose codebooks are trained on RESIDUALS v - c(v).
+# M=8 (dsub=8), K=16, n_probe=2 of 8 cells — the scan touches only the
+# probed cells' codes (partition-prunable when the coded corpus is
+# persisted bucketed by cell).
+
+_IVFADC_M = 8
+
+
+def _ivfadc_seeds():
+    return C.seeded_centroids(16, 64, seed=17)
+
+
+def _q_ann_ivfadc(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = C.kmeans_fit_fixed(emb, _KM_CENTS, iters=2)
+    res = S.residuals(emb, cents)
+    books = S.pq_train(
+        res, _ivfadc_seeds(), m_subs=_IVFADC_M, iters=2, id_col="id", vec_col="r"
+    )
+    return S.ann_ivfadc_topk(
+        emb, cents, books, query_id=0, k=10, n_probe=2
+    )
+
+
+def _ivfadc_books_for_oracle(
+    m_subs: int = _IVFADC_M, iters: int = 2
+) -> list[list[list[float]]]:
+    """DuckDB-side twin of the residual PQ training: coarse cells via
+    _kmeans_cents_for_oracle, residual slices materialized per subspace,
+    then the same unrolled kmeans_update_sql rounds — the codebook
+    literals are what DUCKDB computes over ITS residuals."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    coarse = _kmeans_cents_for_oracle(2)
+    seeds = _ivfadc_seeds()
+    dim = len(seeds[0])
+    dsub = dim // m_subs
+    cents_all = "[" + ", ".join(oracle._centroid_arr(c) for c in coarse) + "]"
+    books = []
+    for m in range(m_subs):
+        lo = m * dsub
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')"
+        )
+        resid_sql = oracle._kmeans_assign_ctes(coarse) + f"""
+SELECT id AS vec_id,
+       list_transform(generate_series({lo + 1}, {lo + dsub}),
+                      i -> v[i] - ({cents_all})[cluster + 1][i]) AS embedding
+FROM asg
+"""
+        con.execute(f"CREATE TABLE resid AS {resid_sql}")
+        con.execute(
+            "CREATE OR REPLACE VIEW embeddings AS "
+            "SELECT vec_id, embedding FROM resid"
+        )
+        cents = [[float(x) for x in s[lo : lo + dsub]] for s in seeds]
+        for _ in range(iters):
+            rows = con.execute(oracle.kmeans_update_sql(cents)).fetchall()
+            new = list(cents)
+            for r in rows:
+                new[int(r[0])] = [float(x) for x in r[2 : 2 + dsub]]
+            cents = new
+        books.append(cents)
+        con.close()
+    return books
+
+
 def _pq_books_for_oracle(m_subs: int = _PQ_M, iters: int = 2) -> list[list[list[float]]]:
     """DuckDB-side twin of pq_train: per-subspace sliced view + the same
     unrolled kmeans_update_sql rounds as _kmeans_cents_for_oracle, so the
@@ -1982,6 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraph_removal": _q_paragraph_removal,
         "ann_pq_adc": _q_ann_pq_adc,
         "ann_pq_rerank": _q_ann_pq_rerank,
+        "ann_ivfadc": _q_ann_ivfadc,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2109,6 +2184,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraph_removal": oracle.paragraph_removal_sql(),
         "ann_pq_adc": oracle.ann_pq_adc_sql(_pq_books_for_oracle()),
         "ann_pq_rerank": oracle.ann_pq_rerank_sql(_pq_books_for_oracle()),
+        "ann_ivfadc": oracle.ann_ivfadc_sql(
+            _kmeans_cents_for_oracle(2),
+            _ivfadc_books_for_oracle(),
+            query_id=0,
+            k=10,
+            n_probe=2,
+        ),
         "dedup_decontaminate_bloom": oracle.bloom_decontaminate_sql(),
         # round-5 additions: the BPE encode expected table (Python-
         # materialized VALUES — retires the repo's only rows-only

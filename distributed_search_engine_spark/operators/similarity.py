@@ -473,3 +473,148 @@ def ann_pq_rerank_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "id", "l2_dist", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (Jégou et al., TPAMI'11 §IV-A): the full billion-scale serving
+# shape — an IVF coarse quantizer in front of the PQ/ADC scan, with the
+# PQ codebooks trained on RESIDUALS (v - coarse_centroid(v)), which is
+# what makes the codes sharp: residuals concentrate near the origin, so
+# the same K codes cover them far more densely than raw vectors.
+#
+# At 10^9+ vectors: the corpus is stored partitioned BY COARSE CELL
+# (exactly like the term segments), the query touches only n_probe
+# cells' code lists (partition-pruned scans), and each list is M bytes
+# per vector. Here the cell filter is an isin() over the assignment —
+# the same plan with partition pruning when the coded corpus is
+# persisted bucketed by cluster.
+# ---------------------------------------------------------------------------
+
+def residuals(
+    emb: DataFrame,
+    coarse_cents: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, r, cluster): each vector's coarse cell (nearest centroid by
+    squared L2, ties -> lowest cell — clustering._best_expr, the gated
+    assignment arithmetic) and its residual v - c_cell, element-wise.
+    Pure map-side projection over literal centroids. DuckDB twin:
+    oracle side computes v[i] - (CENTS)[cluster+1][i] with the identical
+    left-assoc float subtraction."""
+    from .clustering import _best_expr
+
+    v = _as_double(emb, id_col, vec_col)
+    cents_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in coarse_cents]
+    )
+    asg = v.select(
+        "id", "v", _best_expr(coarse_cents)["cluster"].alias("cluster")
+    )
+    return asg.select(
+        "id",
+        F.zip_with(
+            F.col("v"),
+            F.element_at(cents_arr, F.col("cluster") + 1),
+            lambda a, b: a - b,
+        ).alias("r"),
+        "cluster",
+    )
+
+
+def ann_ivfadc_topk(
+    emb: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, adc_dist, rank): IVFADC approximate L2 top-k.
+
+    Plan: ONE map-side projection assigns every vector to its coarse
+    cell and PQ-encodes its residual (argmin over 6dp-rounded distance
+    arrays against literal codebooks); the query's n_probe best cells
+    (driver arithmetic mirroring the SQL fold; ties -> lower cell id)
+    prune the scan to candidates in probed cells only; per-cell lookup
+    tables are built from the QUERY row ((q - c_cell) sliced per
+    subspace vs each codeword, 6dp-rounded) and broadcast as one 1-row
+    frame; adc = CASE over the probed cell of the M table lookups,
+    6dp-rounded before the (adc, id) ordered limit.
+
+    The codebooks MUST be residual-trained (pq_train over
+    residuals(emb, coarse_cents)) — that is the IVFADC contract; using
+    raw-vector books here collapses recall. Recall vs exact L2 is
+    reported in RECALL.md; raise n_probe to trade scan for recall."""
+    dsub = len(codebooks[0][0])
+    n_m = len(codebooks)
+
+    res = residuals(emb, coarse_cents, id_col, vec_col)
+    code_cols = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(F.col("r"), m * dsub + 1, dsub)
+        darr = F.array(*[F.round(_sq_l2(sub, c), 6) for c in book])
+        code_cols.append(
+            F.array_position(darr, F.array_min(darr)).cast("int").alias(f"code_{m}")
+        )
+    coded = res.select("id", "cluster", *code_cols)
+
+    # query-side probes: sequential-fold squared L2 to every coarse
+    # centroid (the same accumulation order as the SQL twin), ties ->
+    # lower cell id
+    v = _as_double(emb, id_col, vec_col)
+    qv = [float(x) for x in v.where(F.col("id") == query_id).collect()[0]["v"]]
+
+    def _fold_sq(xs: list[float], ys: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(xs, ys):
+            acc += (a - b) * (a - b)
+        return acc
+
+    probes = [
+        c
+        for _, c in sorted(
+            (( _fold_sq(qv, cv), j) for j, cv in enumerate(coarse_cents))
+        )[:n_probe]
+    ]
+
+    # per-probed-cell LUTs over the query ROW (all rounding in-engine):
+    # rc = (q - c_cell) sliced per subspace, entry j = round(||rc - B_j||^2, 6)
+    q = v.where(F.col("id") == query_id)
+    lut_cols = []
+    for c in probes:
+        for m, book in enumerate(codebooks):
+            lo = m * dsub
+            rc = F.zip_with(
+                F.slice(F.col("v"), lo + 1, dsub),
+                F.array(*[F.lit(float(x)) for x in coarse_cents[c][lo : lo + dsub]]),
+                lambda a, b: a - b,
+            )
+            lut_cols.append(
+                F.array(*[F.round(_sq_l2(rc, cj), 6) for cj in book]).alias(
+                    f"lut_{c}_{m}"
+                )
+            )
+    qlut = q.select(*lut_cols)
+
+    adc = None
+    for c in probes:
+        cell_sum = None
+        for m in range(n_m):
+            term = F.element_at(F.col(f"lut_{c}_{m}"), F.col(f"code_{m}"))
+            cell_sum = term if cell_sum is None else cell_sum + term
+        branch = F.when(F.col("cluster") == c, cell_sum)
+        adc = branch if adc is None else adc.when(F.col("cluster") == c, cell_sum)
+
+    scored = (
+        coded.where(F.col("cluster").isin(probes) & (F.col("id") != query_id))
+        .crossJoin(F.broadcast(qlut))
+        .select("id", F.round(adc, 6).alias("adc_dist"))
+    )
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "id", "adc_dist", "rank"
+    )

@@ -2847,3 +2847,96 @@ SELECT d.doc_id,
 FROM (SELECT DISTINCT doc_id FROM probe) d
 LEFT JOIN agg a USING (doc_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# IVFADC (operators/similarity.ann_ivfadc_topk): coarse cells via the
+# same literal-centroid argmin as the k-means gates, residual r = v - c,
+# per-subspace PQ codes over residuals, the query's n_probe best cells
+# derived IN SQL from the assignment distance array, ADC = per-cell
+# lookup-table sum joined on the candidate's cell.
+# ---------------------------------------------------------------------------
+
+def ann_ivfadc_sql(
+    coarse: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+) -> str:
+    """Twin of similarity.ann_ivfadc_topk with the trained coarse
+    centroids and residual codebooks inlined as literals (both
+    re-derived IN DUCKDB by the caller — _kmeans_cents_for_oracle and
+    _ivfadc_books_for_oracle — so neither engine's float dust leaks).
+
+    Arithmetic contract with the Spark side: residual v[i]-C[i] and
+    query residual q[i]-C[i] are left-assoc float subtractions; every
+    distance is the sequential _fold_sum; codes and LUT entries are
+    6dp-rounded before argmin/lookup; final adc 6dp-rounded before the
+    (adc asc, id asc) rank."""
+    dim = len(coarse[0])
+    dsub = len(codebooks[0][0])
+    cents_all = "[" + ", ".join(_centroid_arr(c) for c in coarse) + "]"
+    cell_vals = ", ".join(
+        f"({j}, {_centroid_arr(c)}::double[])" for j, c in enumerate(coarse)
+    )
+    code_cols = []
+    for m, book in enumerate(codebooks):
+        lo = m * dsub
+        darr = "[" + ", ".join(_pq_sq_l2("r", lo, cj) for cj in book) + "]"
+        code_cols.append(
+            f"list_position({darr}, list_min({darr})) AS code_{m}"
+        )
+    lut_terms = []
+    for m, book in enumerate(codebooks):
+        lo = m * dsub
+        entries = []
+        for cj in book:
+            arr = _pq_lit(cj)
+            diffs = (
+                f"list_transform(generate_series(1, {dsub}),"
+                f" i -> (qr.qr[{lo} + i] - ({arr})[i])"
+                f" * (qr.qr[{lo} + i] - ({arr})[i]))"
+            )
+            entries.append(f"round({_fold_sum(diffs)}, 6)")
+        lut_terms.append(f"([{', '.join(entries)}])[t.code_{m}]")
+    adc = " + ".join(lut_terms)
+    return _kmeans_assign_ctes(coarse) + f""",
+probes AS (
+  SELECT c FROM (
+    SELECT c, row_number() OVER (ORDER BY dist ASC, c ASC) AS rn
+    FROM (
+      SELECT generate_subscripts(ds, 1) - 1 AS c, unnest(ds) AS dist
+      FROM (SELECT ds FROM d WHERE id = {query_id})
+    )
+  ) WHERE rn <= {n_probe}
+),
+q AS (SELECT v AS qv FROM v WHERE id = {query_id}),
+qres AS (
+  SELECT cc.cell,
+         list_transform(generate_series(1, {dim}), i -> q.qv[i] - cc.cv[i]) AS qr
+  FROM (VALUES {cell_vals}) cc(cell, cv), q
+),
+resid AS (
+  SELECT id, cluster,
+         list_transform(generate_series(1, {dim}),
+                        i -> v[i] - ({cents_all})[cluster + 1][i]) AS r
+  FROM asg
+),
+codes AS (
+  SELECT id, cluster, {", ".join(code_cols)} FROM resid
+),
+scored AS (
+  SELECT t.id, round({adc}, 6) AS adc_dist
+  FROM codes t
+  JOIN probes p ON t.cluster = p.c
+  JOIN qres qr ON qr.cell = t.cluster
+  WHERE t.id <> {query_id}
+),
+ranked AS (
+  SELECT id, adc_dist,
+         row_number() OVER (ORDER BY adc_dist ASC, id ASC) AS rn
+  FROM scored
+)
+SELECT id, adc_dist, rn::int AS rank FROM ranked WHERE rn <= {k}
+"""

@@ -250,3 +250,102 @@ def test_bloom_decontaminate_has_no_false_negatives(spark):
     }
     # bloom may add false positives, never false negatives
     assert exact_hit <= bloom_hit
+
+
+# ---------------------------------------------------------------------------
+# IVFADC: coarse cells + residual PQ codes + per-cell ADC lookup
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ivfadc_fixture(spark):
+    # two obvious clusters in 4-dim space; 3 vectors each
+    rows = [
+        (0, [1.0, 0.9, 0.0, 0.1]),
+        (1, [0.9, 1.1, 0.1, 0.0]),
+        (2, [1.1, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.1, 1.0, 0.9]),
+        (4, [0.1, 0.0, 0.9, 1.1]),
+        (5, [0.0, 0.0, 1.1, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    coarse = [[1.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 1.0]]
+    return emb, coarse, rows
+
+
+def _py_ivfadc(rows, coarse, books, qid, k, n_probe):
+    """Pure-Python IVFADC model mirroring the operator's arithmetic."""
+    dsub = len(books[0][0])
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def assign(v):
+        return min(range(len(coarse)), key=lambda j: (sq(v, coarse[j]), j))
+
+    def encode(r):
+        codes = []
+        for m, book in enumerate(books):
+            sub = r[m * dsub : (m + 1) * dsub]
+            d = [round(sq(sub, c), 6) for c in book]
+            codes.append(d.index(min(d)) + 1)  # 1-based like array_position
+        return codes
+
+    qv = dict((i, v) for i, v in rows)[qid]
+    probes = sorted(range(len(coarse)), key=lambda j: (sq(qv, coarse[j]), j))[:n_probe]
+    out = []
+    for i, v in rows:
+        if i == qid:
+            continue
+        c = assign(v)
+        if c not in probes:
+            continue
+        r = [a - b for a, b in zip(v, coarse[c])]
+        codes = encode(r)
+        qr = [a - b for a, b in zip(qv, coarse[c])]
+        adc = 0.0
+        for m, book in enumerate(books):
+            qsub = qr[m * dsub : (m + 1) * dsub]
+            lut = [round(sq(qsub, cj), 6) for cj in book]
+            adc += lut[codes[m] - 1]
+        out.append((round(adc, 6), i))
+    out.sort()
+    return [(i, d, rk + 1) for rk, (d, i) in enumerate(out[:k])]
+
+
+def test_residuals_subtract_nearest_centroid(spark, ivfadc_fixture):
+    emb, coarse, rows = ivfadc_fixture
+    got = {r["id"]: (r["cluster"], r["r"]) for r in S.residuals(emb, coarse).collect()}
+    assert got[0][0] == 0 and got[3][0] == 1
+    assert got[0][1] == pytest.approx([0.0, -0.1, 0.0, 0.1])
+    assert got[4][1] == pytest.approx([0.1, 0.0, -0.1, 0.1])
+
+
+def test_ann_ivfadc_matches_python_model(spark, ivfadc_fixture):
+    emb, coarse, rows = ivfadc_fixture
+    books = S.pq_train(
+        S.residuals(emb, coarse),
+        seeds=[[0.05, 0.0, 0.0, 0.05], [-0.05, 0.1, 0.1, -0.05]],
+        m_subs=2,
+        iters=2,
+        id_col="id",
+        vec_col="r",
+    )
+    for n_probe in (1, 2):
+        got = [
+            (r["id"], r["adc_dist"], r["rank"])
+            for r in S.ann_ivfadc_topk(
+                emb, coarse, books, query_id=0, k=5, n_probe=n_probe
+            ).collect()
+        ]
+        want = _py_ivfadc(rows, coarse, books, qid=0, k=5, n_probe=n_probe)
+        assert [g[0] for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g[1] == pytest.approx(w[1], abs=1e-6)
+            assert g[2] == w[2]
+    # n_probe=1 restricts candidates to the query's own cell
+    one = S.ann_ivfadc_topk(emb, coarse, books, query_id=0, k=5, n_probe=1)
+    assert {r["id"] for r in one.collect()} <= {1, 2}
