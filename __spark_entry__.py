@@ -234,6 +234,23 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_SEEDS = [3, 11, 42]
+
+
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Haveliwala topic-sensitive PR: teleport onto a 3-doc seed set
+    # (r0 = p, base term 0.15*p), same transfer math as pagerank_3iter;
+    # oracle unrolls the identical rounds with the personalized base
+    from distributed_search_engine_spark.operators.pagerank import (
+        run_personalized_pagerank,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return run_personalized_pagerank(
+        docs, synthetic_links(docs), seeds=_PPR_SEEDS, iterations=3
+    ).select("doc_id", F.round("rank", 6).alias("rank"))
+
+
 def _q_pagerank_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P7 persisted checkpoint/resume: run 2 iterations (checkpoint each),
     # crash-free stop, then a SECOND invocation resumes from the iter=2
@@ -2057,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_adc": _q_ann_pq_adc,
         "ann_pq_rerank": _q_ann_pq_rerank,
         "ann_ivfadc": _q_ann_ivfadc,
+        "pagerank_personalized_3iter": _q_pagerank_personalized,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2227,6 +2245,9 @@ def oracle_sql() -> dict[str, str]:
         "search_mlt_pruned": oracle.more_like_this_sql("7", 10),
         "index_forward": oracle.FORWARD_INDEX_SQL,
         "pagerank_3iter": oracle.pagerank_sql(3),
+        "pagerank_personalized_3iter": oracle.personalized_pagerank_sql(
+            _PPR_SEEDS, 3
+        ),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

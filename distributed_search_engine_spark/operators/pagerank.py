@@ -276,3 +276,77 @@ def resolve_links(refs: DataFrame, module_map: DataFrame) -> DataFrame:
         F.col("src").cast("string").alias("src"),
         F.col("dst").cast("string").alias("dst"),
     )
+
+
+def run_personalized_pagerank(
+    docs: DataFrame,
+    links: DataFrame,
+    seeds: list[str],
+    iterations: int = 3,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Personalized PageRank (Haveliwala, WWW'02 topic-sensitive PR):
+    the teleport lands on the SEED set instead of uniformly — r0 = p,
+    r_{k+1} = 0.15·p + 0.85·transfer, p(v) = 1/|S| on seeds else 0.
+    Same reference transfer math as run_pagerank (per-share
+    0.85·rank/L, dangling mass dropped — jobs/PageRank.java:271,319);
+    only the base term is personalized. Fixed iterations, so the DuckDB
+    twin unrolls the identical rounds (oracle.personalized_pagerank_sql).
+
+    Scale shape: identical to run_pagerank — the seed membership test is
+    a broadcast literal isin (seed sets are small by construction: a
+    query's clicked docs, a topic's taxonomy pages), every iteration is
+    one edges⋈ranks shuffle + one doc-keyed aggregate. Serving-scale PPR
+    precomputes one vector per topic hub exactly this way."""
+    if not seeds:
+        raise ValueError("personalized pagerank needs a non-empty seed set")
+    p_val = 1.0 / len(seeds)
+    seed_strs = [str(s) for s in seeds]
+    p_expr = (
+        F.when(F.col("doc_id").isin(seed_strs), F.lit(p_val))
+        .otherwise(F.lit(0.0))
+    )
+
+    nodes = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id")
+    ).distinct()
+    edges = dedupe_links(
+        links.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+    )
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    edges = edges.join(out_deg, "src").persist()
+    edges.count()
+
+    ranks = nodes.select("doc_id", p_expr.alias("rank")).persist()
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
+            .select(
+                F.col("dst").alias("doc_id"),
+                (F.lit(DAMPING) * F.col("rank") / F.col("out_deg")).alias(
+                    "share"
+                ),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("share").alias("inflow"))
+        )
+        new_ranks = (
+            nodes.join(contribs, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.lit(BASE) * p_expr
+                    + F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+            .persist()
+        )
+        new_ranks.count()
+        ranks.unpersist()
+        ranks = new_ranks
+    edges.unpersist()
+    return ranks

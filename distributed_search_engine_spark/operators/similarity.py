@@ -618,3 +618,98 @@ def ann_ivfadc_topk(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "id", "adc_dist", "rank"
     )
+
+
+def persist_coded_corpus(
+    emb: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the IVFADC store: residual PQ codes partitioned BY COARSE
+    CELL (parquet `cluster=<c>/` directories — the vector-side analog of
+    the term segments in index/segments.py). One map-side projection,
+    one write; at 10^9 vectors each cell directory holds M bytes/vector
+    and a probe reads only n_probe directories."""
+    dsub = len(codebooks[0][0])
+    res = residuals(emb, coarse_cents, id_col, vec_col)
+    code_cols = []
+    for m, book in enumerate(codebooks):
+        sub = F.slice(F.col("r"), m * dsub + 1, dsub)
+        darr = F.array(*[F.round(_sq_l2(sub, c), 6) for c in book])
+        code_cols.append(
+            F.array_position(darr, F.array_min(darr)).cast("int").alias(f"code_{m}")
+        )
+    (
+        res.select("id", "cluster", *code_cols)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(path)
+    )
+
+
+def ann_ivfadc_from_store(
+    spark,
+    store_path: str,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    query_vec: list[float],
+    query_id: int = -1,
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVFADC serving from the persisted store: the cluster-isin filter
+    lands in the parquet scan's PartitionFilters, so Spark LISTS only
+    the n_probe probed `cluster=` directories — the scan is
+    partition-pruned, not filtered after read (plan-asserted in tests).
+    Same arithmetic as ann_ivfadc_topk; the query vector arrives as a
+    literal (serving-path shape: the query never scans the corpus)."""
+    dsub = len(codebooks[0][0])
+    n_m = len(codebooks)
+    qv = [float(x) for x in query_vec]
+
+    def _fold_sq(xs: list[float], ys: list[float]) -> float:
+        acc = 0.0
+        for a, b in zip(xs, ys):
+            acc += (a - b) * (a - b)
+        return acc
+
+    probes = [
+        c
+        for _, c in sorted(
+            ((_fold_sq(qv, cv), j) for j, cv in enumerate(coarse_cents))
+        )[:n_probe]
+    ]
+    # LUTs are plain Python here (query vector is driver-side in the
+    # serving path); entries mirror the in-engine fold exactly —
+    # sequential accumulation, 6dp round
+    luts = {}
+    for c in probes:
+        qr = [a - b for a, b in zip(qv, coarse_cents[c])]
+        for m, book in enumerate(codebooks):
+            qsub = qr[m * dsub : (m + 1) * dsub]
+            luts[(c, m)] = [round(_fold_sq(qsub, cj), 6) for cj in book]
+
+    coded = spark.read.parquet(store_path).where(
+        F.col("cluster").isin(probes) & (F.col("id") != query_id)
+    )
+    adc = None
+    for c in probes:
+        cell_sum = None
+        for m in range(n_m):
+            lut_arr = F.array(*[F.lit(x) for x in luts[(c, m)]])
+            term = F.element_at(lut_arr, F.col(f"code_{m}"))
+            cell_sum = term if cell_sum is None else cell_sum + term
+        if adc is None:
+            adc = F.when(F.col("cluster") == c, cell_sum)
+        else:
+            adc = adc.when(F.col("cluster") == c, cell_sum)
+
+    scored = coded.select("id", F.round(adc, 6).alias("adc_dist"))
+    top = scored.orderBy(F.asc("adc_dist"), F.asc("id")).limit(k)
+    w = Window.orderBy(F.asc("adc_dist"), F.asc("id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
+        "id", "adc_dist", "rank"
+    )

@@ -2940,3 +2940,44 @@ ranked AS (
 )
 SELECT id, adc_dist, rn::int AS rank FROM ranked WHERE rn <= {k}
 """
+
+
+def personalized_pagerank_sql(
+    seeds: list[int], iterations: int = 3
+) -> str:
+    """Unrolled personalized PageRank (Haveliwala WWW'02) over the
+    synthetic link graph: teleport vector p = 1/|S| on the seed set,
+    r0 = p, r_{k+1} = 0.15*p + 0.85*transfer — the same per-share
+    transfer and dangling-drop as pagerank_sql, base term personalized.
+    The 1/|S| literal is the Python float repr so both engines multiply
+    the identical double."""
+    p_val = 1.0 / len(seeds)
+    seed_list = ", ".join(str(int(s)) for s in seeds)
+    p_case = f"(CASE WHEN d.doc_id IN ({seed_list}) THEN {p_val!r} ELSE 0.0 END)"
+    parts = [
+        f"""
+WITH nn AS (SELECT count(*)::bigint AS n FROM documents),
+links AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT n FROM nn) AS dst FROM documents
+  )
+),
+deg AS (SELECT src, count(*)::bigint AS l FROM links GROUP BY 1),
+r0 AS (SELECT d.doc_id, {p_case}::double AS rank FROM documents d)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT d.doc_id, 0.15 * {p_case} + coalesce(c.s, 0) AS rank
+  FROM documents d LEFT JOIN (
+    SELECT lk.dst AS doc_id, sum(0.85 * r.rank / g.l) AS s
+    FROM links lk JOIN r{k - 1} r ON r.doc_id = lk.src JOIN deg g ON g.src = lk.src
+    GROUP BY lk.dst
+  ) c USING (doc_id)
+)""")
+    parts.append(
+        f"\nSELECT doc_id::varchar AS doc_id, round(rank, 6) AS rank FROM r{iterations}"
+    )
+    return "".join(parts)

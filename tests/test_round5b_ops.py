@@ -349,3 +349,88 @@ def test_ann_ivfadc_matches_python_model(spark, ivfadc_fixture):
     # n_probe=1 restricts candidates to the query's own cell
     one = S.ann_ivfadc_topk(emb, coarse, books, query_id=0, k=5, n_probe=1)
     assert {r["id"] for r in one.collect()} <= {1, 2}
+
+
+def test_ivfadc_store_partition_pruned_probe(spark, ivfadc_fixture, tmp_path):
+    emb, coarse, rows = ivfadc_fixture
+    books = S.pq_train(
+        S.residuals(emb, coarse),
+        seeds=[[0.05, 0.0, 0.0, 0.05], [-0.05, 0.1, 0.1, -0.05]],
+        m_subs=2,
+        iters=2,
+        id_col="id",
+        vec_col="r",
+    )
+    store = str(tmp_path / "ivfadc_store")
+    S.persist_coded_corpus(emb, coarse, books, store)
+
+    qv = dict(rows)[0]
+    served = S.ann_ivfadc_from_store(
+        spark, store, coarse, books, qv, query_id=0, k=5, n_probe=1
+    )
+    inmem = S.ann_ivfadc_topk(emb, coarse, books, query_id=0, k=5, n_probe=1)
+    got = [(r["id"], r["adc_dist"]) for r in served.collect()]
+    want = [(r["id"], r["adc_dist"]) for r in inmem.collect()]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], abs=1e-6)
+
+    # the cluster filter must land in the scan's PartitionFilters (the
+    # probe LISTS only the probed cluster= directories) — not a
+    # post-scan Filter over all cells
+    plan = plan_of(served)
+    scan = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan and any("cluster" in ln for ln in scan)
+
+
+# ---------------------------------------------------------------------------
+# personalized PageRank (Haveliwala topic-sensitive teleport)
+# ---------------------------------------------------------------------------
+
+
+def test_personalized_pagerank_chain(spark):
+    from distributed_search_engine_spark.operators.pagerank import (
+        run_personalized_pagerank,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    # chain 0 -> 1 -> 2 -> 3 (3 dangling)
+    links = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    got = {
+        r["doc_id"]: r["rank"]
+        for r in run_personalized_pagerank(
+            docs, links, seeds=["0"], iterations=2
+        ).collect()
+    }
+    # hand-unroll: p = (1,0,0,0); r0 = p
+    # r1 = 0.15*p + 0.85*transfer(r0): node0 0.15, node1 0.85, rest 0
+    # r2 = 0.15*p + 0.85*transfer(r1): node0 0.15, node1 0.85*0.15=0.1275,
+    #      node2 0.85*0.85=0.7225, node3 0
+    assert got["0"] == pytest.approx(0.15)
+    assert got["1"] == pytest.approx(0.1275)
+    assert got["2"] == pytest.approx(0.7225)
+    assert got["3"] == pytest.approx(0.0)
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    from distributed_search_engine_spark.operators.pagerank import (
+        run_personalized_pagerank,
+        synthetic_links,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    ranks = {
+        r["doc_id"]: r["rank"]
+        for r in run_personalized_pagerank(
+            docs, synthetic_links(docs), seeds=["10"], iterations=3
+        ).collect()
+    }
+    # the seed and its direct successor (10 -> 11) outrank the median doc
+    vals = sorted(ranks.values())
+    median = vals[len(vals) // 2]
+    assert ranks["10"] > median
+    assert ranks["11"] > median
+    # total mass is bounded by the teleport + damping geometry (< 1.6)
+    assert 0.0 < sum(ranks.values()) < 1.6
