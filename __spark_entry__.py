@@ -234,6 +234,15 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Kleinberg HITS, 2 unrolled rounds over the synthetic link graph —
+    # L2 normalizers 6dp-rounded before dividing (shared contract)
+    from distributed_search_engine_spark.operators.pagerank import run_hits
+
+    docs = _docs(spark, sf_dir)
+    return run_hits(docs, synthetic_links(docs), iterations=2)
+
+
 _PPR_SEEDS = [3, 11, 42]
 
 
@@ -2075,6 +2084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_rerank": _q_ann_pq_rerank,
         "ann_ivfadc": _q_ann_ivfadc,
         "pagerank_personalized_3iter": _q_pagerank_personalized,
+        "graph_hits_2iter": _q_hits,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2248,6 +2258,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_personalized_3iter": oracle.personalized_pagerank_sql(
             _PPR_SEEDS, 3
         ),
+        "graph_hits_2iter": oracle.hits_sql(2),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

@@ -350,3 +350,79 @@ def run_personalized_pagerank(
         ranks = new_ranks
     edges.unpersist()
     return ranks
+
+
+def run_hits(
+    docs: DataFrame,
+    links: DataFrame,
+    iterations: int = 2,
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, authority, hub): Kleinberg's HITS (JACM'99) — the other
+    classic link-analysis primitive beside PageRank. Per iteration:
+    authority(v) = Σ_{u→v} hub(u), then L2-normalize; hub(v) = Σ_{v→u}
+    authority(u), then L2-normalize. Each normalizer is ROUNDED to 6dp
+    before dividing — the cross-engine boundary-rounding contract (the
+    same one kmeans_fit_fixed uses at re-inline), so the DuckDB twin
+    (oracle.hits_sql, identical unrolled rounds) divides by the
+    identical double and the gate compares equal floats.
+
+    Scale shape: per half-iteration ONE edges⋈scores shuffle + one
+    keyed sum (map-side partial agg) + one scalar aggregate for the
+    norm — the PageRank loop's cost profile exactly, run twice per
+    round."""
+    nodes = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id")
+    ).distinct()
+    edges = dedupe_links(
+        links.select(
+            F.col("src").cast("string").alias("src"),
+            F.col("dst").cast("string").alias("dst"),
+        )
+    ).persist()
+    edges.count()
+
+    def _normalized(scores: DataFrame, col: str) -> DataFrame:
+        nrm = scores.agg(
+            F.round(F.sqrt(F.sum(F.col(col) * F.col(col))), 6).alias("_n")
+        )
+        return (
+            scores.crossJoin(F.broadcast(nrm))
+            .select(
+                "doc_id",
+                F.when(F.col("_n") > 0, F.col(col) / F.col("_n"))
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            )
+        )
+
+    hub = nodes.select("doc_id", F.lit(1.0).alias("hub")).persist()
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            edges.join(hub, edges["src"] == hub["doc_id"])
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a_full = nodes.join(a_raw, "doc_id", "left").select(
+            "doc_id", F.coalesce("authority", F.lit(0.0)).alias("authority")
+        )
+        auth = _normalized(a_full, "authority").localCheckpoint(eager=False).persist()
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["doc_id"])
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h_full = nodes.join(h_raw, "doc_id", "left").select(
+            "doc_id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+        )
+        new_hub = _normalized(h_full, "hub").localCheckpoint(eager=False).persist()
+        new_hub.count()
+        hub.unpersist()
+        hub = new_hub
+    edges.unpersist()
+    return auth.join(hub, "doc_id").select(
+        "doc_id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )

@@ -2981,3 +2981,62 @@ r{k} AS (
         f"\nSELECT doc_id::varchar AS doc_id, round(rank, 6) AS rank FROM r{iterations}"
     )
     return "".join(parts)
+
+
+def hits_sql(iterations: int = 2) -> str:
+    """Unrolled HITS (Kleinberg JACM'99) over the synthetic link graph —
+    twin of pagerank.run_hits: per round authority = Σ inbound hub then
+    L2-normalize, hub = Σ outbound authority then L2-normalize; every
+    normalizer rounded to 6dp BEFORE dividing (the shared cross-engine
+    boundary-rounding contract), zero-coalesce for sink/source nodes."""
+    parts = [
+        """
+WITH nn AS (SELECT count(*)::bigint AS n FROM documents),
+links AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id + 1) % (SELECT n FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id AS src, (doc_id * 3 + 7) % (SELECT n FROM nn) AS dst FROM documents
+  )
+),
+h0 AS (SELECT doc_id, 1.0::double AS hub FROM documents)"""
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f""",
+a{k}raw AS (
+  SELECT d.doc_id, coalesce(c.s, 0) AS authority
+  FROM documents d LEFT JOIN (
+    SELECT lk.dst AS doc_id, sum(h.hub) AS s
+    FROM links lk JOIN h{k - 1} h ON h.doc_id = lk.src
+    GROUP BY lk.dst
+  ) c USING (doc_id)
+),
+a{k} AS (
+  SELECT doc_id,
+         CASE WHEN (SELECT round(sqrt(sum(authority * authority)), 6) FROM a{k}raw) > 0
+              THEN authority / (SELECT round(sqrt(sum(authority * authority)), 6) FROM a{k}raw)
+              ELSE 0.0 END AS authority
+  FROM a{k}raw
+),
+h{k}raw AS (
+  SELECT d.doc_id, coalesce(c.s, 0) AS hub
+  FROM documents d LEFT JOIN (
+    SELECT lk.src AS doc_id, sum(a.authority) AS s
+    FROM links lk JOIN a{k} a ON a.doc_id = lk.dst
+    GROUP BY lk.src
+  ) c USING (doc_id)
+),
+h{k} AS (
+  SELECT doc_id,
+         CASE WHEN (SELECT round(sqrt(sum(hub * hub)), 6) FROM h{k}raw) > 0
+              THEN hub / (SELECT round(sqrt(sum(hub * hub)), 6) FROM h{k}raw)
+              ELSE 0.0 END AS hub
+  FROM h{k}raw
+)""")
+    parts.append(f"""
+SELECT a.doc_id::varchar AS doc_id,
+       round(a.authority, 6) AS authority,
+       round(h.hub, 6) AS hub
+FROM a{iterations} a JOIN h{iterations} h USING (doc_id)
+""")
+    return "".join(parts)

@@ -434,3 +434,23 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
     assert ranks["11"] > median
     # total mass is bounded by the teleport + damping geometry (< 1.6)
     assert 0.0 < sum(ranks.values()) < 1.6
+
+
+def test_hits_star_graph(spark):
+    from distributed_search_engine_spark.operators.pagerank import run_hits
+
+    # star: 1,2,3 all point at 0; 0 points nowhere
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    links = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    got = {
+        r["doc_id"]: (r["authority"], r["hub"])
+        for r in run_hits(docs, links, iterations=2).collect()
+    }
+    # 0 is the unique authority (norm 1); 1,2,3 are equal hubs 1/sqrt(3)
+    assert got["0"][0] == pytest.approx(1.0)
+    assert got["0"][1] == pytest.approx(0.0)
+    for n in ("1", "2", "3"):
+        assert got[n][0] == pytest.approx(0.0)
+        assert got[n][1] == pytest.approx(1.0 / math.sqrt(3.0), abs=1e-5)
