@@ -234,6 +234,17 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sloppy-phrase retrieval: 'data' and 'stream' within 4 positions,
+    # tf-idf sum x (1 + 1/(1+min_gap)) closeness boost
+    from distributed_search_engine_spark.query.engine import search_proximity
+
+    idx = _index(spark, sf_dir, with_stems=False)
+    return search_proximity(
+        idx["postings"], idx["term_stats"], "data", "stream", slop=4, k=20
+    )
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Kleinberg HITS, 2 unrolled rounds over the synthetic link graph —
     # L2 normalizers 6dp-rounded before dividing (shared contract)
@@ -2085,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfadc": _q_ann_ivfadc,
         "pagerank_personalized_3iter": _q_pagerank_personalized,
         "graph_hits_2iter": _q_hits,
+        "search_proximity": _q_search_proximity,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2259,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
             _PPR_SEEDS, 3
         ),
         "graph_hits_2iter": oracle.hits_sql(2),
+        "search_proximity": oracle.proximity_sql("data", "stream", 4, 20),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

@@ -3040,3 +3040,35 @@ SELECT a.doc_id::varchar AS doc_id,
 FROM a{iterations} a JOIN h{iterations} h USING (doc_id)
 """)
     return "".join(parts)
+
+
+def proximity_sql(w1: str, w2: str, slop: int = 4, k: int = 20) -> str:
+    """Twin of engine.search_proximity: both terms within ``slop``
+    positions (unordered min |q-p| over the position cross), tf-idf sum
+    boosted by 1 + 1/(1+min_gap), 6dp-rounded before the
+    (score desc, doc_id asc) rank."""
+    return base_ctes() + f""",
+hits AS (
+  SELECT p.doc_id, p.term, p.normalized_tf * ts.idf AS contrib, p.positions
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ('{w1}', '{w2}') AND p.normalized_tf > 0
+),
+j AS (
+  SELECT h1.doc_id, h1.contrib + h2.contrib AS csum,
+         list_min(flatten(list_transform(h1.positions,
+                  p -> list_transform(h2.positions, q -> abs(q - p))))) AS min_gap
+  FROM hits h1 JOIN hits h2 ON h1.doc_id = h2.doc_id
+  WHERE h1.term = '{w1}' AND h2.term = '{w2}'
+),
+scored AS (
+  SELECT doc_id, min_gap::int AS min_gap,
+         round(csum * (1.0 + 1.0 / (1.0 + min_gap::double)), 6) AS score
+  FROM j WHERE min_gap <= {slop}
+),
+ranked AS (
+  SELECT doc_id, min_gap, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, min_gap, score, rn::int AS rank FROM ranked WHERE rn <= {k}
+"""

@@ -1093,3 +1093,68 @@ def search_bm25f(
         .agg(F.round(F.sum("_c"), 6).alias("score"))
         .where(F.col("score") > 0.0)
     )
+
+
+def search_proximity(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    w1: str,
+    w2: str,
+    slop: int = 4,
+    k: int = 20,
+) -> DataFrame:
+    """(doc_id, min_gap, score): sloppy-phrase retrieval — docs where
+    both terms occur within ``slop`` token positions (unordered window),
+    scored tf-idf with a closeness boost 1 + 1/(1+min_gap) — the
+    Lucene PhraseQuery~slop shape with the reciprocal-distance weight
+    of its SloppyPhraseScorer. Extends the exact-adjacency phrase boost
+    (Q8, engine.search) to bounded-distance matching.
+
+    Plan: two single-term postings lookups (partition-prunable against
+    the term segments, like Q4) joined on doc_id; the min position gap
+    is a pure HOF — flatten(transform x transform) + array_min, O(tf1 x
+    tf2) per doc with NO explode, so the only exchange is the doc_id
+    equi-join of two term-sized posting lists. 6dp-rounded score before
+    the (score desc, doc_id asc) rank; DuckDB twin =
+    oracle.proximity_sql (identical gap/boost arithmetic)."""
+    hits = (
+        postings.where(
+            F.col("term").isin([w1, w2]) & (F.col("normalized_tf") > 0)
+        )
+        .join(term_stats.select("term", "idf"), "term")
+        .select(
+            "doc_id",
+            "term",
+            (F.col("normalized_tf") * F.col("idf")).alias("contrib"),
+            "positions",
+        )
+    )
+    h1 = hits.where(F.col("term") == w1).select(
+        "doc_id", F.col("contrib").alias("c1"), F.col("positions").alias("p1")
+    )
+    h2 = hits.where(F.col("term") == w2).select(
+        "doc_id", F.col("contrib").alias("c2"), F.col("positions").alias("p2")
+    )
+    gaps = F.flatten(
+        F.transform(
+            F.col("p1"),
+            lambda p: F.transform(F.col("p2"), lambda q: F.abs(q - p)),
+        )
+    )
+    j = h1.join(h2, "doc_id").select(
+        "doc_id",
+        (F.col("c1") + F.col("c2")).alias("csum"),
+        F.array_min(gaps).alias("min_gap"),
+    )
+    scored = j.where(F.col("min_gap") <= slop).select(
+        "doc_id",
+        F.col("min_gap").cast("int").alias("min_gap"),
+        F.round(
+            F.col("csum")
+            * (F.lit(1.0) + F.lit(1.0) / (F.lit(1.0) + F.col("min_gap").cast("double"))),
+            6,
+        ).alias("score"),
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

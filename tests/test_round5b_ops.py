@@ -454,3 +454,35 @@ def test_hits_star_graph(spark):
     for n in ("1", "2", "3"):
         assert got[n][0] == pytest.approx(0.0)
         assert got[n][1] == pytest.approx(1.0 / math.sqrt(3.0), abs=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# proximity (slop) search
+# ---------------------------------------------------------------------------
+
+
+def test_search_proximity_gap_and_boost(spark):
+    from distributed_search_engine_spark.query.engine import search_proximity
+
+    postings = spark.createDataFrame(
+        [
+            ("alpha", "d1", [1, 10], 0.5),
+            ("beta", "d1", [4, 30], 0.5),   # min gap |4-1| = 3
+            ("alpha", "d2", [1], 0.5),
+            ("beta", "d2", [20], 0.5),      # gap 19 > slop -> dropped
+            ("alpha", "d3", [7], 0.5),
+            ("beta", "d3", [7], 0.5),       # same position -> gap 0
+        ],
+        "term string, doc_id string, positions array<int>, normalized_tf double",
+    )
+    ts = spark.createDataFrame(
+        [("alpha", 2.0), ("beta", 2.0)], "term string, idf double"
+    )
+    got = {
+        r["doc_id"]: (r["min_gap"], r["score"], r["rank"])
+        for r in search_proximity(postings, ts, "alpha", "beta", slop=4).collect()
+    }
+    assert set(got) == {"d1", "d3"}
+    assert got["d3"][0] == 0 and got["d3"][1] == pytest.approx(4.0)  # 2*(1+1/1)
+    assert got["d1"][0] == 3 and got["d1"][1] == pytest.approx(2.0 * 1.25)
+    assert got["d3"][2] == 1 and got["d1"][2] == 2
