@@ -245,6 +245,20 @@ def _q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # aggregations alongside hits: per-(lang, source) match counts +
+    # best tf-idf score for the two-term query
+    from distributed_search_engine_spark.query.engine import search_facets
+
+    idx = _index(spark, sf_dir, with_stems=False)
+    return search_facets(
+        idx["postings"],
+        idx["term_stats"],
+        _docs(spark, sf_dir),
+        ["data", "stream"],
+    )
+
+
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Kleinberg HITS, 2 unrolled rounds over the synthetic link graph —
     # L2 normalizers 6dp-rounded before dividing (shared contract)
@@ -2097,6 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_personalized_3iter": _q_pagerank_personalized,
         "graph_hits_2iter": _q_hits,
         "search_proximity": _q_search_proximity,
+        "search_facets": _q_search_facets,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2272,6 +2287,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_hits_2iter": oracle.hits_sql(2),
         "search_proximity": oracle.proximity_sql("data", "stream", 4, 20),
+        "search_facets": oracle.facets_sql(["data", "stream"]),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

@@ -3072,3 +3072,33 @@ ranked AS (
 )
 SELECT doc_id, min_gap, score, rn::int AS rank FROM ranked WHERE rn <= {k}
 """
+
+
+def facets_sql(
+    terms: list[str], facet_cols: tuple[str, ...] = ("lang", "source")
+) -> str:
+    """Twin of engine.search_facets: per-doc tf-idf sum over matched
+    terms (<= 2 terms — IEEE addition commutes, so the 2-addend per-doc
+    sum is order-insensitive cross-engine), one facet-count branch per
+    column UNION ALLed."""
+    tlist = ", ".join(f"'{t}'" for t in terms)
+    branches = []
+    for c in facet_cols:
+        branches.append(f"""
+SELECT '{c}' AS facet, m.{c} AS value, count(*)::int AS n_docs,
+       round(max(m.score), 6) AS best_score
+FROM m GROUP BY 2""")
+    return base_ctes() + f""",
+hits AS (
+  SELECT p.doc_id, sum(p.normalized_tf * ts.idf) AS score
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({tlist}) AND p.normalized_tf > 0
+  GROUP BY 1
+),
+m AS (
+  SELECT h.doc_id, h.score,
+         {", ".join(f"d.{c}::varchar AS {c}" for c in facet_cols)}
+  FROM hits h JOIN documents d ON d.doc_id::varchar = h.doc_id
+)
+{" UNION ALL ".join(branches)}
+"""

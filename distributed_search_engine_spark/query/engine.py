@@ -1158,3 +1158,61 @@ def search_proximity(
     top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def search_facets(
+    postings: DataFrame,
+    term_stats: DataFrame,
+    docs: DataFrame,
+    terms: list[str],
+    facet_cols: tuple[str, ...] = ("lang", "source"),
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, value, n_docs, best_score): facet aggregations over the
+    match set — the Elasticsearch aggregations-alongside-hits shape.
+    Docs matching ANY query term are tf-idf scored (per-doc sum of
+    normalized_tf x idf over matched terms), joined to their metadata,
+    and counted per (facet column, value) with the best score per
+    bucket.
+
+    Plan: the postings lookup and per-doc sum are the Q4/Q5 shape; ONE
+    broadcast-sized join against the doc metadata (project only the
+    facet columns — column pruning keeps the scan narrow), then one
+    explode(array(struct...)) over the |facet_cols| labels and ONE
+    groupBy — facet keys are low-cardinality so the aggregate is
+    map-side-partial dominated. Keep ``terms`` to <= 2 for the
+    cross-engine gate: IEEE addition is commutative but not
+    associative, so 3+ contributions per doc would make the per-doc sum
+    order-sensitive between engines."""
+    hits = (
+        postings.where(
+            F.col("term").isin(list(terms)) & (F.col("normalized_tf") > 0)
+        )
+        .join(term_stats.select("term", "idf"), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("normalized_tf") * F.col("idf")).alias("score"))
+    )
+    meta = docs.select(
+        F.col(doc_id_col).cast("string").alias("doc_id"),
+        *[F.col(c).cast("string").alias(c) for c in facet_cols],
+    )
+    m = hits.join(meta, "doc_id")
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("facet"), F.col(c).alias("value")
+                )
+                for c in facet_cols
+            ]
+        )
+    ).alias("fv")
+    return (
+        m.select("doc_id", "score", pairs)
+        .select("doc_id", "score", "fv.facet", "fv.value")
+        .groupBy("facet", "value")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.round(F.max("score"), 6).alias("best_score"),
+        )
+    )

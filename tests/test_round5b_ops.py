@@ -486,3 +486,30 @@ def test_search_proximity_gap_and_boost(spark):
     assert got["d3"][0] == 0 and got["d3"][1] == pytest.approx(4.0)  # 2*(1+1/1)
     assert got["d1"][0] == 3 and got["d1"][1] == pytest.approx(2.0 * 1.25)
     assert got["d3"][2] == 1 and got["d1"][2] == 2
+
+
+def test_search_facets_counts_and_best_score(spark):
+    from distributed_search_engine_spark.query.engine import search_facets
+
+    postings = spark.createDataFrame(
+        [("alpha", "1", 0.5), ("alpha", "2", 1.0), ("beta", "2", 0.25)],
+        "term string, doc_id string, normalized_tf double",
+    )
+    ts = spark.createDataFrame(
+        [("alpha", 2.0), ("beta", 4.0)], "term string, idf double"
+    )
+    docs = spark.createDataFrame(
+        [(1, "py", "web"), (2, "md", "web"), (3, "py", "repo")],
+        "doc_id long, lang string, source string",
+    )
+    got = {
+        (r["facet"], r["value"]): (r["n_docs"], r["best_score"])
+        for r in search_facets(
+            postings, ts, docs, ["alpha", "beta"]
+        ).collect()
+    }
+    # doc1 score 1.0 (py/web); doc2 score 2.0+1.0=3.0 (md/web); doc3 unmatched
+    assert got[("lang", "py")] == (1, 1.0)
+    assert got[("lang", "md")] == (1, 3.0)
+    assert got[("source", "web")] == (2, 3.0)
+    assert ("source", "repo") not in got
