@@ -498,6 +498,53 @@ def main() -> None:
         ).collect()
         timings["kmeans_update_100k"] = time.time() - t0
         assert len(km_rows) == km_k
+
+        # q9b: IVFADC over the same 100k vectors — encode+persist the
+        # coded corpus partitioned by coarse cell (the build), then 5
+        # served queries probing 2 of 16 cells each (partition-pruned
+        # scans of compressed codes; the billion-scale ANN serving shape)
+        import shutil
+        import tempfile
+
+        from distributed_search_engine_spark.operators.similarity import (
+            ann_ivfadc_from_store,
+            persist_coded_corpus,
+            pq_train,
+            residuals,
+        )
+
+        ivf_cents = seeded_centroids(16, km_dim, seed=5)
+        # persist the residual frame: 8 per-subspace Lloyd scans would
+        # otherwise each re-run the 16-centroid coarse argmin
+        ivf_res = residuals(km_emb, ivf_cents).persist()
+        ivf_res.count()
+        ivf_books = pq_train(
+            ivf_res,
+            seeded_centroids(16, km_dim, seed=17),
+            m_subs=8,
+            iters=1,
+            id_col="id",
+            vec_col="r",
+        )
+        ivf_res.unpersist()
+        store_dir = tempfile.mkdtemp(prefix="dse_ivfadc_bench_")
+        t0 = time.time()
+        persist_coded_corpus(km_emb, ivf_cents, ivf_books, store_dir)
+        timings["ann_ivfadc_build_100k"] = time.time() - t0
+        qvecs = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in km_emb.where(F.col("vec_id") < 5).collect()
+        }
+        t0 = time.time()
+        n_served = 0
+        for qid, qv in sorted(qvecs.items()):
+            n_served += ann_ivfadc_from_store(
+                spark, store_dir, ivf_cents, ivf_books, qv,
+                query_id=qid, k=10, n_probe=2,
+            ).count()
+        timings["ann_ivfadc_serve_100k_x5"] = time.time() - t0
+        assert n_served == 50
+        shutil.rmtree(store_dir, ignore_errors=True)
         km_emb.unpersist()
 
         extra_big = {
