@@ -245,6 +245,11 @@ def _q_search_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # diversified retrieval: MMR over the brute-force top-20 pool
+    return S.mmr_rerank(_emb(spark, sf_dir), query_id=0, k=5, pool=20, lam=0.7)
+
+
 def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregations alongside hits: per-(lang, source) match counts +
     # best tf-idf score for the two-term query
@@ -2112,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hits_2iter": _q_hits,
         "search_proximity": _q_search_proximity,
         "search_facets": _q_search_facets,
+        "ann_mmr_rerank": _q_ann_mmr,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2288,6 +2294,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits_2iter": oracle.hits_sql(2),
         "search_proximity": oracle.proximity_sql("data", "stream", 4, 20),
         "search_facets": oracle.facets_sql(["data", "stream"]),
+        "ann_mmr_rerank": oracle.mmr_sql(0, 5, 20, 0.7),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

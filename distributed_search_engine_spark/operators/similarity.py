@@ -713,3 +713,80 @@ def ann_ivfadc_from_store(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).select(
         "id", "adc_dist", "rank"
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_id: int = 0,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, mmr_score, rank): Maximal Marginal Relevance diversified
+    re-ranking (Carbonell & Goldstein, SIGIR'98) — greedily pick k of
+    the top-``pool`` candidates maximizing
+    λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so near-duplicates of an
+    already-selected result are demoted. The training-data cousin of
+    SemDeDup: diversity at serving time instead of corpus time.
+
+    Plan: relevance pool = ONE broadcast-query scored scan + ordered
+    limit (the ann_bruteforce shape); pairwise sims among the pool =
+    a pool×pool broadcast self-join (bounded at pool², independent of
+    N). The greedy selection runs on the driver over the collected
+    pool — k·pool comparisons on ≤ pool rows, the standard serving
+    shape (like top-k result assembly). Every rel/sim is 6dp-rounded
+    IN-ENGINE before collection, and the driver arithmetic
+    (λ·rel − (1−λ)·max-sim over those rounded doubles) is the exact
+    expression the DuckDB twin evaluates over ITS rounded pool — the
+    driver-mirrors-SQL contract the IVF probes use. First pick =
+    highest rel; ties → id asc everywhere."""
+    rel_rows = ann_bruteforce_topk(emb, query_id, k=pool, id_col=id_col, vec_col=vec_col).collect()
+    rel = {int(r["id"]): float(r["cosine"]) for r in rel_rows}
+    pool_ids = sorted(rel)
+
+    v = _as_double(emb, id_col, vec_col).where(F.col("id").isin(pool_ids))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim_rows = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("sim"),
+        )
+        .collect()
+    )
+    sim: dict[tuple[int, int], float] = {}
+    for r in sim_rows:
+        sim[(int(r["id_a"]), int(r["id_b"]))] = float(r["sim"])
+
+    def _sim(x: int, y: int) -> float:
+        return sim[(x, y) if x < y else (y, x)]
+
+    selected: list[tuple[int, float]] = []
+    remaining = list(pool_ids)
+    while remaining and len(selected) < k:
+        best_id, best_score = None, None
+        for c in sorted(remaining):
+            if selected:
+                max_sim = max(_sim(c, s) for s, _ in selected)
+                score = lam * rel[c] - (1.0 - lam) * max_sim
+            else:
+                score = rel[c]
+            if best_score is None or score > best_score:
+                best_id, best_score = c, score
+        selected.append((best_id, best_score))
+        remaining.remove(best_id)
+
+    spark = emb.sparkSession
+    # final rounding happens IN-ENGINE (F.round = HALF_UP, what the
+    # DuckDB twin's round() does); Python's round() is nearest-even and
+    # diverges on exact half-ulp boundaries — observed 0.194355 vs
+    # 0.194356 at sf0.001 before this was moved into the plan
+    out = spark.createDataFrame(
+        [(int(i), float(s), rk + 1) for rk, (i, s) in enumerate(selected)],
+        "id bigint, mmr_score double, rank int",
+    )
+    return out.select("id", F.round("mmr_score", 6).alias("mmr_score"), "rank")

@@ -3102,3 +3102,68 @@ m AS (
 )
 {" UNION ALL ".join(branches)}
 """
+
+
+def mmr_sql(
+    query_id: int = 0, k: int = 5, pool: int = 20, lam: float = 0.7
+) -> str:
+    """Twin of similarity.mmr_rerank: relevance pool = the
+    ann_bruteforce ranking (pool selected on UNROUNDED cosine, rel
+    6dp-rounded), pairwise pool sims 6dp-rounded, then k greedy rounds
+    unrolled as CTEs — round j picks argmax(lam*rel − (1−lam)*max sim
+    to the already-selected set), ties id asc. The (1−lam) literal is
+    Python's 1.0-lam repr so both engines multiply the identical
+    double; round 1's score is the bare rel, as in the operator."""
+    one_minus = 1.0 - lam
+    cos_ab = (
+        _fold_sum(
+            "list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i])"
+        )
+        + f" / ({_nrm('a')} * {_nrm('b')})"
+    )
+    parts = [
+        _VEC_CTE
+        + f""",
+q AS (SELECT v FROM v WHERE id = {query_id}),
+scored AS (
+  SELECT a.id,
+         {_fold_sum("list_transform(generate_series(1, len(a.v)), i -> a.v[i] * q.v[i])")}
+         / ({_nrm('a')} * sqrt({_fold_sum('list_transform(q.v, x -> x * x)')})) AS cosine
+  FROM v a, q WHERE a.id <> {query_id}
+),
+pool AS (
+  SELECT id, round(cosine, 6) AS rel FROM (
+    SELECT id, cosine, row_number() OVER (ORDER BY cosine DESC, id ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {pool}
+),
+pv AS (SELECT v.id, v.v FROM v JOIN pool USING (id)),
+sims AS (
+  SELECT a.id AS id_a, b.id AS id_b, round({cos_ab}, 6) AS sim
+  FROM pv a JOIN pv b ON a.id <> b.id
+),
+sel1 AS (
+  SELECT id, rel AS score, 1 AS rank FROM pool
+  ORDER BY rel DESC, id ASC LIMIT 1
+),
+selu1 AS (SELECT id, score, rank FROM sel1)"""
+    ]
+    for j in range(2, k + 1):
+        parts.append(f""",
+sel{j} AS (
+  SELECT c.id,
+         {lam!r} * c.rel - {one_minus!r} * (
+           SELECT max(s.sim) FROM sims s
+           WHERE s.id_a = c.id AND s.id_b IN (SELECT id FROM selu{j - 1})
+         ) AS score,
+         {j} AS rank
+  FROM pool c
+  WHERE c.id NOT IN (SELECT id FROM selu{j - 1})
+  ORDER BY score DESC, c.id ASC LIMIT 1
+),
+selu{j} AS (SELECT * FROM selu{j - 1} UNION ALL SELECT * FROM sel{j})""")
+    parts.append(f"""
+SELECT id, round(score, 6) AS mmr_score, rank::int AS rank
+FROM selu{k}
+""")
+    return "".join(parts)

@@ -513,3 +513,23 @@ def test_search_facets_counts_and_best_score(spark):
     assert got[("lang", "md")] == (1, 3.0)
     assert got[("source", "web")] == (2, 3.0)
     assert ("source", "repo") not in got
+
+
+def test_mmr_demotes_near_duplicates(spark):
+    # rel order: 1 (dup of 2), 2, 3 (orthogonal-ish); MMR must pick the
+    # diverse doc over the near-duplicate of an already-selected one
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # query
+        (1, [0.99, 0.14, 0.0, 0.0]),    # highly relevant
+        (2, [0.985, 0.17, 0.0, 0.0]),   # near-dup of 1, slightly less rel
+        (3, [0.7, 0.0, 0.71, 0.0]),     # less relevant but diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = [
+        (r["id"], r["rank"])
+        for r in S.mmr_rerank(emb, query_id=0, k=2, pool=3, lam=0.5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got[0][0] == 1            # top pick = highest relevance
+    assert got[1][0] == 3            # diversity beats the near-dup of 1
