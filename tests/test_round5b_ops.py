@@ -533,3 +533,45 @@ def test_mmr_demotes_near_duplicates(spark):
     ]
     assert got[0][0] == 1            # top pick = highest relevance
     assert got[1][0] == 3            # diversity beats the near-dup of 1
+
+
+# ---------------------------------------------------------------------------
+# plan shapes: the new query operators stay map-side + broadcast
+# ---------------------------------------------------------------------------
+
+
+def test_proximity_plan_has_no_explode(spark):
+    from distributed_search_engine_spark.query.engine import search_proximity
+
+    postings = spark.createDataFrame(
+        [("alpha", "d1", [1], 0.5), ("beta", "d1", [2], 0.5)],
+        "term string, doc_id string, positions array<int>, normalized_tf double",
+    )
+    ts = spark.createDataFrame(
+        [("alpha", 2.0), ("beta", 2.0)], "term string, idf double"
+    )
+    plan = plan_of(search_proximity(postings, ts, "alpha", "beta"))
+    # the min-gap is a pure HOF over the position arrays — no explode
+    # (Generate) node; candidate volume stays one row per matching doc
+    assert "Generate" not in plan
+
+
+def test_ivfadc_plan_no_shuffle_join(spark, ivfadc_fixture):
+    emb, coarse, rows = ivfadc_fixture
+    books = S.pq_train(
+        S.residuals(emb, coarse),
+        seeds=[[0.05, 0.0, 0.0, 0.05], [-0.05, 0.1, 0.1, -0.05]],
+        m_subs=2,
+        iters=2,
+        id_col="id",
+        vec_col="r",
+    )
+    plan = plan_of(
+        S.ann_ivfadc_topk(emb, coarse, books, query_id=0, k=5, n_probe=2)
+    )
+    # encode+assign are map-side; the query LUT row arrives broadcast;
+    # the only shuffles allowed are broadcast distribution + the k-row
+    # single-partition window after the ordered limit
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 3
