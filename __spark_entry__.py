@@ -734,6 +734,12 @@ def _q_bigram_lm(spark, sf_dir):
     return TA.bigram_lm_stats(_capped_docs(spark, sf_dir))
 
 
+def _q_kneser_ney(spark, sf_dir):
+    # the REAL CCNet model family: interpolated Kneser-Ney bigram LM
+    # (KenLM's smoothing), self-trained on the capped corpus
+    return TA.kneser_ney_lm_stats(_capped_docs(spark, sf_dir))
+
+
 def _q_neardup_emb(spark, sf_dir):
     # scale path: multi-band sign-LSH candidates + exact cosine rerank
     # (oracle applies the identical banding; exact=True is the pytest-only
@@ -2118,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_proximity": _q_search_proximity,
         "search_facets": _q_search_facets,
         "ann_mmr_rerank": _q_ann_mmr,
+        "text_kneser_ney_ppl": _q_kneser_ney,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2295,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
         "search_proximity": oracle.proximity_sql("data", "stream", 4, 20),
         "search_facets": oracle.facets_sql(["data", "stream"]),
         "ann_mmr_rerank": oracle.mmr_sql(0, 5, 20, 0.7),
+        "text_kneser_ney_ppl": oracle.kneser_ney_sql(0.75),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

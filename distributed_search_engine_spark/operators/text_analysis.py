@@ -1471,3 +1471,99 @@ def pmi_collocations(
     top = sc.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(k)
     rw = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
     return top.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+def kneser_ney_lm_stats(
+    docs: DataFrame,
+    discount: float = 0.75,
+    train_docs: DataFrame | None = None,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob, ppl): per-doc perplexity under an
+    interpolated Kneser-Ney bigram LM (Kneser & Ney '95; Chen & Goodman
+    '99 eq. 4.25) — the smoothing KenLM implements, i.e. the actual
+    CCNet quality-filter model family (bigram_lm_stats is the add-alpha
+    strawman; this is the real thing):
+
+        P(w2|w1) = max(c(w1w2) - D, 0)/c(w1.) + D*N1+(w1.)/c(w1.) * Pc(w2)
+        Pc(w2)   = (N1+(.w2) + 0.5) / (T + 0.5*V)
+
+    with c(w1.) = bigrams starting w1, N1+(w1.) = distinct followers,
+    N1+(.w2) = distinct contexts preceding w2, T = distinct bigram
+    types, V = vocab. The continuation distribution carries an add-half
+    floor so words seen only document-initially (never as a
+    continuation) keep P > 0 — a documented deviation from the paper,
+    which assumes every scored word has continuation mass; unseen
+    CONTEXTS back off to Pc entirely.
+
+    Scale shape: training = one map-side bigram projection feeding four
+    partial-agg groupBys (bigram counts, per-context totals+followers,
+    per-word context fans); scoring = three equi-joins against model
+    tables (AQE broadcasts small ones) + scalar T/V on a 1-row
+    broadcast; one per-doc partial agg. No UDF. DuckDB twin =
+    oracle.kneser_ney_sql, identical arithmetic."""
+    train = docs if train_docs is None else train_docs
+    tbg = _bigram_stream(train, doc_id_col, content_col).select(
+        "bigram",
+        F.substring_index(F.col("bigram"), " ", 1).alias("w1"),
+        F.substring_index(F.col("bigram"), " ", -1).alias("w2"),
+    )
+    bcnt = tbg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = tbg.groupBy("w1").agg(
+        F.count(F.lit(1)).alias("cdot"),
+        F.countDistinct("w2").alias("n1fol"),
+    )
+    fan = tbg.groupBy("w2").agg(F.countDistinct("w1").alias("n1pre"))
+    scal = tbg.agg(
+        F.countDistinct("bigram").cast("double").alias("T"),
+        F.countDistinct("w2").alias("_vw2"),
+    )
+    vocab = (
+        train.select(F.explode(T.tokens_col(F.col(content_col))).alias("tok"))
+        .agg(F.countDistinct("tok").cast("double").alias("V"))
+    )
+
+    D = float(discount)
+    sc = (
+        _bigram_stream(docs, doc_id_col, content_col)
+        .select(
+            "doc_id",
+            "bigram",
+            F.substring_index(F.col("bigram"), " ", 1).alias("_w1"),
+            F.substring_index(F.col("bigram"), " ", -1).alias("_w2"),
+        )
+        .join(bcnt, "bigram", "left")
+        .join(ctx.withColumnRenamed("w1", "_w1"), "_w1", "left")
+        .join(fan.withColumnRenamed("w2", "_w2"), "_w2", "left")
+        .crossJoin(F.broadcast(scal.select("T")))
+        .crossJoin(F.broadcast(vocab))
+    )
+    pc = (F.coalesce(F.col("n1pre"), F.lit(0)) + F.lit(0.5)) / (
+        F.col("T") + F.lit(0.5) * F.col("V")
+    )
+    seen_ctx = F.coalesce(F.col("cdot"), F.lit(0)) > 0
+    pkn = F.when(
+        seen_ctx,
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)) - F.lit(D), F.lit(0.0)
+        )
+        / F.col("cdot")
+        + F.lit(D) * F.col("n1fol") / F.col("cdot") * pc,
+    ).otherwise(pc)
+    agg = sc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_bigrams"),
+        F.sum(F.log(pkn)).alias("_slp"),
+    )
+    ids = docs.select(F.col(doc_id_col).cast("string").alias("doc_id"))
+    out = ids.join(agg, "doc_id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    avg = F.when(nb > 0, F.col("_slp") / nb).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        nb.cast("int").alias("n_bigrams"),
+        F.round(avg, 6).alias("avg_logprob"),
+        F.round(F.when(nb > 0, F.exp(-avg)).otherwise(F.lit(1.0)), 6).alias(
+            "ppl"
+        ),
+    )

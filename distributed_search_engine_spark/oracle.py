@@ -3167,3 +3167,53 @@ SELECT id, round(score, 6) AS mmr_score, rank::int AS rank
 FROM selu{k}
 """)
     return "".join(parts)
+
+
+def kneser_ney_sql(discount: float = 0.75) -> str:
+    """Twin of text_analysis.kneser_ney_lm_stats: interpolated KN bigram
+    perplexity with the add-half continuation floor — identical model
+    tables (bigram counts, per-context totals+followers, per-word
+    context fans, distinct-bigram T, vocab V) and identical arithmetic
+    order."""
+    d = repr(float(discount))
+    pc = "((coalesce(f.n1pre, 0) + 0.5) / (knscal.t + 0.5 * knvoc.v))"
+    return base_ctes() + f""",
+lmtok AS MATERIALIZED (
+  SELECT doc_id, list_filter(toks, t -> t <> '') AS toks FROM tokarr),
+knbg AS MATERIALIZED (
+  SELECT doc_id, bigram,
+         split_part(bigram, ' ', 1) AS w1,
+         split_part(bigram, ' ', 2) AS w2
+  FROM (SELECT doc_id, unnest(bs) AS bigram
+        FROM (SELECT doc_id, list_transform(generate_series(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i + 1]) AS bs FROM lmtok))),
+knbcnt AS MATERIALIZED (SELECT bigram, count(*) AS c12 FROM knbg GROUP BY 1),
+knctx AS MATERIALIZED (
+  SELECT w1, count(*) AS cdot, count(DISTINCT w2) AS n1fol
+  FROM knbg GROUP BY 1),
+knfan AS MATERIALIZED (
+  SELECT w2, count(DISTINCT w1) AS n1pre FROM knbg GROUP BY 1),
+knscal AS (SELECT count(DISTINCT bigram)::double AS t FROM knbg),
+knvoc AS (
+  SELECT count(DISTINCT tok)::double AS v
+  FROM (SELECT unnest(toks) AS tok FROM lmtok)),
+knsc AS (
+  SELECT g.doc_id,
+         ln(CASE WHEN coalesce(x.cdot, 0) > 0
+              THEN greatest(coalesce(c.c12, 0) - {d}, 0.0) / x.cdot
+                   + {d} * x.n1fol / x.cdot * {pc}
+              ELSE {pc} END) AS lp
+  FROM knbg g
+  LEFT JOIN knbcnt c USING (bigram)
+  LEFT JOIN knctx x USING (w1)
+  LEFT JOIN knfan f USING (w2)
+  CROSS JOIN knscal CROSS JOIN knvoc),
+knagg AS (SELECT doc_id, count(*) AS nb, sum(lp) AS slp FROM knsc GROUP BY 1),
+knstats AS (
+  SELECT w.doc_id,
+         coalesce(a2.nb, 0)::int AS n_bigrams,
+         round(CASE WHEN a2.nb > 0 THEN a2.slp / a2.nb ELSE 0.0 END, 6) AS avg_logprob,
+         round(CASE WHEN a2.nb > 0 THEN exp(-(a2.slp / a2.nb)) ELSE 1.0 END, 6) AS ppl
+  FROM lmtok w LEFT JOIN knagg a2 USING (doc_id))
+SELECT doc_id, n_bigrams, avg_logprob, ppl FROM knstats
+"""

@@ -1103,6 +1103,79 @@ def test_bigram_stream_plan_is_shuffle_free(spark):
     assert m and "regexp_replace" not in m.group(1)
 
 
+# ---------------------------------------------------------------------------
+# interpolated Kneser-Ney bigram LM (the KenLM/CCNet smoothing)
+# ---------------------------------------------------------------------------
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Self-trained corpus small enough to evaluate Chen & Goodman eq.
+    4.25 by hand: docs 'a b a b' and 'b c'. Bigram counts {a b:2, b a:1,
+    b c:1}; c(a.)=2 N1+(a.)=1; c(b.)=2 N1+(b.)=2; N1+(.a)=N1+(.b)=
+    N1+(.c)=1; T=3, V=3, so every continuation Pc = 1.5/4.5 = 1/3."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.kneser_ney_lm_stats(docs, discount=0.75).collect()
+    }
+    p_b_a = (2 - 0.75) / 2 + 0.75 * 1 / 2 * (1 / 3)  # 0.75
+    p_a_b = (1 - 0.75) / 2 + 0.75 * 2 / 2 * (1 / 3)  # 0.375
+    p_c_b = p_a_b
+    avg1 = (2 * math.log(p_b_a) + math.log(p_a_b)) / 3
+    assert out["1"]["n_bigrams"] == 3
+    assert abs(out["1"]["avg_logprob"] - round(avg1, 6)) < 1e-9
+    assert abs(out["1"]["ppl"] - round(math.exp(-avg1), 6)) < 1e-9
+    assert out["2"]["n_bigrams"] == 1
+    assert abs(out["2"]["avg_logprob"] - round(math.log(p_c_b), 6)) < 1e-9
+
+
+def test_kneser_ney_unseen_backoff_and_short_docs(spark):
+    """Unseen CONTEXT backs off to the continuation distribution
+    entirely; unseen continuation word gets the add-half floor
+    0.5/(T+0.5V); discounted-out bigram (c12 unseen, context seen)
+    keeps only the interpolation term. Short docs report (0, 0.0, 1.0)."""
+    import math
+
+    train = spark.createDataFrame(
+        [(10, "x y x z")], "doc_id long, text string"
+    )
+    # T=3 {x y, y x, x z}, V=3 {x,y,z}; c(x.)=2 N1+(x.)=2; c(y.)=1
+    # N1+(y.)=1; N1+(.y)=1, N1+(.x)=1, N1+(.z)=1; denom = 3+1.5 = 4.5
+    docs = spark.createDataFrame(
+        [(1, "q y"), (2, "y z"), (3, "solo")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TA.kneser_ney_lm_stats(
+            docs, discount=0.75, train_docs=train
+        ).collect()
+    }
+    pc_y = 1.5 / 4.5
+    # doc1: context 'q' unseen -> Pc(y)
+    assert abs(out["1"]["avg_logprob"] - round(math.log(pc_y), 6)) < 1e-9
+    # doc2: bigram 'y z' unseen but context 'y' seen (c=1, N1+=1):
+    # max(0-D,0)/1 + D*1/1*Pc(z) = 0.75 * 1/3
+    p_z_y = 0.75 * (1.5 / 4.5)
+    assert abs(out["2"]["avg_logprob"] - round(math.log(p_z_y), 6)) < 1e-9
+    assert out["3"]["n_bigrams"] == 0
+    assert out["3"]["avg_logprob"] == 0.0 and out["3"]["ppl"] == 1.0
+
+
+def test_kneser_ney_repetitive_scores_lower_ppl(spark):
+    docs = spark.createDataFrame(
+        [(1, "spam " * 30), (2, " ".join(f"tok{i}" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["ppl"] for r in TA.kneser_ney_lm_stats(docs).collect()
+    }
+    assert out["1"] < out["2"]
+
+
 def test_simhash_plan_single_exchange_no_bit_explode(spark, docs):
     """simhash pays ONE exchange (the per-doc groupBy, map-side combined
     to ~1 row/doc since a doc's tokens are colocated) and ONE Generate
