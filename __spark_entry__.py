@@ -740,6 +740,16 @@ def _q_kneser_ney(spark, sf_dir):
     return TA.kneser_ney_lm_stats(_capped_docs(spark, sf_dir))
 
 
+def _q_code_postings(spark, sf_dir):
+    # payload=code axis: dual-index identifier tokenization
+    # (whole identifier + camelCase/snake_case subtokens)
+    from distributed_search_engine_spark.functions import code as CODE
+
+    return CODE.code_postings(_capped_docs(spark, sf_dir)).select(
+        "term", F.col("doc_id").cast("string").alias("doc_id"), "tf"
+    )
+
+
 def _q_neardup_emb(spark, sf_dir):
     # scale path: multi-band sign-LSH candidates + exact cosine rerank
     # (oracle applies the identical banding; exact=True is the pytest-only
@@ -2125,6 +2135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _q_search_facets,
         "ann_mmr_rerank": _q_ann_mmr,
         "text_kneser_ney_ppl": _q_kneser_ney,
+        "index_postings_code": _q_code_postings,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2303,6 +2314,7 @@ def oracle_sql() -> dict[str, str]:
         "search_facets": oracle.facets_sql(["data", "stream"]),
         "ann_mmr_rerank": oracle.mmr_sql(0, 5, 20, 0.7),
         "text_kneser_ney_ppl": oracle.kneser_ney_sql(0.75),
+        "index_postings_code": oracle.code_postings_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

@@ -3217,3 +3217,36 @@ knstats AS (
   FROM lmtok w LEFT JOIN knagg a2 USING (doc_id))
 SELECT doc_id, n_bigrams, avg_logprob, ppl FROM knstats
 """
+
+
+def code_postings_sql() -> str:
+    """Twin of functions/code.code_postings: dual-index code-identifier
+    postings through RE2 — same acronym/camel boundary regexes (RE2
+    replacement backrefs are \\1 where Java uses $1; 'g' flag makes
+    regexp_replace global like Spark's), same trivial-split rule, same
+    2..30 worth gate."""
+    return base_ctes() + r""",
+code_idents AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z_][A-Za-z0-9_]*')) AS ident
+  FROM docs),
+code_split AS (
+  SELECT doc_id, lower(ident) AS whole,
+         list_filter(
+           string_split_regex(
+             lower(regexp_replace(
+               regexp_replace(ident, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+               '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+             '[_ ]+'),
+           t -> t <> '') AS parts
+  FROM code_idents),
+code_stream AS (
+  SELECT doc_id,
+         unnest(CASE WHEN parts = [whole] THEN [whole]
+                     ELSE list_prepend(whole, parts) END) AS term
+  FROM code_split)
+SELECT term, doc_id, count(*)::int AS tf
+FROM code_stream
+WHERE length(term) BETWEEN 2 AND 30
+GROUP BY 1, 2
+"""
