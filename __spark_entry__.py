@@ -28,7 +28,11 @@ from distributed_search_engine_spark.operators.pagerank import (
     synthetic_links,
 )
 from distributed_search_engine_spark.operators.postings import build_index
-from distributed_search_engine_spark.query.engine import SearchIndex, search
+from distributed_search_engine_spark.query.engine import (
+    SearchIndex,
+    search,
+    search_rm3,
+)
 
 # ---------------------------------------------------------------------------
 # index cache: the driver calls each query separately; building the index
@@ -738,6 +742,17 @@ def _q_kneser_ney(spark, sf_dir):
     # the REAL CCNet model family: interpolated Kneser-Ney bigram LM
     # (KenLM's smoothing), self-trained on the capped corpus
     return TA.kneser_ney_lm_stats(_capped_docs(spark, sf_dir))
+
+
+def _q_search_rm3(spark, sf_dir):
+    # RM3 pseudo-relevance feedback: expansion terms mined from the
+    # top-10 first-pass docs' term distributions, second pass
+    # interpolated at beta=0.6 (Lavrenko & Croft / UMass RM3)
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    return search_rm3(
+        spark, sidx, ["spark", "join"], k=10, fb_docs=10, fb_terms=5,
+        beta=0.6,
+    )
 
 
 def _q_code_postings(spark, sf_dir):
@@ -2136,6 +2151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mmr_rerank": _q_ann_mmr,
         "text_kneser_ney_ppl": _q_kneser_ney,
         "index_postings_code": _q_code_postings,
+        "search_rm3": _q_search_rm3,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2315,6 +2331,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_mmr_rerank": oracle.mmr_sql(0, 5, 20, 0.7),
         "text_kneser_ney_ppl": oracle.kneser_ney_sql(0.75),
         "index_postings_code": oracle.code_postings_sql(),
+        "search_rm3": oracle.rm3_sql(
+            ["spark", "join"], k=10, fb_docs=10, fb_terms=5, beta=0.6
+        ),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

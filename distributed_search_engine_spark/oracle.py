@@ -3250,3 +3250,62 @@ FROM code_stream
 WHERE length(term) BETWEEN 2 AND 30
 GROUP BY 1, 2
 """
+
+
+def rm3_sql(
+    terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    beta: float = 0.6,
+) -> str:
+    """Twin of query/engine.search_rm3: RM3 pseudo-relevance feedback —
+    identical feedback-doc selection (6dp-rounded first-pass score),
+    identical expansion weights (tf/doc_len * s6/tot over the feedback
+    set, stop words + original terms excluded, top fb_terms by rounded
+    weight), identical second-pass interpolation and rounding points."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms))) or "''"
+    b = repr(float(beta))
+    bm25 = (
+        f"ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0) / (p.tf + {BM25_K1} * "
+        f"(1.0 - {BM25_B} + {BM25_B} * p.doc_len / (SELECT avgdl FROM nstats)))"
+    )
+    return base_ctes() + f""",
+rm3_first AS (
+  SELECT p.doc_id, round(sum({bm25}), 6) AS s6
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})
+  GROUP BY 1),
+rm3_fb AS (
+  SELECT doc_id, s6 FROM rm3_first
+  ORDER BY s6 DESC, doc_id ASC LIMIT {fb_docs}),
+rm3_tot AS (SELECT sum(s6) AS tot FROM rm3_fb),
+rm3_cand AS (
+  SELECT p.term,
+         sum(p.tf::double / p.doc_len * f.s6 / (SELECT tot FROM rm3_tot)) AS w
+  FROM postings p JOIN rm3_fb f USING (doc_id)
+  WHERE p.term NOT IN ({inlist})
+    AND NOT list_contains([{STOPS_SQL}], p.term)
+  GROUP BY 1),
+rm3_exp AS (
+  SELECT term, w FROM rm3_cand
+  ORDER BY round(w, 6) DESC, term ASC LIMIT {fb_terms}),
+rm3_expn AS (
+  SELECT term, w / (SELECT sum(w) FROM rm3_exp) AS wn FROM rm3_exp),
+rm3_contrib AS (
+  SELECT p.doc_id, {bm25} AS c
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})
+  UNION ALL
+  SELECT p.doc_id, {b} * e.wn * {bm25} AS c
+  FROM postings p JOIN rm3_expn e USING (term)
+  JOIN termstats ts USING (term)),
+rm3_agg AS (
+  SELECT doc_id, round(sum(c), 6) AS score FROM rm3_contrib GROUP BY 1),
+rm3_ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM rm3_agg)
+SELECT doc_id, score, rank::int AS rank
+FROM rm3_ranked WHERE rank <= {k}
+"""

@@ -1216,3 +1216,124 @@ def search_facets(
             F.round(F.max("score"), 6).alias("best_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RM3 pseudo-relevance feedback (Lavrenko & Croft SIGIR'01 relevance
+# models; the RM3 interpolation from Abdul-Jaleel et al., TREC'04 UMass
+# report) — the standard "free" recall boost for bag-of-words retrieval:
+# run the query, mine expansion terms from the top feedback documents'
+# term distributions weighted by their retrieval scores, re-score with
+# the expanded query. The reference's Q3 related-terms expansion is a
+# dictionary lookup; this is the principled corpus-statistics version.
+# ---------------------------------------------------------------------------
+
+
+def search_rm3(
+    spark: SparkSession,
+    index: SearchIndex,
+    terms: list[str],
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+    beta: float = 0.6,
+) -> DataFrame:
+    """(doc_id, score, rank): BM25 over ``terms`` expanded with RM3-style
+    pseudo-relevance feedback.
+
+    Chain (two bounded jobs):
+      1. first-pass BM25; feedback set = top ``fb_docs`` by
+         (6dp-rounded score desc, doc_id asc). Expansion-term weight
+         w(t) = sum over feedback docs d of (tf(t,d)/doc_len(d)) *
+         (s6(d)/sum_fb s6) — the doc's term distribution weighted by its
+         normalized ROUNDED retrieval score (rounding first makes the
+         feedback arithmetic cross-engine deterministic). Stop words and
+         original query terms are excluded; top ``fb_terms`` by
+         (6dp-rounded w desc, term asc) survive.
+      2. second pass: score'(d) = BM25(d; terms) + beta * sum_t wn(t) *
+         BM25_t(d), wn = w/sum(w) over the selected terms; 6dp-rounded,
+         rank ties doc_id asc.
+
+    Scale shape: the feedback-doc term mining joins postings against the
+    ``fb_docs``-row broadcast (at 100 TB route it through the forward
+    index / pruned provider instead — build_forward_index exists); the
+    expansion terms come back as a bounded ``fb_terms``-row collect
+    (same k-row discipline as every top-k), so the second pass runs
+    through lookup_postings partition-pruned on ~|terms|+fb_terms
+    terms. DuckDB twin: oracle.rm3_sql, identical arithmetic and
+    rounding points."""
+    avgdl = index.avgdl or 1.0
+
+    def bm25_contrib(p: DataFrame) -> DataFrame:
+        denom = F.col("tf") + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("doc_len") / F.lit(avgdl)
+        )
+        out = p
+        if "idf_bm25" not in p.columns:
+            out = out.join(
+                F.broadcast(index.term_stats.select("term", "idf_bm25")),
+                "term",
+            )
+        return out.select(
+            "term",
+            "doc_id",
+            (
+                F.col("idf_bm25") * F.col("tf") * (BM25_K1 + 1.0) / denom
+            ).alias("contrib"),
+        )
+
+    first = (
+        bm25_contrib(index.lookup_postings(sorted(set(terms))))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("s6"))
+    )
+    fb = first.orderBy(F.desc("s6"), F.asc("doc_id")).limit(fb_docs)
+    tot = fb.agg(F.sum("s6").alias("tot"))
+    cand = (
+        index.postings.join(F.broadcast(fb), "doc_id")
+        .where(
+            ~F.col("term").isin(list(terms))
+            & ~F.col("term").isin(sorted(STOP_WORDS))
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("term")
+        .agg(
+            F.sum(
+                F.col("tf").cast("double")
+                / F.col("doc_len")
+                * F.col("s6")
+                / F.col("tot")
+            ).alias("w")
+        )
+    )
+    exp_rows = (
+        cand.orderBy(F.desc(F.round("w", 6)), F.asc("term"))
+        .limit(fb_terms)
+        .collect()
+    )  # bounded: fb_terms rows
+    wsum = sum(r["w"] for r in exp_rows) or 1.0
+    exp_df = spark.createDataFrame(
+        [(r["term"], r["w"] / wsum) for r in exp_rows],
+        "term string, wn double",
+    )
+    orig = bm25_contrib(
+        index.lookup_postings(sorted(set(terms)))
+    ).select("doc_id", "contrib")
+    expn = (
+        bm25_contrib(
+            index.lookup_postings(sorted(r["term"] for r in exp_rows))
+        )
+        .join(F.broadcast(exp_df), "term")
+        .select(
+            "doc_id",
+            (F.lit(beta) * F.col("wn") * F.col("contrib")).alias("contrib"),
+        )
+    )
+    agg = (
+        orig.unionByName(expn)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+    )
+    top = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(wr).cast("int"))
