@@ -755,6 +755,27 @@ def _q_search_rm3(spark, sf_dir):
     )
 
 
+def _q_trigram_postings(spark, sf_dir):
+    # code-search substring index: distinct lowercased 3-char windows
+    from distributed_search_engine_spark.index import trigram as TRI
+
+    return TRI.trigram_postings(_capped_docs(spark, sf_dir)).select(
+        "trigram", F.col("doc_id").cast("string").alias("doc_id")
+    )
+
+
+def _q_substring_search(spark, sf_dir):
+    # rarest-trigram candidate pruning + exact verify; the oracle is an
+    # INDEPENDENT full-scan contains() - equality proves losslessness
+    from distributed_search_engine_spark.index import trigram as TRI
+
+    docs = _capped_docs(spark, sf_dir)
+    post = TRI.trigram_postings(docs)
+    return TRI.substring_search(docs, post, "data stream").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_occurrences"
+    )
+
+
 def _q_code_postings(spark, sf_dir):
     # payload=code axis: dual-index identifier tokenization
     # (whole identifier + camelCase/snake_case subtokens)
@@ -2152,6 +2173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_kneser_ney_ppl": _q_kneser_ney,
         "index_postings_code": _q_code_postings,
         "search_rm3": _q_search_rm3,
+        "index_trigrams": _q_trigram_postings,
+        "search_substring": _q_substring_search,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2334,6 +2357,8 @@ def oracle_sql() -> dict[str, str]:
         "search_rm3": oracle.rm3_sql(
             ["spark", "join"], k=10, fb_docs=10, fb_terms=5, beta=0.6
         ),
+        "index_trigrams": oracle.trigram_postings_sql(),
+        "search_substring": oracle.substring_search_sql("data stream"),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

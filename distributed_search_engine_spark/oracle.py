@@ -3309,3 +3309,32 @@ rm3_ranked AS (
 SELECT doc_id, score, rank::int AS rank
 FROM rm3_ranked WHERE rank <= {k}
 """
+
+
+def trigram_postings_sql() -> str:
+    """Twin of index/trigram.trigram_postings: distinct lowercased 3-char
+    windows per doc (DuckDB generate_series is empty when stop < start,
+    matching the Spark short-doc guard)."""
+    return base_ctes() + """,
+tri AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(lower(text)) - 2, 0)),
+           i -> substr(lower(text), i, 3)))) AS trigram
+  FROM docs)
+SELECT DISTINCT trigram, doc_id FROM tri WHERE length(trigram) = 3
+"""
+
+
+def substring_search_sql(needle: str) -> str:
+    """INDEPENDENT oracle for index/trigram.substring_search: a direct
+    full-scan contains() + occurrence count, no trigram machinery —
+    equality proves the rarest-trigram candidate pruning is lossless."""
+    nl = needle.lower().replace("'", "''")
+    return base_ctes() + f"""
+SELECT doc_id,
+       ((length(lower(text)) - length(replace(lower(text), '{nl}', '')))
+        / {len(needle)})::int AS n_occurrences
+FROM docs
+WHERE contains(lower(text), '{nl}')
+"""
