@@ -755,6 +755,23 @@ def _q_search_rm3(spark, sf_dir):
     )
 
 
+def _q_rank_eval(spark, sf_dir):
+    # TREC metric battery (P@k / recall@k / MRR / nDCG@k) over the batch
+    # BM25 runs vs deterministic term-overlap pseudo-qrels
+    from distributed_search_engine_spark.operators import rank_eval as RE
+    from distributed_search_engine_spark.query.engine import search_bm25_batch
+
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    runs = search_bm25_batch(
+        spark, sidx, [" ".join(t) for t in BATCH_QUERIES], k=10
+    )
+    idx = _index(spark, sf_dir, False)
+    qrels = RE.term_overlap_qrels(
+        idx["postings"], {" ".join(t): t for t in BATCH_QUERIES}
+    )
+    return RE.rank_metrics(runs, qrels, k=10)
+
+
 def _q_trigram_postings(spark, sf_dir):
     # code-search substring index: distinct lowercased 3-char windows
     from distributed_search_engine_spark.index import trigram as TRI
@@ -2174,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_postings_code": _q_code_postings,
         "search_rm3": _q_search_rm3,
         "index_trigrams": _q_trigram_postings,
+        "eval_rank_metrics": _q_rank_eval,
         "search_substring": _q_substring_search,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
@@ -2358,6 +2376,7 @@ def oracle_sql() -> dict[str, str]:
             ["spark", "join"], k=10, fb_docs=10, fb_terms=5, beta=0.6
         ),
         "index_trigrams": oracle.trigram_postings_sql(),
+        "eval_rank_metrics": oracle.rank_metrics_sql(BATCH_QUERIES, 10),
         "search_substring": oracle.substring_search_sql("data stream"),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),

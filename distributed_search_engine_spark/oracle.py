@@ -3338,3 +3338,71 @@ SELECT doc_id,
 FROM docs
 WHERE contains(lower(text), '{nl}')
 """
+
+
+def rank_metrics_sql(queries: list[list[str]], k: int = 10) -> str:
+    """Twin of operators/rank_eval.rank_metrics over batch-BM25 runs and
+    term-overlap pseudo-qrels: same run generation as bm25_batch_sql,
+    same graded gains (2^grade - 1), same (grade desc, doc_id asc)
+    ideal-DCG ordering, same 6dp rounding points."""
+    branches = []
+    pairs = []
+    for terms in queries:
+        label = " ".join(terms).replace("'", "''")
+        inlist = ", ".join(f"'{t}'" for t in terms)
+        pairs += [(label, t) for t in terms]
+        branches.append(f"""
+  SELECT '{label}' AS query, p.doc_id,
+         ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0)
+         / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.doc_len
+            / (SELECT avgdl FROM nstats))) AS contrib
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})""")
+    union = "\n  UNION ALL\n".join(branches)
+    vals = ", ".join(f"('{q}', '{t}')" for q, t in pairs)
+    return base_ctes() + f""",
+ev_hits AS ({union}),
+ev_agg AS (
+  SELECT query, doc_id, round(sum(contrib), 6) AS score
+  FROM ev_hits GROUP BY 1, 2),
+ev_runs AS (
+  SELECT query, doc_id, rank FROM (
+    SELECT query, doc_id,
+           row_number() OVER (PARTITION BY query
+                              ORDER BY score DESC, doc_id ASC) AS rank
+    FROM ev_agg)
+  WHERE rank <= {k}),
+ev_qt(query, term) AS (FROM (VALUES {vals}) v(query, term)),
+ev_qrels AS (
+  SELECT q.query, p.doc_id, count(DISTINCT p.term)::int AS grade
+  FROM postings p JOIN ev_qt q USING (term) GROUP BY 1, 2),
+ev_perq AS (
+  SELECT r.query,
+         sum(CASE WHEN g.grade IS NOT NULL THEN 1 ELSE 0 END) AS n_hit,
+         min(CASE WHEN g.grade IS NOT NULL THEN r.rank END) AS first_hit,
+         sum(CASE WHEN g.grade IS NOT NULL
+               THEN (pow(2.0, g.grade) - 1.0) / log2(r.rank + 1.0)
+               ELSE 0.0 END) AS dcg
+  FROM ev_runs r LEFT JOIN ev_qrels g USING (query, doc_id)
+  GROUP BY 1),
+ev_nrel AS (SELECT query, count(*) AS n_rel FROM ev_qrels GROUP BY 1),
+ev_ideal AS (
+  SELECT query, sum((pow(2.0, grade) - 1.0) / log2(rn + 1.0)) AS idcg
+  FROM (SELECT query, grade, doc_id,
+               row_number() OVER (PARTITION BY query
+                                  ORDER BY grade DESC, doc_id ASC) AS rn
+        FROM ev_qrels)
+  WHERE rn <= {k} GROUP BY 1)
+SELECT p.query,
+       coalesce(n.n_rel, 0)::int AS n_rel,
+       round(p.n_hit / {float(k)}, 6) AS p_at_k,
+       round(CASE WHEN coalesce(n.n_rel, 0) > 0
+               THEN p.n_hit / n.n_rel ELSE 0.0 END, 6) AS recall_at_k,
+       round(CASE WHEN p.first_hit IS NOT NULL
+               THEN 1.0 / p.first_hit ELSE 0.0 END, 6) AS mrr,
+       round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+               THEN p.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg_at_k
+FROM ev_perq p
+LEFT JOIN ev_nrel n USING (query)
+LEFT JOIN ev_ideal i USING (query)
+"""
