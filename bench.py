@@ -380,6 +380,34 @@ def main() -> None:
         hll_est = float(hll_distinct(ded).collect()[0]["est_distinct"])
         timings["sketches_60k"] = time.time() - t0
 
+        # trigram substring index (round-5 code-search path): build the
+        # distinct (trigram, doc_id) postings over the 60k corpus, then
+        # serve 5 substring lookups through rarest-trigram pruning +
+        # exact verify — tracks the window projection + distinct
+        # exchange and the bounded candidate join round-over-round
+        from distributed_search_engine_spark.index.trigram import (
+            substring_search,
+            trigram_postings,
+        )
+
+        t0 = time.time()
+        tpost = trigram_postings(
+            big, doc_id_col="doc_id", content_col="content"
+        ).persist()
+        n_trigram_postings = tpost.count()
+        timings["trigram_build_60k"] = time.time() - t0
+        t0 = time.time()
+        n_sub_hits = 0
+        for needle in (
+            "terms of service", "sort merge", "spark", "window agg",
+            "read carefully before",
+        ):
+            n_sub_hits += substring_search(
+                big.withColumnRenamed("content", "text"), tpost, needle
+            ).count()
+        timings["substring_search_60k_x5"] = time.time() - t0
+        tpost.unpersist()
+
         # paragraph-level keep-one dedup (round-5): synthetic paragraph
         # layout (unique body + cross-doc boilerplate + conditional
         # intra-doc repeat, the gate's shape) — tracks the split+hash
@@ -557,6 +585,8 @@ def main() -> None:
             "dedup_substring_docs_60k": n_subdup_docs,
             "lm_bigrams_60k": n_lm_bigrams,
             "hll_est_distinct_60k": hll_est,
+            "trigram_postings_60k": n_trigram_postings,
+            "substring_hits_60k": n_sub_hits,
         }
     else:
         extra_big = {}
