@@ -793,6 +793,37 @@ def _q_substring_search(spark, sf_dir):
     )
 
 
+_REGEX_PAT = r"(sort|merge)\s+(batch|table)"
+_REGEX_PAT_OPT = r"window\s+agg(regate)?s?"
+
+
+def _q_regex_search(spark, sf_dir):
+    # Cox-style regex -> trigram CNF: two alternation clauses, broadcast
+    # clause table, exact (?i) verify on candidates only; the oracle is
+    # an INDEPENDENT full-scan RE2 regexp - equality proves losslessness
+    from distributed_search_engine_spark.index import trigram as TRI
+    from distributed_search_engine_spark.index.regex_search import regex_search
+
+    docs = _capped_docs(spark, sf_dir)
+    post = TRI.trigram_postings(docs)
+    return regex_search(docs, post, _REGEX_PAT).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_matches"
+    )
+
+
+def _q_regex_search_opt(spark, sf_dir):
+    # optional-group pattern: (regexe)? drops its clause, s? breaks the
+    # run - exercises the min==0 requirement-dropping path
+    from distributed_search_engine_spark.index import trigram as TRI
+    from distributed_search_engine_spark.index.regex_search import regex_search
+
+    docs = _capped_docs(spark, sf_dir)
+    post = TRI.trigram_postings(docs)
+    return regex_search(docs, post, _REGEX_PAT_OPT).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "n_matches"
+    )
+
+
 def _q_code_postings(spark, sf_dir):
     # payload=code axis: dual-index identifier tokenization
     # (whole identifier + camelCase/snake_case subtokens)
@@ -2193,6 +2224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_trigrams": _q_trigram_postings,
         "eval_rank_metrics": _q_rank_eval,
         "search_substring": _q_substring_search,
+        "search_regex": _q_regex_search,
+        "search_regex_opt": _q_regex_search_opt,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2378,6 +2411,8 @@ def oracle_sql() -> dict[str, str]:
         "index_trigrams": oracle.trigram_postings_sql(),
         "eval_rank_metrics": oracle.rank_metrics_sql(BATCH_QUERIES, 10),
         "search_substring": oracle.substring_search_sql("data stream"),
+        "search_regex": oracle.regex_search_sql(_REGEX_PAT),
+        "search_regex_opt": oracle.regex_search_sql(_REGEX_PAT_OPT),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

@@ -3340,6 +3340,21 @@ WHERE contains(lower(text), '{nl}')
 """
 
 
+def regex_search_sql(pattern: str) -> str:
+    """INDEPENDENT oracle for index/regex_search.regex_search: a direct
+    full-scan RE2 ``regexp_matches`` + match count, no trigram-requirement
+    machinery — equality proves the compiled CNF requirement is lossless.
+    The pattern must stay inside the Java-regex/RE2 common dialect (the
+    gated patterns do: literals, groups, alternation, ``\\s``, ``?``)."""
+    p = f"(?i){pattern}".replace("'", "''")
+    return base_ctes() + f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{p}'))::int AS n_matches
+FROM docs
+WHERE regexp_matches(text, '{p}')
+"""
+
+
 def rank_metrics_sql(queries: list[list[str]], k: int = 10) -> str:
     """Twin of operators/rank_eval.rank_metrics over batch-BM25 runs and
     term-overlap pseudo-qrels: same run generation as bm25_batch_sql,
