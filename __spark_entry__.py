@@ -824,6 +824,45 @@ def _q_regex_search_opt(spark, sf_dir):
     )
 
 
+def _derived_code_docs(spark, sf_dir):
+    # deterministic code-shaped corpus derived from each doc's first 4
+    # tokens (documents.text is word salad; the extraction machinery
+    # needs real def/class sites) — mirrored in oracle._CODE_SYMBOLS_CTES
+    docs = _capped_docs(spark, sf_dir)
+    t = F.split(F.col("text"), " ")
+    content = F.concat(
+        F.lit("def "), t[0], F.lit("_"), t[1], F.lit("(arg):\n    return "),
+        t[2], F.lit("\nclass "),
+        F.upper(F.substring(t[3], 1, 1)), F.substring(t[3], 2, 1000),
+        F.lit("Handler:\n    pass"),
+    )
+    return docs.where(F.size(t) >= 4).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit("python").alias("lang"),
+        content.alias("content"),
+    )
+
+
+def _q_code_symbols(spark, sf_dir):
+    # ctags-lite definition-site extraction (payload=code axis)
+    from distributed_search_engine_spark.operators.code_symbols import (
+        extract_symbols,
+    )
+
+    return extract_symbols(_derived_code_docs(spark, sf_dir)).select(
+        "doc_id", "kind", "symbol", "line_no"
+    )
+
+
+def _q_code_symbol_stats(spark, sf_dir):
+    from distributed_search_engine_spark.operators.code_symbols import (
+        extract_symbols,
+        symbol_stats,
+    )
+
+    return symbol_stats(extract_symbols(_derived_code_docs(spark, sf_dir)))
+
+
 def _q_code_postings(spark, sf_dir):
     # payload=code axis: dual-index identifier tokenization
     # (whole identifier + camelCase/snake_case subtokens)
@@ -2226,6 +2265,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_substring": _q_substring_search,
         "search_regex": _q_regex_search,
         "search_regex_opt": _q_regex_search_opt,
+        "code_symbols": _q_code_symbols,
+        "code_symbol_stats": _q_code_symbol_stats,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
         # different false positives -> back inside the driver gate window
@@ -2413,6 +2454,8 @@ def oracle_sql() -> dict[str, str]:
         "search_substring": oracle.substring_search_sql("data stream"),
         "search_regex": oracle.regex_search_sql(_REGEX_PAT),
         "search_regex_opt": oracle.regex_search_sql(_REGEX_PAT_OPT),
+        "code_symbols": oracle.code_symbols_sql(),
+        "code_symbol_stats": oracle.code_symbol_stats_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),
         "index_postings_stemmed": oracle.stemmed_postings_sql(_stem_map_for_oracle()),

@@ -3355,6 +3355,61 @@ WHERE regexp_matches(text, '{p}')
 """
 
 
+_CODE_SYMBOLS_CTES = """,
+codetok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM docs
+),
+codedocs AS (
+  SELECT doc_id,
+         'def ' || t[1] || '_' || t[2] || '(arg):' || chr(10) ||
+         '    return ' || t[3] || chr(10) ||
+         'class ' || upper(t[4][1]) || t[4][2:] || 'Handler:' || chr(10) ||
+         '    pass' AS content
+  FROM codetok WHERE len(t) >= 4
+),
+codelines AS (
+  SELECT doc_id,
+         unnest(string_split(content, chr(10))) AS line,
+         generate_subscripts(string_split(content, chr(10)), 1) AS line_no
+  FROM codedocs
+),
+codesyms AS (
+  SELECT doc_id, kind, symbol, line_no FROM (
+    SELECT doc_id, 'function' AS kind, line_no,
+           regexp_extract(line,
+             '^[ \t]*def[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\\(', 1) AS symbol
+    FROM codelines
+    UNION ALL
+    SELECT doc_id, 'class' AS kind, line_no,
+           regexp_extract(line,
+             '^[ \t]*class[ \t]+([A-Za-z_][A-Za-z0-9_]*)', 1) AS symbol
+    FROM codelines
+  ) WHERE symbol <> ''
+)
+"""
+
+
+def code_symbols_sql() -> str:
+    """Twin of operators/code_symbols.extract_symbols over the derived
+    deterministic python corpus (4 fixed lines built from each doc's
+    first 4 tokens): same line split, same RE2-compatible definition
+    regexes, 1-based line numbers."""
+    return base_ctes() + _CODE_SYMBOLS_CTES + """
+SELECT doc_id, kind, symbol, line_no::int AS line_no FROM codesyms
+"""
+
+
+def code_symbol_stats_sql() -> str:
+    """Twin of operators/code_symbols.symbol_stats over the same derived
+    corpus: defs and distinct docs per (symbol, kind)."""
+    return base_ctes() + _CODE_SYMBOLS_CTES + """
+SELECT symbol, kind,
+       count(*)::int AS n_defs,
+       count(DISTINCT doc_id)::int AS n_docs
+FROM codesyms GROUP BY symbol, kind
+"""
+
+
 def rank_metrics_sql(queries: list[list[str]], k: int = 10) -> str:
     """Twin of operators/rank_eval.rank_metrics over batch-BM25 runs and
     term-overlap pseudo-qrels: same run generation as bm25_batch_sql,
