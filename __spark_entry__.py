@@ -406,6 +406,34 @@ def _q_bm25_dist_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MaxScore (Turtle & Flood) kernel over the same compressed segments
+    # — the WAND-alternative dynamic-pruning scorer; a 3-term query so
+    # the essential/non-essential split actually engages. Driver-side
+    # kernel is bounded by the I10 20k/5k per-term caps (same contract
+    # as the round-2 wand_topk path); the sharded executor path stays
+    # distributed_topk. Gated against the plain SQL BM25 top-k.
+    from distributed_search_engine_spark.index.maxscore import maxscore_topk
+    from distributed_search_engine_spark.index.segments import (
+        read_segments_for_terms,
+    )
+
+    seg = _segment_index(spark, sf_dir)
+    terms = ["table", "window", "scan"]
+    seg_rows = [
+        r.asDict(recursive=True)
+        for r in read_segments_for_terms(spark, seg["seg_dir"], terms, 16)
+        .select("term", "idf_bm25", "blocks")
+        .collect()
+    ]
+    top = maxscore_topk(seg_rows, seg["avgdl"], k=10)
+    rows = [(int(d), float(s), i + 1) for i, (d, s) in enumerate(top)]
+    df = spark.createDataFrame(rows, "docnum long, score double, rank int")
+    return df.join(seg["ds"].select("doc_id", "docnum"), "docnum").select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def _q_pagerank_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1 end-to-end over EXTRACTED (not synthetic) links: derive a code
     # document per row whose import statements encode the same deterministic
@@ -2293,6 +2321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf_segments": _q_tfidf_segments,
         "search_phrase_segments": _q_phrase_segments,
         "search_bm25_dist_segments": _q_bm25_dist_segments,
+        "search_bm25_maxscore": _q_bm25_maxscore,
         "search_more_like_this": _q_more_like_this,
         "search_mlt_pruned": _q_mlt_pruned,
         "index_forward": _q_forward_index,
@@ -2433,6 +2462,9 @@ def oracle_sql() -> dict[str, str]:
         "search_tfidf_segments": oracle.tfidf_single_sql("data"),
         "search_phrase_segments": oracle.and_phrase_sql("data", "stream"),
         "search_bm25_dist_segments": oracle.bm25_topk_sql(["data", "stream"], 10),
+        "search_bm25_maxscore": oracle.bm25_topk_sql(
+            ["table", "window", "scan"], 10
+        ),
         "search_more_like_this": oracle.more_like_this_sql("7", 10),
         "search_mlt_pruned": oracle.more_like_this_sql("7", 10),
         "index_forward": oracle.FORWARD_INDEX_SQL,
