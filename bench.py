@@ -249,6 +249,29 @@ def main() -> None:
                 bavgdl, 10,
             )
         timings["query_wand_60k_x10"] = time.time() - t0
+
+        # MaxScore A/B over the SAME segments + query set: the Turtle &
+        # Flood essential/non-essential kernel vs block-max WAND —
+        # identical results (differentially tested), different pruning
+        # bookkeeping; this stage keeps the comparison honest per-round
+        from distributed_search_engine_spark.index.maxscore import (
+            maxscore_topk,
+        )
+
+        t0 = time.time()
+        for q in QUERY_SET:
+            terms = q.split()
+            rows = [
+                r.asDict()
+                for r in read_segments_for_terms(spark, bseg_dir, terms, N_SEG_PARTS)
+                .select("idf_bm25", "blocks")
+                .collect()
+            ]
+            maxscore_topk(
+                [{"idf_bm25": r["idf_bm25"], "blocks": [b.asDict() for b in r["blocks"]]} for r in rows],
+                bavgdl, 10,
+            )
+        timings["query_maxscore_60k_x10"] = time.time() - t0
         t0 = time.time()
         btagged = read_segments_for_queries(
             spark, bseg_dir, {q: q.split() for q in QUERY_SET}, N_SEG_PARTS
@@ -531,9 +554,6 @@ def main() -> None:
         # coded corpus partitioned by coarse cell (the build), then 5
         # served queries probing 2 of 16 cells each (partition-pruned
         # scans of compressed codes; the billion-scale ANN serving shape)
-        import shutil
-        import tempfile
-
         from distributed_search_engine_spark.operators.similarity import (
             ann_ivfadc_from_store,
             persist_coded_corpus,
