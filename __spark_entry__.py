@@ -434,6 +434,25 @@ def _q_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHAMPION_M = 40
+
+
+def _q_bm25_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tiered-index champion lists: per-term top-m postings by exact
+    # 6dp-rounded BM25 contribution, batch top-k over champions only —
+    # deterministic approximation, hash-gated like an exact query
+    from distributed_search_engine_spark.index.champions import (
+        champion_postings,
+        search_bm25_champion,
+    )
+
+    sidx = _search_index(spark, sf_dir, False)
+    champs = champion_postings(
+        sidx.postings, sidx.term_stats, sidx.avgdl, _CHAMPION_M
+    )
+    return search_bm25_champion(spark, champs, BATCH_QUERIES, k=10)
+
+
 def _q_pagerank_extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P1 end-to-end over EXTRACTED (not synthetic) links: derive a code
     # document per row whose import statements encode the same deterministic
@@ -2322,6 +2341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_phrase_segments": _q_phrase_segments,
         "search_bm25_dist_segments": _q_bm25_dist_segments,
         "search_bm25_maxscore": _q_bm25_maxscore,
+        "search_bm25_champion": _q_bm25_champion,
         "search_more_like_this": _q_more_like_this,
         "search_mlt_pruned": _q_mlt_pruned,
         "index_forward": _q_forward_index,
@@ -2464,6 +2484,9 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_dist_segments": oracle.bm25_topk_sql(["data", "stream"], 10),
         "search_bm25_maxscore": oracle.bm25_topk_sql(
             ["table", "window", "scan"], 10
+        ),
+        "search_bm25_champion": oracle.bm25_champion_sql(
+            BATCH_QUERIES, _CHAMPION_M, 10
         ),
         "search_more_like_this": oracle.more_like_this_sql("7", 10),
         "search_mlt_pruned": oracle.more_like_this_sql("7", 10),

@@ -206,6 +206,53 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def bm25_champion_sql(
+    queries: list[list[str]], m: int, k: int = 10
+) -> str:
+    """Twin of index/champions: per-term top-m postings by 6dp-rounded
+    BM25 contribution (ties doc_id asc), then the batch top-k over
+    champions only — the approximate tier is deterministic, so it
+    hash-gates like an exact query."""
+    branches = []
+    for terms in queries:
+        label = " ".join(terms).replace("'", "''")
+        inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+        branches.append(
+            f"""
+  SELECT '{label}' AS query, doc_id, contrib
+  FROM champ WHERE r <= {m} AND term IN ({inlist})"""
+        )
+    union = "\n  UNION ALL\n".join(branches)
+    return base_ctes() + f""",
+champscored AS (
+  SELECT p.term, p.doc_id,
+         round(ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0)
+               / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.doc_len
+                  / (SELECT avgdl FROM nstats))), 6) AS contrib
+  FROM postings p JOIN termstats ts USING (term)
+),
+champ AS (
+  SELECT term, doc_id, contrib,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY contrib DESC, doc_id ASC) AS r
+  FROM champscored
+),
+champhits AS ({union}),
+champagg AS (
+  SELECT query, doc_id, round(sum(contrib), 6) AS score
+  FROM champhits GROUP BY 1, 2
+),
+champranked AS (
+  SELECT query, doc_id, score,
+         row_number() OVER (PARTITION BY query
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM champagg
+)
+SELECT query, doc_id, score, rank::int AS rank
+FROM champranked WHERE rank <= {k}
+"""
+
+
 def bm25_batch_sql(queries: list[list[str]], k: int = 10) -> str:
     """Batch BM25 twin of engine.search_bm25_batch for stem-fixpoint query
     terms: per-query contrib UNION ALL, per-(query, doc) sum, per-query
