@@ -434,6 +434,14 @@ def _q_bm25_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lucene-explain()-style per-(doc, term) score breakdown
+    from distributed_search_engine_spark.query.engine import explain_bm25
+
+    sidx = _search_index(spark, sf_dir, False)
+    return explain_bm25(spark, sidx, "data stream")
+
+
 _CHAMPION_M = 40
 
 
@@ -2342,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25_dist_segments": _q_bm25_dist_segments,
         "search_bm25_maxscore": _q_bm25_maxscore,
         "search_bm25_champion": _q_bm25_champion,
+        "search_bm25_explain": _q_bm25_explain,
         "search_more_like_this": _q_more_like_this,
         "search_mlt_pruned": _q_mlt_pruned,
         "index_forward": _q_forward_index,
@@ -2488,6 +2497,7 @@ def oracle_sql() -> dict[str, str]:
         "search_bm25_champion": oracle.bm25_champion_sql(
             BATCH_QUERIES, _CHAMPION_M, 10
         ),
+        "search_bm25_explain": oracle.bm25_explain_sql(["data", "stream"]),
         "search_more_like_this": oracle.more_like_this_sql("7", 10),
         "search_mlt_pruned": oracle.more_like_this_sql("7", 10),
         "index_forward": oracle.FORWARD_INDEX_SQL,

@@ -206,6 +206,27 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def bm25_explain_sql(terms: list[str]) -> str:
+    """Twin of query/engine.explain_bm25: per-(doc, term) BM25 inputs +
+    contribution + per-doc total, every numeric 6dp-rounded in-engine."""
+    inlist = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return base_ctes() + f""",
+expl AS (
+  SELECT p.doc_id, p.term,
+         p.tf::double AS tf, p.doc_len::double AS doc_len,
+         round(ts.idf_bm25, 6) AS idf_bm25,
+         round(ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0)
+               / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.doc_len
+                  / (SELECT avgdl FROM nstats))), 6) AS contrib
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})
+)
+SELECT doc_id, term, tf, doc_len, idf_bm25, contrib,
+       round(sum(contrib) OVER (PARTITION BY doc_id), 6) AS score
+FROM expl
+"""
+
+
 def bm25_champion_sql(
     queries: list[list[str]], m: int, k: int = 10
 ) -> str:

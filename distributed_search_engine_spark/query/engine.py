@@ -1337,3 +1337,51 @@ def search_rm3(
     top = agg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
     return top.withColumn("rank", F.row_number().over(wr).cast("int"))
+
+
+def explain_bm25(
+    spark: SparkSession, index: SearchIndex, query_text: str
+) -> DataFrame:
+    """Lucene-``explain()``-style score breakdown: one row per
+    (doc_id, term) with every input to the BM25 contribution — tf,
+    doc_len, idf_bm25 — the contribution itself, and the doc's total
+    score. The debugging surface the reference exposes only as opaque
+    ranked output (SearchEngine.java returns scores, never why).
+
+    Terms are used stem-fixpoint as given (no expansion — explain shows
+    the scorer, not the query rewriter; run expand_terms separately to
+    audit the rewrite). Plan: one pruned postings lookup + broadcast
+    term-stats join + a per-doc window sum (bounded by query length per
+    doc). All numeric outputs 6dp-rounded in-engine so the breakdown is
+    hash-stable across engines.
+    """
+    terms = tokenize_query(query_text)
+    if not terms:
+        return spark.createDataFrame(
+            [],
+            "doc_id string, term string, tf double, doc_len double, "
+            "idf_bm25 double, contrib double, score double",
+        )
+    avgdl = index.avgdl or 1.0
+    base = index.lookup_postings(sorted(set(terms)))
+    if "idf_bm25" not in base.columns:
+        base = base.join(
+            F.broadcast(index.term_stats.select("term", "idf_bm25")), "term"
+        )
+    tf = F.col("tf").cast("double")
+    dl = F.col("doc_len").cast("double")
+    denom = tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / F.lit(avgdl))
+    per_term = base.select(
+        "doc_id",
+        "term",
+        tf.alias("tf"),
+        dl.alias("doc_len"),
+        F.round("idf_bm25", 6).alias("idf_bm25"),
+        F.round(
+            F.col("idf_bm25") * tf * (BM25_K1 + 1.0) / denom, 6
+        ).alias("contrib"),
+    )
+    wd = Window.partitionBy("doc_id")
+    return per_term.withColumn(
+        "score", F.round(F.sum("contrib").over(wd), 6)
+    )
