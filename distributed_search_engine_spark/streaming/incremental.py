@@ -253,6 +253,7 @@ def compact_to_segments(
     state_dir: str,
     out_dir: str,
     n_partitions: int = 32,
+    snapshot: bool = False,
 ):
     """Compact the CURRENT incremental-index state into compressed query
     segments (index/segments layout) — the bridge from the streaming write
@@ -262,7 +263,14 @@ def compact_to_segments(
     Idempotent per version: out_dir/v<k> is built once (manifest-resumable
     inside, like any segment build); re-running after new micro-batches
     compacts the new CURRENT version into its own directory, so readers
-    keep an immutable segment set per version."""
+    keep an immutable segment set per version.
+
+    ``snapshot=True`` additionally publishes each compacted version
+    through the index/snapshots metadata layer (out_dir as the table
+    root): the version becomes visible to snapshot readers only after
+    its segment build fully commits, older versions stay time-travel
+    readable until ``expire_snapshots`` reclaims them, and a re-compact
+    of an already-published version is a no-op commit-wise."""
     import os as _os
 
     from ..index.segments import (
@@ -288,6 +296,28 @@ def compact_to_segments(
         n_partitions=n_partitions, batch_partitions=n_partitions,
     )
     term_dict = build_term_dict(cur["postings"].select("term"))
+    if snapshot:
+        from ..index.snapshots import (
+            commit_snapshot,
+            current_snapshot_id,
+            list_snapshots,
+        )
+
+        op = f"compact-v{cur['version']}"
+        already = any(
+            s["operation"] == op for s in list_snapshots(out_dir)
+        )
+        if not already:
+            commit_snapshot(
+                out_dir,
+                f"v{cur['version']}/data",
+                op,
+                parent_id=current_snapshot_id(out_dir),
+                summary={
+                    "index_version": cur["version"],
+                    "total_docs": cur["total_docs"],
+                },
+            )
     return segment_search_index(
         spark, seg_dir, ds, ts, term_dict, cur["total_docs"], n_partitions
     )

@@ -398,3 +398,58 @@ def test_streaming_sketches_match_batch_per_window(spark, tmp_path):
     # distinct tokens per window bound the occupied-register count
     n_w0 = len([k for k in regs if k[0] == 0])
     assert 1 <= n_w0 <= 3  # window 0 holds 3 distinct tokens
+
+
+def test_compacted_versions_publish_as_snapshots(spark, tmp_path):
+    """compact_to_segments(snapshot=True): each compacted index version
+    publishes atomically through the snapshot layer; the previous
+    version stays time-travel readable; re-compacting a published
+    version is commit-idempotent."""
+    from distributed_search_engine_spark.index.snapshots import (
+        current_snapshot_id,
+        list_snapshots,
+        read_segments_at,
+        rollback,
+    )
+    from distributed_search_engine_spark.streaming.incremental import (
+        compact_to_segments,
+    )
+
+    inp, state = str(tmp_path / "in"), str(tmp_path / "state")
+    ckpt, segs = str(tmp_path / "ck"), str(tmp_path / "segs")
+    spark.createDataFrame(BATCH1, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt).awaitTermination(120)
+    compact_to_segments(spark, state, segs, n_partitions=4, snapshot=True)
+    assert current_snapshot_id(segs) == 1
+
+    spark.createDataFrame(BATCH2, "doc_id string, content string").write.mode(
+        "append"
+    ).parquet(inp)
+    incremental_index(spark, inp, state, ckpt).awaitTermination(120)
+    compact_to_segments(spark, state, segs, n_partitions=4, snapshot=True)
+    snaps = list_snapshots(segs)
+    assert [s["summary"]["index_version"] for s in snaps] == [
+        snaps[0]["summary"]["index_version"],
+        snaps[1]["summary"]["index_version"],
+    ]
+    assert current_snapshot_id(segs) == 2
+    # time travel: v1 has terms of batch1 only; HEAD also has delta
+    t1 = {
+        r["term"]
+        for r in read_segments_at(spark, segs, 1).select("term").distinct().collect()
+    }
+    t2 = {
+        r["term"]
+        for r in read_segments_at(spark, segs).select("term").distinct().collect()
+    }
+    assert "delta" in t2 and "delta" not in t1
+    assert "alpha" in t1 and "alpha" in t2
+    # re-compact of the SAME version: no new snapshot
+    compact_to_segments(spark, state, segs, n_partitions=4, snapshot=True)
+    assert current_snapshot_id(segs) == 2
+    # rollback serves the old version without touching data
+    rollback(segs, 1)
+    assert current_snapshot_id(segs) == 1
+    rollback(segs, 2)
