@@ -409,6 +409,9 @@ def main() -> None:
         # exact verify — tracks the window projection + distinct
         # exchange and the bounded candidate join round-over-round
         from distributed_search_engine_spark.index.trigram import (
+            _needle_trigrams,
+            load_trigram_postings,
+            store_trigram_postings,
             substring_search,
             trigram_postings,
         )
@@ -419,17 +422,29 @@ def main() -> None:
         ).persist()
         n_trigram_postings = tpost.count()
         timings["trigram_build_60k"] = time.time() - t0
+        # durable store: trigram-hash-partitioned parquet (the 100-TB
+        # shape — serving reads prune to the needle's part= dirs)
+        t0 = time.time()
+        tri_dir = tempfile.mkdtemp(prefix="dse_trigram_")
+        store_trigram_postings(tpost, tri_dir, n_partitions=64)
+        timings["trigram_store_60k"] = time.time() - t0
+        tpost.unpersist()
+        # serving shape: each needle reads ONLY the part= directories its
+        # trigrams hash to (driver-side xxhash twin, zero planning jobs)
         t0 = time.time()
         n_sub_hits = 0
         for needle in (
             "terms of service", "sort merge", "spark", "window agg",
             "read carefully before",
         ):
+            pruned = load_trigram_postings(
+                spark, tri_dir, _needle_trigrams(needle), 64
+            ).drop("part")
             n_sub_hits += substring_search(
-                big.withColumnRenamed("content", "text"), tpost, needle
+                big.withColumnRenamed("content", "text"), pruned, needle
             ).count()
         timings["substring_search_60k_x5"] = time.time() - t0
-        tpost.unpersist()
+        shutil.rmtree(tri_dir, ignore_errors=True)
 
         # paragraph-level keep-one dedup (round-5): synthetic paragraph
         # layout (unique body + cross-doc boilerplate + conditional

@@ -259,14 +259,30 @@ def regex_search(
     spark = SparkSession.getActiveSession() or docs.sparkSession
     clauses = required_clauses(pattern)
     ci_pat = f"(?i){pattern}"
-    exact = docs.select(
-        F.col(doc_id_col).alias("doc_id"),
-        F.regexp_count(
+
+    def verify(frame: DataFrame) -> DataFrame:
+        # the exact regex runs AFTER any candidate join, so the (costly)
+        # engine match touches candidate rows only. The always-true
+        # nondeterministic wrapper on the projected column is
+        # load-bearing: with a plain deterministic projection Catalyst
+        # pushes the n_matches > 0 filter back through the join to the
+        # full docs scan (pushdown has no per-row cost model),
+        # re-running the regex on EVERY doc; a filter never pushes
+        # through a projection with a nondeterministic field. Locked by
+        # test_regex_plan_verifies_after_candidate_join.
+        n = F.regexp_count(
             F.coalesce(F.col(content_col), F.lit("")), F.lit(ci_pat)
-        ).alias("n_matches"),
-    )
+        )
+        barrier = F.when(
+            F.monotonically_increasing_id() >= 0, n
+        ).otherwise(F.lit(0))
+        return frame.select(
+            "doc_id", barrier.alias("n_matches")
+        ).where("n_matches > 0")
+
+    keyed = docs.withColumn("doc_id", F.col(doc_id_col))
     if not clauses:
-        return exact.where("n_matches > 0")
+        return verify(keyed)
     needed = sorted({g for cl in clauses for a in cl for g in _alt_trigrams(a)})
     df_by_gram = {
         r["trigram"]: r["df"]
@@ -289,7 +305,7 @@ def regex_search(
     clause_alts = {ci for ci, _, _, _ in rows}
     if len(clause_alts) < len(clauses):
         # some clause lost ALL alternatives -> pattern cannot match
-        return exact.where(F.lit(False))
+        return verify(keyed.where(F.lit(False)))
     need = spark.createDataFrame(
         rows, "clause_id int, alt_id int, trigram string, alt_n int"
     )
@@ -305,4 +321,4 @@ def regex_search(
         .where(F.col("_ncl") == len(clauses))
         .select("doc_id")
     )
-    return exact.join(cand, "doc_id").where("n_matches > 0")
+    return verify(keyed.join(cand, "doc_id"))

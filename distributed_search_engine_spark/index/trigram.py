@@ -26,7 +26,9 @@ twin-identical.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -48,9 +50,62 @@ def trigram_postings(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # no .distinct(): array_distinct already deduped per doc, so every
+    # exploded (doc_id, trigram) pair is unique by construction — a
+    # distinct here would be a full shuffle of the posting stream for
+    # nothing (the build is a ZERO-exchange projection; plan-asserted)
     return docs.select(
         F.col(doc_id_col).alias("doc_id"), F.explode(grams).alias("trigram")
-    ).where(F.length("trigram") == 3).distinct()
+    ).where(F.length("trigram") == 3)
+
+
+def store_trigram_postings(
+    postings: DataFrame, out_dir: str, n_partitions: int = 64
+) -> None:
+    """Persist the trigram postings partitioned by trigram hash
+    (part=pmod(xxhash64(trigram), n)) — the same partition-pruned-read
+    discipline as the term segments (index/segments.py): a query's
+    needle trigrams map to a handful of part= directories, so lookups
+    scan those partitions instead of the whole posting stream. At 100 TB
+    this is the difference between per-query cost ∝ candidate postings
+    and per-query cost ∝ corpus."""
+    (
+        postings.withColumn(
+            "part",
+            F.pmod(F.xxhash64("trigram"), F.lit(n_partitions)).cast("int"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(out_dir)
+    )
+
+
+def load_trigram_postings(
+    spark: SparkSession,
+    out_dir: str,
+    grams: list[str] | None = None,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Read the stored postings; with ``grams`` given, only the part=
+    directories those trigrams hash to (driver-side xxhash64 twin —
+    zero Spark jobs to plan the pruned read)."""
+    if grams is None:
+        return spark.read.option("basePath", out_dir).parquet(out_dir)
+    from .segments import xxhash64_py
+
+    parts = sorted(
+        {xxhash64_py(g.encode()) % n_partitions for g in grams}
+    )
+    paths = [
+        p
+        for p in (os.path.join(out_dir, f"part={i}") for i in parts)
+        if os.path.isdir(p)
+    ]
+    if not paths:
+        return spark.read.option("basePath", out_dir).parquet(out_dir).where(
+            F.lit(False)
+        )
+    return spark.read.option("basePath", out_dir).parquet(*paths)
 
 
 def trigram_stats(postings: DataFrame) -> DataFrame:
@@ -86,16 +141,38 @@ def substring_search(
     grams = _needle_trigrams(needle)
     text = F.lower(F.col(content_col))
     pat = F.lit(needle.lower())
-    exact = docs.select(
-        F.col(doc_id_col).alias("doc_id"),
-        (
-            (F.length(text) - F.length(F.replace(text, pat)))
-            / F.length(pat)
-        ).cast("int").alias("n_occurrences"),
-        text.contains(pat).alias("_hit"),
-    )
+
+    def verify(frame: DataFrame) -> DataFrame:
+        # the exact contains() + occurrence count runs AFTER any
+        # candidate join — CPU verify on candidate rows only. The
+        # always-true nondeterministic wrapper on _hit is load-bearing:
+        # with a plain deterministic projection Catalyst pushes the
+        # _hit filter back through the join to the full docs scan
+        # (pushdown has no per-row cost model), scanning every doc; a
+        # filter never pushes through a projection with a
+        # nondeterministic field — locked by
+        # test_substring_plan_verifies_after_join. (Column IO for the
+        # docs side still reads text — skipping bytes too takes a
+        # doc_id-clustered layout, the segments' docnum discipline.)
+        hit = F.when(
+            F.monotonically_increasing_id() >= 0, text.contains(pat)
+        ).otherwise(F.lit(False))
+        return (
+            frame.select(
+                "doc_id",
+                (
+                    (F.length(text) - F.length(F.replace(text, pat)))
+                    / F.length(pat)
+                ).cast("int").alias("n_occurrences"),
+                hit.alias("_hit"),
+            )
+            .where("_hit")
+            .drop("_hit")
+        )
+
+    keyed = docs.withColumn("doc_id", F.col(doc_id_col))
     if not grams:
-        return exact.where("_hit").drop("_hit")
+        return verify(keyed)
     stats = trigram_stats(postings.where(F.col("trigram").isin(grams)))
     picked = [
         r["trigram"]
@@ -106,7 +183,7 @@ def substring_search(
     if len(picked) < len(grams) and len(picked) < prune_to:
         # a needle trigram absent from the whole corpus -> no doc can
         # contain the needle
-        return exact.where(F.lit(False)).drop("_hit")
+        return verify(keyed.where(F.lit(False)))
     cand = (
         postings.where(F.col("trigram").isin(picked))
         .groupBy("doc_id")
@@ -114,8 +191,4 @@ def substring_search(
         .where(F.col("_n") == len(picked))
         .select("doc_id")
     )
-    return (
-        exact.join(cand, "doc_id")
-        .where("_hit")
-        .select("doc_id", "n_occurrences")
-    )
+    return verify(keyed.join(cand, "doc_id"))

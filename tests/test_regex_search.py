@@ -193,3 +193,18 @@ def test_absent_required_literal_short_circuits_empty(spark):
     assert (
         regex_search(docs, post, r"(qqqzzz|zzzyyy)\s+call").count() == 0
     )
+
+
+def test_regex_plan_verifies_after_candidate_join(spark):
+    """The exact regex must be projected ABOVE the candidate join
+    (candidate rows only) — below it, the engine match would run on
+    every doc and the trigram pruning would save nothing at scale."""
+    docs = _docs(spark)
+    post = TRI.trigram_postings(docs)
+    df = regex_search(docs, post, r"(memcpy|strcpy)\s*\(")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE regex evaluation (a pushed-down filter would add a
+    # second on the docs scan), and it sits above the doc_id join
+    assert plan.count("regexp_extract_all") == 1
+    assert "Join" in plan
+    assert plan.index("regexp_extract_all") < plan.index("Join")

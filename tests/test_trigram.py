@@ -82,3 +82,65 @@ def test_build_plan_is_jvm_side(spark):
 
     p = plan_of(TRI.trigram_postings(_docs(spark)))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the build is a ZERO-exchange projection: per-doc array_distinct
+    # makes exploded pairs unique, so no distinct shuffle exists
+    assert "Exchange" not in p, p
+
+
+def test_substring_plan_verifies_after_join(spark):
+    """contains() + occurrence count must be projected ABOVE the
+    candidate join — computed on candidate rows only, never the full
+    corpus (the point of the trigram pruning at 100 TB)."""
+    docs = _docs(spark)
+    post = TRI.trigram_postings(docs)
+    df = TRI.substring_search(docs, post, "data stream")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE contains() evaluation (a pushed-down filter would add
+    # a second on the docs scan), and it sits above the doc_id join
+    assert plan.count("Contains(lower") == 1, plan
+    assert "Join" in plan
+    assert plan.index("Contains(lower") < plan.index("Join")
+
+
+def test_store_and_pruned_load_roundtrip(spark, tmp_path):
+    """Partition-pruned store: pruned directories contain every posting
+    of the needle's trigrams (driver-side xxhash twin picks the same
+    part= dirs the writer hashed to), and search through the pruned
+    subset equals search through the full postings."""
+    from distributed_search_engine_spark.index.trigram import (
+        _needle_trigrams,
+        load_trigram_postings,
+        store_trigram_postings,
+    )
+
+    docs = _docs(spark)
+    post = TRI.trigram_postings(docs)
+    d = str(tmp_path / "tri")
+    store_trigram_postings(post, d, n_partitions=8)
+    full = load_trigram_postings(spark, d).drop("part")
+    assert full.count() == post.count()
+    grams = _needle_trigrams("data stream")
+    pruned = load_trigram_postings(spark, d, grams, 8).drop("part")
+    got = {
+        (r["doc_id"], r["trigram"])
+        for r in pruned.where(F.col("trigram").isin(grams)).collect()
+    }
+    want = {
+        (r["doc_id"], r["trigram"])
+        for r in post.where(F.col("trigram").isin(grams)).collect()
+    }
+    assert got == want
+    via_pruned = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in TRI.substring_search(docs, pruned, "data stream").collect()
+    }
+    via_full = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in TRI.substring_search(docs, post, "data stream").collect()
+    }
+    assert via_pruned == via_full == {1: 2}
+    # absent trigrams prune to an empty (not erroring) frame
+    empty = load_trigram_postings(spark, d, ["@@@"], 8)
+    assert empty.count() == 0 or "@@@" not in {
+        r["trigram"] for r in empty.collect()
+    }
