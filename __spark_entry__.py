@@ -848,6 +848,23 @@ def _q_substring_search(spark, sf_dir):
     )
 
 
+_SUBSTRING_BATCH = ["data stream", "sort merge", "window", "zzzqqq", "ab"]
+
+
+def _q_substring_batch(spark, sf_dir):
+    # batch form: one job for the whole needle set (stats collect + one
+    # broadcast clause table + per-row needle verify); includes an
+    # absent-trigram needle (empty) and a sub-3-char full-scan needle
+    from distributed_search_engine_spark.index import trigram as TRI
+
+    docs = _capped_docs(spark, sf_dir)
+    post = TRI.trigram_postings(docs)
+    return TRI.substring_search_batch(docs, post, _SUBSTRING_BATCH).select(
+        "needle", F.col("doc_id").cast("string").alias("doc_id"),
+        "n_occurrences",
+    )
+
+
 _REGEX_PAT = r"(sort|merge)\s+(batch|table)"
 _REGEX_PAT_OPT = r"window\s+agg(regate)?s?"
 
@@ -2320,6 +2337,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_substring": _q_substring_search,
         "search_regex": _q_regex_search,
         "search_regex_opt": _q_regex_search_opt,
+        "search_substring_batch": _q_substring_batch,
         "code_symbols": _q_code_symbols,
         "code_symbol_stats": _q_code_symbol_stats,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
@@ -2519,6 +2537,9 @@ def oracle_sql() -> dict[str, str]:
         "search_substring": oracle.substring_search_sql("data stream"),
         "search_regex": oracle.regex_search_sql(_REGEX_PAT),
         "search_regex_opt": oracle.regex_search_sql(_REGEX_PAT_OPT),
+        "search_substring_batch": oracle.substring_search_batch_sql(
+            _SUBSTRING_BATCH
+        ),
         "code_symbols": oracle.code_symbols_sql(),
         "code_symbol_stats": oracle.code_symbol_stats_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),

@@ -412,7 +412,7 @@ def main() -> None:
             _needle_trigrams,
             load_trigram_postings,
             store_trigram_postings,
-            substring_search,
+            substring_search_batch,
             trigram_postings,
         )
 
@@ -429,20 +429,23 @@ def main() -> None:
         store_trigram_postings(tpost, tri_dir, n_partitions=64)
         timings["trigram_store_60k"] = time.time() - t0
         tpost.unpersist()
-        # serving shape: each needle reads ONLY the part= directories its
-        # trigrams hash to (driver-side xxhash twin, zero planning jobs)
+        # serving shape: ONE batch job for the whole needle set, reading
+        # ONLY the part= directories the union of needle trigrams hash
+        # to (driver-side xxhash twin, zero planning jobs)
         t0 = time.time()
-        n_sub_hits = 0
-        for needle in (
+        batch_needles = [
             "terms of service", "sort merge", "spark", "window agg",
             "read carefully before",
-        ):
-            pruned = load_trigram_postings(
-                spark, tri_dir, _needle_trigrams(needle), 64
-            ).drop("part")
-            n_sub_hits += substring_search(
-                big.withColumnRenamed("content", "text"), pruned, needle
-            ).count()
+        ]
+        union_grams = sorted(
+            {g for n in batch_needles for g in _needle_trigrams(n)}
+        )
+        pruned = load_trigram_postings(
+            spark, tri_dir, union_grams, 64
+        ).drop("part")
+        n_sub_hits = substring_search_batch(
+            big.withColumnRenamed("content", "text"), pruned, batch_needles
+        ).count()
         timings["substring_search_60k_x5"] = time.time() - t0
         shutil.rmtree(tri_dir, ignore_errors=True)
 

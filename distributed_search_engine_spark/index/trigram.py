@@ -121,6 +121,95 @@ def _needle_trigrams(needle: str) -> list[str]:
     return sorted({s[i : i + 3] for i in range(len(s) - 2)})
 
 
+def substring_search_batch(
+    docs: DataFrame,
+    postings: DataFrame,
+    needles: list[str],
+    prune_to: int = 4,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(needle, doc_id, n_occurrences) for a whole needle SET in ONE
+    Spark job — the batch-throughput form (amortizes the per-job floor
+    the same way search_bm25_batch does for term queries).
+
+    One stats collect for the union of every needle's trigrams; the
+    per-needle rarest-``prune_to`` choice happens driver-side; ONE
+    broadcast (needle, trigram) table joins the postings; candidates
+    verify with a per-row needle column (contains/replace accept
+    column patterns). Needles under 3 chars take the documented
+    full-scan branch; needles with an absent trigram return nothing
+    (no doc can contain them)."""
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    keyed = docs.withColumn("doc_id", F.col(doc_id_col))
+    text = F.lower(F.col(content_col))
+    by_needle = {n: _needle_trigrams(n) for n in dict.fromkeys(needles)}
+    allgrams = sorted({g for gs in by_needle.values() for g in gs})
+    df_by_gram = (
+        {
+            r["trigram"]: r["df"]
+            for r in trigram_stats(
+                postings.where(F.col("trigram").isin(allgrams))
+            ).collect()
+        }
+        if allgrams
+        else {}
+    )
+    rows = []
+    fullscan: list[str] = []
+    for n, gs in by_needle.items():
+        if not gs:
+            fullscan.append(n)
+            continue
+        if any(g not in df_by_gram for g in gs):
+            continue  # an absent required trigram: no doc can match
+        picked = sorted(gs, key=lambda g: (df_by_gram[g], g))[:prune_to]
+        rows.extend((n, g, len(picked)) for g in picked)
+
+    def verify(frame: DataFrame) -> DataFrame:
+        pat = F.lower(F.col("needle"))
+        hit = F.when(
+            F.monotonically_increasing_id() >= 0, text.contains(pat)
+        ).otherwise(F.lit(False))
+        return (
+            frame.select(
+                "needle",
+                "doc_id",
+                (
+                    (F.length(text) - F.length(F.replace(text, pat)))
+                    / F.length(pat)
+                ).cast("int").alias("n_occurrences"),
+                hit.alias("_hit"),
+            )
+            .where("_hit")
+            .drop("_hit")
+        )
+
+    parts = []
+    if rows:
+        need = spark.createDataFrame(
+            rows, "needle string, trigram string, n_picked int"
+        )
+        cand = (
+            postings.join(F.broadcast(need), "trigram")
+            .groupBy("needle", "doc_id", "n_picked")
+            .agg(F.count(F.lit(1)).alias("_got"))
+            .where(F.col("_got") == F.col("n_picked"))
+            .select("needle", "doc_id")
+        )
+        parts.append(verify(keyed.join(cand, "doc_id")))
+    for n in fullscan:
+        parts.append(verify(keyed.withColumn("needle", F.lit(n))))
+    if not parts:
+        return spark.createDataFrame(
+            [], "needle string, doc_id string, n_occurrences int"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def substring_search(
     docs: DataFrame,
     postings: DataFrame,

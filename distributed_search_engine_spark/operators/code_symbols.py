@@ -78,26 +78,38 @@ def extract_symbols(
             F.split(F.coalesce(F.col(content_col), F.lit("")), "\n")
         ).alias("_ln0", "line"),
     ).select("doc_id", "lang", (F.col("_ln0") + 1).alias("line_no"), "line")
+    # ONE union branch per LANGUAGE (not per rule): all of a language's
+    # rules apply in a single projection via stack(), so each doc's
+    # lines are generated once per its own branch — the other branches'
+    # lang filters push below the Generate and prune rows before the
+    # split. regexp_extract needs a literal pattern, which is why the
+    # per-lang stack (not a per-row pattern column) is the right shape.
     per_lang = []
     for lang, rules in SYMBOL_RULES.items():
         branch = lines.where(F.col("lang") == lang)
+        stack_args: list = []
         for kind, pat in rules:
-            per_lang.append(
-                branch.select(
-                    "doc_id",
-                    "lang",
-                    F.lit(kind).alias("kind"),
-                    F.regexp_extract("line", pat, 1).alias("symbol"),
-                    "line_no",
-                ).where(F.col("symbol") != "")
-            )
+            stack_args.append(F.lit(kind))
+            stack_args.append(F.regexp_extract("line", pat, 1))
+        per_lang.append(
+            branch.select(
+                "doc_id",
+                "lang",
+                "line_no",
+                F.stack(F.lit(len(rules)), *stack_args).alias(
+                    "kind", "symbol"
+                ),
+            ).where(F.col("symbol") != "")
+        )
     out = per_lang[0]
     for b in per_lang[1:]:
         out = out.unionByName(b)
     # a line can satisfy two rules of the same kind (js const+function
     # never overlap, but keep the contract strict): one row per
     # (doc, line, kind, symbol)
-    return out.distinct()
+    return out.select(
+        "doc_id", "lang", "kind", "symbol", "line_no"
+    ).distinct()
 
 
 def symbol_stats(symbols: DataFrame) -> DataFrame:

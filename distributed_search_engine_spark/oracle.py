@@ -3408,6 +3408,25 @@ WHERE contains(lower(text), '{nl}')
 """
 
 
+def substring_search_batch_sql(needles: list[str]) -> str:
+    """INDEPENDENT oracle for index/trigram.substring_search_batch: a
+    UNION ALL of per-needle full-scan contains() counts — no trigram
+    machinery, so equality proves batch pruning is lossless per needle."""
+    branches = []
+    for n in dict.fromkeys(needles):
+        nl = n.lower().replace("'", "''")
+        esc = n.replace("'", "''")
+        branches.append(f"""
+  SELECT '{esc}' AS needle, doc_id,
+         ((length(lower(text)) - length(replace(lower(text), '{nl}', '')))
+          / {len(n)})::int AS n_occurrences
+  FROM docs WHERE contains(lower(text), '{nl}')""")
+    union = "\n  UNION ALL\n".join(branches)
+    return base_ctes() + f"""
+{union}
+"""
+
+
 def regex_search_sql(pattern: str) -> str:
     """INDEPENDENT oracle for index/regex_search.regex_search: a direct
     full-scan RE2 ``regexp_matches`` + match count, no trigram-requirement

@@ -144,3 +144,23 @@ def test_store_and_pruned_load_roundtrip(spark, tmp_path):
     assert empty.count() == 0 or "@@@" not in {
         r["trigram"] for r in empty.collect()
     }
+
+
+def test_batch_equals_per_needle_loop(spark):
+    """substring_search_batch must reproduce the per-needle results for
+    every needle class: normal, case-folded, absent-trigram (empty),
+    and sub-3-char (full-scan branch)."""
+    docs = _docs(spark)
+    post = TRI.trigram_postings(docs)
+    needles = ["data stream", "Data", "zzzqqq", "ab", "no"]
+    got = {
+        (r["needle"], r["doc_id"]): r["n_occurrences"]
+        for r in TRI.substring_search_batch(docs, post, needles).collect()
+    }
+    want = {}
+    for n in needles:
+        for r in TRI.substring_search(docs, post, n).collect():
+            want[(n, r["doc_id"])] = r["n_occurrences"]
+    assert got == want
+    assert not any(n == "zzzqqq" for n, _ in got)  # absent trigram
+    assert ("ab", 4) in got  # short needle via full scan
