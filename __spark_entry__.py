@@ -867,6 +867,28 @@ def _q_substring_batch(spark, sf_dir):
 
 _REGEX_PAT = r"(sort|merge)\s+(batch|table)"
 _REGEX_PAT_OPT = r"window\s+agg(regate)?s?"
+_REGEX_BATCH = [
+    _REGEX_PAT,
+    _REGEX_PAT_OPT,
+    r"stream(ing)?\s+sort",
+    r"(zzzqqq|qqqzzz)x",  # absent required literal: contributes nothing
+]
+
+
+def _q_regex_batch(spark, sf_dir):
+    # batch form: one job for the whole pattern set (union clause table,
+    # per-row pattern-column verify)
+    from distributed_search_engine_spark.index import trigram as TRI
+    from distributed_search_engine_spark.index.regex_search import (
+        regex_search_batch,
+    )
+
+    docs = _capped_docs(spark, sf_dir)
+    post = TRI.trigram_postings(docs)
+    return regex_search_batch(docs, post, _REGEX_BATCH).select(
+        "pattern", F.col("doc_id").cast("string").alias("doc_id"),
+        "n_matches",
+    )
 
 
 def _q_regex_search(spark, sf_dir):
@@ -2338,6 +2360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_regex": _q_regex_search,
         "search_regex_opt": _q_regex_search_opt,
         "search_substring_batch": _q_substring_batch,
+        "search_regex_batch": _q_regex_batch,
         "code_symbols": _q_code_symbols,
         "code_symbol_stats": _q_code_symbol_stats,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
@@ -2540,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
         "search_substring_batch": oracle.substring_search_batch_sql(
             _SUBSTRING_BATCH
         ),
+        "search_regex_batch": oracle.regex_search_batch_sql(_REGEX_BATCH),
         "code_symbols": oracle.code_symbols_sql(),
         "code_symbol_stats": oracle.code_symbol_stats_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),

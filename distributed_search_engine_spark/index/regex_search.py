@@ -239,6 +239,122 @@ def _alt_trigrams(alt: str) -> list[str]:
     return sorted({alt[i : i + 3] for i in range(len(alt) - 2)})
 
 
+def regex_search_batch(
+    docs: DataFrame,
+    postings: DataFrame,
+    patterns: list[str],
+    prune_to: int = 4,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(pattern, doc_id, n_matches) for a whole pattern SET in ONE Spark
+    job — the batch form of :func:`regex_search` (the same amortization
+    substring_search_batch applies to needles).
+
+    All patterns' clause tables union into ONE broadcast frame keyed by
+    pattern id; candidate evaluation adds pattern_id to the two
+    aggregations; the exact verify matches a per-row PATTERN COLUMN
+    (Spark's regexp_count accepts a column regexp; per-pattern compiled
+    regex caching happens engine-side). Unprunable patterns take the
+    documented full-scan branch; a pattern with an absent required
+    literal contributes nothing."""
+    spark = SparkSession.getActiveSession() or docs.sparkSession
+    keyed = docs.withColumn("doc_id", F.col(doc_id_col))
+
+    def verify(frame: DataFrame) -> DataFrame:
+        n = F.regexp_count(
+            F.coalesce(F.col(content_col), F.lit("")),
+            F.concat(F.lit("(?i)"), F.col("pattern")),
+        )
+        barrier = F.when(
+            F.monotonically_increasing_id() >= 0, n
+        ).otherwise(F.lit(0))
+        return frame.select(
+            "pattern", "doc_id", barrier.alias("n_matches")
+        ).where("n_matches > 0")
+
+    compiled = {p: required_clauses(p) for p in dict.fromkeys(patterns)}
+    needed = sorted(
+        {
+            g
+            for clauses in compiled.values()
+            for cl in clauses
+            for a in cl
+            for g in _alt_trigrams(a)
+        }
+    )
+    df_by_gram = (
+        {
+            r["trigram"]: r["df"]
+            for r in trigram_stats(
+                postings.where(F.col("trigram").isin(needed))
+            ).collect()
+        }
+        if needed
+        else {}
+    )
+    rows = []
+    fullscan: list[str] = []
+    for pat, clauses in compiled.items():
+        if not clauses:
+            fullscan.append(pat)
+            continue
+        pat_rows = []
+        satisfied = set()
+        for ci, clause in enumerate(clauses):
+            for ai, alt in enumerate(clause):
+                grams = _alt_trigrams(alt)
+                if any(g not in df_by_gram for g in grams):
+                    continue
+                picked = sorted(
+                    grams, key=lambda g: (df_by_gram[g], g)
+                )[:prune_to]
+                satisfied.add(ci)
+                pat_rows.extend(
+                    (pat, ci, ai, g, len(picked)) for g in picked
+                )
+        if len(satisfied) < len(clauses):
+            continue  # a clause lost every alternative: cannot match
+        rows.extend((r, len(clauses)) for r in pat_rows)
+
+    parts = []
+    if rows:
+        need = spark.createDataFrame(
+            [
+                (pat, ci, ai, g, an, ncl)
+                for (pat, ci, ai, g, an), ncl in rows
+            ],
+            "pattern string, clause_id int, alt_id int, trigram string,"
+            " alt_n int, n_clauses int",
+        )
+        cand = (
+            postings.join(F.broadcast(need), "trigram")
+            .groupBy(
+                "pattern", "doc_id", "clause_id", "alt_id", "alt_n",
+                "n_clauses",
+            )
+            .agg(F.count(F.lit(1)).alias("_got"))
+            .where(F.col("_got") == F.col("alt_n"))
+            .select("pattern", "doc_id", "clause_id", "n_clauses")
+            .distinct()
+            .groupBy("pattern", "doc_id", "n_clauses")
+            .agg(F.count(F.lit(1)).alias("_ncl"))
+            .where(F.col("_ncl") == F.col("n_clauses"))
+            .select("pattern", "doc_id")
+        )
+        parts.append(verify(keyed.join(cand, "doc_id")))
+    for pat in fullscan:
+        parts.append(verify(keyed.withColumn("pattern", F.lit(pat))))
+    if not parts:
+        return spark.createDataFrame(
+            [], "pattern string, doc_id string, n_matches int"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def regex_search(
     docs: DataFrame,
     postings: DataFrame,

@@ -3497,6 +3497,24 @@ FROM codesyms GROUP BY symbol, kind
 """
 
 
+def regex_search_batch_sql(patterns: list[str]) -> str:
+    """INDEPENDENT oracle for index/regex_search.regex_search_batch: a
+    UNION ALL of per-pattern full-scan RE2 matches — no trigram or
+    clause machinery."""
+    branches = []
+    for pat in dict.fromkeys(patterns):
+        p = f"(?i){pat}".replace("'", "''")
+        esc = pat.replace("'", "''")
+        branches.append(f"""
+  SELECT '{esc}' AS pattern, doc_id,
+         len(regexp_extract_all(text, '{p}'))::int AS n_matches
+  FROM docs WHERE regexp_matches(text, '{p}')""")
+    union = "\n  UNION ALL\n".join(branches)
+    return base_ctes() + f"""
+{union}
+"""
+
+
 def rank_metrics_sql(queries: list[list[str]], k: int = 10) -> str:
     """Twin of operators/rank_eval.rank_metrics over batch-BM25 runs and
     term-overlap pseudo-qrels: same run generation as bm25_batch_sql,

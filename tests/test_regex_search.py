@@ -208,3 +208,31 @@ def test_regex_plan_verifies_after_candidate_join(spark):
     assert plan.count("regexp_extract_all") == 1
     assert "Join" in plan
     assert plan.index("regexp_extract_all") < plan.index("Join")
+
+
+def test_batch_equals_per_pattern_loop(spark):
+    """regex_search_batch must reproduce the per-pattern results for
+    every pattern class: prunable, optional-group, unprunable
+    (full-scan branch), and absent-required-literal (empty)."""
+    docs = _docs(spark)
+    post = TRI.trigram_postings(docs)
+    from distributed_search_engine_spark.index.regex_search import (
+        regex_search_batch,
+    )
+
+    pats = [
+        r"(memcpy|strcpy)\s*\(",
+        r"window\s+agg(regate)?s?",
+        r"[mw][ei]",
+        r"(qqqzzz|zzzyyy)\s+call",
+    ]
+    got = {
+        (r["pattern"], r["doc_id"]): r["n_matches"]
+        for r in regex_search_batch(docs, post, pats).collect()
+    }
+    want = {}
+    for p in pats:
+        for r in regex_search(docs, post, p).collect():
+            want[(p, r["doc_id"])] = r["n_matches"]
+    assert got == want
+    assert not any("qqqzzz" in p for p, _ in got)
