@@ -447,6 +447,38 @@ def main() -> None:
             big.withColumnRenamed("content", "text"), pruned, batch_needles
         ).count()
         timings["substring_search_60k_x5"] = time.time() - t0
+
+        # regex serving through the same pruned store: one batch job for
+        # 3 patterns (clause compile -> union trigram partitions ->
+        # candidates -> per-row pattern verify)
+        from distributed_search_engine_spark.index.regex_search import (
+            _alt_trigrams,
+            regex_search_batch,
+            required_clauses,
+        )
+
+        t0 = time.time()
+        rx_pats = [
+            r"the\s+spark",
+            r"shuffle\s+(this|the)",
+            r"comput(e|ing)\s+engine",
+        ]
+        rx_grams = sorted(
+            {
+                g
+                for p in rx_pats
+                for cl in required_clauses(p)
+                for a in cl
+                for g in _alt_trigrams(a)
+            }
+        )
+        rx_pruned = load_trigram_postings(
+            spark, tri_dir, rx_grams, 64
+        ).drop("part")
+        n_rx_hits = regex_search_batch(
+            big.withColumnRenamed("content", "text"), rx_pruned, rx_pats
+        ).count()
+        timings["regex_search_60k_x3"] = time.time() - t0
         shutil.rmtree(tri_dir, ignore_errors=True)
 
         # paragraph-level keep-one dedup (round-5): synthetic paragraph
@@ -625,6 +657,7 @@ def main() -> None:
             "hll_est_distinct_60k": hll_est,
             "trigram_postings_60k": n_trigram_postings,
             "substring_hits_60k": n_sub_hits,
+            "regex_hits_60k": n_rx_hits,
         }
     else:
         extra_big = {}
