@@ -967,6 +967,15 @@ def _q_code_postings(spark, sf_dir):
     )
 
 
+def _q_code_autocomplete(spark, sf_dir):
+    # ranked identifier completion over the dual code index (df desc)
+    from distributed_search_engine_spark.functions import code as CODE
+
+    return CODE.code_autocomplete(
+        CODE.code_postings(_capped_docs(spark, sf_dir)), "s", limit=10
+    )
+
+
 def _q_neardup_emb(spark, sf_dir):
     # scale path: multi-band sign-LSH candidates + exact cosine rerank
     # (oracle applies the identical banding; exact=True is the pytest-only
@@ -2362,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_substring_batch": _q_substring_batch,
         "search_regex_batch": _q_regex_batch,
         "code_symbols": _q_code_symbols,
+        "suggest_code_autocomplete": _q_code_autocomplete,
         "code_symbol_stats": _q_code_symbol_stats,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
@@ -2565,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "search_regex_batch": oracle.regex_search_batch_sql(_REGEX_BATCH),
         "code_symbols": oracle.code_symbols_sql(),
+        "suggest_code_autocomplete": oracle.code_autocomplete_sql("s", 10),
         "code_symbol_stats": oracle.code_symbol_stats_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),

@@ -94,3 +94,27 @@ def code_postings(
     return toks.groupBy("term", "doc_id").agg(
         F.count(F.lit(1)).cast("int").alias("tf")
     )
+
+
+def code_autocomplete(
+    postings: DataFrame, prefix: str, limit: int = 10
+) -> DataFrame:
+    """(term, df): ranked identifier completion over the dual code index
+    — most-widely-used first (df desc, term asc), the GitHub/Sourcegraph
+    completion contract, vs the reference's alphabetical Q14 (its
+    SearchEngine.java:943-971 sorts ascending; code users want the hot
+    identifier, not the lexicographic first). Because the dual index
+    holds whole identifiers AND subtokens, a prefix completes across
+    naming conventions: 'user' surfaces both ``user_name``'s subtoken
+    and ``userhandler``'s whole form.
+
+    One partial-agg groupBy over the prefix-filtered postings + an
+    ordered limit (TakeOrdered — never a global sort)."""
+    p = prefix.lower()
+    return (
+        postings.where(F.col("term").startswith(p))
+        .groupBy("term")
+        .agg(F.count_distinct("doc_id").cast("int").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(limit)
+    )

@@ -3320,6 +3320,22 @@ GROUP BY 1, 2
 """
 
 
+def code_autocomplete_sql(prefix: str, limit: int = 10) -> str:
+    """Twin of functions/code.code_autocomplete: ranked (df desc, term
+    asc) identifier completion over the dual code index — the postings
+    twin wrapped as a subquery (its (term, doc_id) rows are distinct,
+    so count(*) is the df)."""
+    p = prefix.lower().replace("'", "''")
+    return f"""
+SELECT term, count(*)::int AS df
+FROM ({code_postings_sql()})
+WHERE starts_with(term, '{p}')
+GROUP BY term
+ORDER BY df DESC, term ASC
+LIMIT {limit}
+"""
+
+
 def rm3_sql(
     terms: list[str],
     k: int = 10,

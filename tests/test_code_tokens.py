@@ -104,3 +104,30 @@ def test_code_postings_plan_one_exchange(spark):
     p = plan_of(C.code_postings(docs))
     assert p.count("+- Exchange") == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_code_autocomplete_crosses_naming_conventions(spark):
+    """'user' completes across conventions (snake subtoken + camel
+    whole/sub forms) ranked by df desc with term-asc ties."""
+    docs = spark.createDataFrame(
+        [
+            (1, "getUserName(user_id)"),
+            (2, "user_name = resolve(user_id)"),
+            (3, "class UserHandler: pass"),
+            (4, "unrelated tokens only"),
+        ],
+        "doc_id long, text string",
+    )
+    post = C.code_postings(docs)
+    out = [
+        (r["term"], r["df"])
+        for r in C.code_autocomplete(post, "user").collect()
+    ]
+    terms = [t for t, _ in out]
+    # subtoken 'user' present in docs 1, 2, 3 -> df 3, ranked first
+    assert out[0] == ("user", 3)
+    assert "user_id" in terms and "user_name" in terms
+    assert "userhandler" in terms  # whole lowercased camel form
+    # ranked by df desc then term asc
+    dfs = [d for _, d in out]
+    assert dfs == sorted(dfs, reverse=True)
