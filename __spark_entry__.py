@@ -937,6 +937,19 @@ def _derived_code_docs(spark, sf_dir):
     )
 
 
+def _q_grep_lines(spark, sf_dir):
+    # ripgrep-shape result: matching lines + 1 line of context over the
+    # derived code corpus, candidates through the trigram index
+    from distributed_search_engine_spark.index import trigram as TRI
+    from distributed_search_engine_spark.index.grep import grep_lines
+
+    code = _derived_code_docs(spark, sf_dir)
+    post = TRI.trigram_postings(code, content_col="content")
+    return grep_lines(
+        code, post, "return", context=1, content_col="content"
+    )
+
+
 def _q_code_symbols(spark, sf_dir):
     # ctags-lite definition-site extraction (payload=code axis)
     from distributed_search_engine_spark.operators.code_symbols import (
@@ -2372,6 +2385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_regex_batch": _q_regex_batch,
         "code_symbols": _q_code_symbols,
         "suggest_code_autocomplete": _q_code_autocomplete,
+        "search_grep_lines": _q_grep_lines,
         "code_symbol_stats": _q_code_symbol_stats,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
         # hash family changed round 5 (one-digest slice positions) ->
@@ -2576,6 +2590,7 @@ def oracle_sql() -> dict[str, str]:
         "search_regex_batch": oracle.regex_search_batch_sql(_REGEX_BATCH),
         "code_symbols": oracle.code_symbols_sql(),
         "suggest_code_autocomplete": oracle.code_autocomplete_sql("s", 10),
+        "search_grep_lines": oracle.grep_lines_sql("return", 1),
         "code_symbol_stats": oracle.code_symbol_stats_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),
         "pagerank_extracted_links": oracle.pagerank_sql(3),

@@ -3492,6 +3492,34 @@ codesyms AS (
 """
 
 
+def grep_lines_sql(needle: str, context: int = 0) -> str:
+    """INDEPENDENT oracle for index/grep.grep_lines over the derived
+    code corpus: full-scan line split + contains, context via a bounded
+    per-doc window — no trigram machinery."""
+    nl = needle.lower().replace("'", "''")
+    base = base_ctes() + _CODE_SYMBOLS_CTES + f""",
+grepflag AS (
+  SELECT doc_id, line_no, line,
+         contains(lower(line), '{nl}')::int AS m
+  FROM codelines
+)"""
+    if context <= 0:
+        return base + """
+SELECT doc_id, line_no::int AS line_no, line, true AS is_match
+FROM grepflag WHERE m = 1
+"""
+    return base + f"""
+SELECT doc_id, line_no::int AS line_no, line, m = 1 AS is_match
+FROM (
+  SELECT doc_id, line_no, line, m,
+         max(m) OVER (PARTITION BY doc_id ORDER BY line_no
+                      ROWS BETWEEN {context} PRECEDING
+                      AND {context} FOLLOWING) AS near
+  FROM grepflag
+) WHERE near = 1
+"""
+
+
 def code_symbols_sql() -> str:
     """Twin of operators/code_symbols.extract_symbols over the derived
     deterministic python corpus (4 fixed lines built from each doc's

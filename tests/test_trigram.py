@@ -164,3 +164,37 @@ def test_batch_equals_per_needle_loop(spark):
     assert got == want
     assert not any(n == "zzzqqq" for n, _ in got)  # absent trigram
     assert ("ab", 4) in got  # short needle via full scan
+
+
+def test_grep_lines_with_context(spark):
+    """grep -C shape: matching line flagged, context lines attached,
+    overlapping windows deduplicated, 1-based numbering."""
+    from distributed_search_engine_spark.index.grep import grep_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta target here\ngamma\ndelta\ntarget again\nend"),
+            (2, "no hits\nanywhere"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    post = TRI.trigram_postings(docs)
+    plain = {
+        (r["doc_id"], r["line_no"])
+        for r in grep_lines(docs, post, "target").collect()
+    }
+    assert plain == {(1, 2), (1, 5)}
+    ctx = {
+        (r["line_no"], r["is_match"])
+        for r in grep_lines(docs, post, "target", context=1)
+        .where("doc_id = 1")
+        .collect()
+    }
+    # lines 1-3 around the first match, 4-6 around the second; dedup'd
+    assert ctx == {
+        (1, False), (2, True), (3, False),
+        (4, False), (5, True), (6, False),
+    }
+    # absent needle: empty, and never splits any doc
+    assert grep_lines(docs, post, "zzzqqq").count() == 0
