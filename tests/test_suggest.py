@@ -151,3 +151,50 @@ def test_snippet_first_term_in_query_order_wins():
     assert "bravo" not in s
     # 1-char query terms are skipped by the len>=2 guard
     assert snippet_py(content, ["x"])[:3] != "..."  # no hit -> head window
+
+
+def test_search_request_composes_the_frontend(spark):
+    """query/api.search_request: pagination echo, cached second page
+    with zero extra Spark jobs, zero-result spellcheck trigger, and
+    page-slice-only snippet attachment."""
+    from distributed_search_engine_spark.operators.postings import build_index
+    from distributed_search_engine_spark.query.api import search_request
+    from distributed_search_engine_spark.query.cache import CachedSearchEngine
+    from distributed_search_engine_spark.query.engine import SearchIndex
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = build_index(
+        docs, doc_id_col="doc_id", content_col="text", with_stems=False
+    )
+    sidx = SearchIndex(
+        postings=idx["postings"].persist(),
+        term_stats=idx["term_stats"].persist(),
+        doc_stats=idx["doc_stats"],
+        term_dict=idx["term_dict"],
+        total_docs=idx["total_docs"],
+    )
+    eng = CachedSearchEngine(spark, sidx, k=50, mode="bm25")
+    r1 = search_request(
+        spark, sidx,
+        {"q": "data stream", "engine": eng, "page": 1, "page_size": 5,
+         "snippets": True},
+        docs=docs.withColumnRenamed("text", "content"),
+    )
+    assert len(r1["results"]) == 5 and r1["page"] == 1
+    assert r1["total"] > 5 and r1["pages"] >= 2
+    assert all("snippet" in row for row in r1["results"])
+    assert all(row["snippet"] for row in r1["results"])
+    # second page: served from the Q13 cache (hit counter moves)
+    before = eng.hits
+    r2 = search_request(
+        spark, sidx, {"q": "data stream", "engine": eng, "page": 2,
+                      "page_size": 5},
+    )
+    assert eng.hits == before + 1
+    assert len(r2["results"]) == 5
+    assert r1["results"][0]["doc_id"] != r2["results"][0]["doc_id"]
+    # zero results + spellcheck -> did-you-mean
+    r3 = search_request(
+        spark, sidx, {"q": "steram", "spellcheck": True},
+    )
+    assert r3["total"] == 0 and r3["suggestion"] == "stream"
