@@ -933,6 +933,16 @@ def _derived_code_docs(spark, sf_dir):
     return docs.where(F.size(t) >= 4).select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.lit("python").alias("lang"),
+        # deterministic input_hint-shaped (repo, path) columns: path from
+        # the same tokens as the def site (so path boosts correlate with
+        # content, as in real trees), repo from md5(doc_id) (16 buckets —
+        # content dupes land in different repos, modeling vendored copies)
+        F.concat(
+            F.lit("src/"), t[0], F.lit("/"), t[1], F.lit(".py")
+        ).alias("path"),
+        F.concat(
+            F.lit("repo_"), F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        ).alias("repo"),
         content.alias("content"),
     )
 
@@ -987,6 +997,67 @@ def _q_code_autocomplete(spark, sf_dir):
     return CODE.code_autocomplete(
         CODE.code_postings(_capped_docs(spark, sf_dir)), "s", limit=10
     )
+
+
+CODE_RANKED_TERMS = ["data", "handler"]
+
+
+def _q_code_ranked(spark, sf_dir):
+    # structural code-search ranking: BM25 over the dual identifier
+    # index x(1+1.0) on definition match x(1+0.5) on path match —
+    # the GitHub/Sourcegraph "definition beats mention" contract
+    from distributed_search_engine_spark.query.code_search import (
+        code_search_ranked,
+    )
+
+    return code_search_ranked(
+        _derived_code_docs(spark, sf_dir), CODE_RANKED_TERMS
+    )
+
+
+def _q_cross_repo_dupes(spark, sf_dir):
+    # vendored-copy detection: exact content sha groups spanning >=2
+    # repos of the derived code corpus (one uniform sha-keyed shuffle)
+    from distributed_search_engine_spark.query.code_search import (
+        cross_repo_dupes,
+    )
+
+    return cross_repo_dupes(_derived_code_docs(spark, sf_dir))
+
+
+def _q_index_metrics(spark, sf_dir):
+    # one-row index health/metrics summary (the north rule's "metrics"
+    # clause): corpus size, vocabulary, postings count, token totals —
+    # three scalar partial aggs crossJoined (each a broadcast of 1 row)
+    idx = _index(spark, sf_dir, with_stems=False)
+    d = idx["doc_stats"].groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_len").cast("long").alias("total_tokens"),
+        F.round(F.avg("doc_len"), 6).alias("avg_doc_len"),
+    )
+    t = idx["term_stats"].groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+    p = idx["postings"].groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_postings")
+    )
+    return d.crossJoin(t).crossJoin(p)
+
+
+def _q_search_after(spark, sf_dir):
+    # keyset ("search_after") pagination: page 2 of the BM25 ranking via
+    # a (score, doc_id) cursor filter + bounded TakeOrdered — deep pages
+    # cost what page 2 costs (no deep OFFSET re-sort at 10^12 docs)
+    from distributed_search_engine_spark.query.code_search import (
+        search_after_page,
+    )
+
+    sidx = _search_index(spark, sf_dir, with_stems=False)
+    scored = search(spark, sidx, "spark join", k=None, mode="bm25").select(
+        "doc_id", F.round("score", 6).alias("score")
+    )
+    return search_after_page(scored, page_size=10, page=2)
 
 
 def _q_neardup_emb(spark, sf_dir):
@@ -2385,6 +2456,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_regex_batch": _q_regex_batch,
         "code_symbols": _q_code_symbols,
         "suggest_code_autocomplete": _q_code_autocomplete,
+        "search_code_ranked": _q_code_ranked,
+        "dedup_cross_repo": _q_cross_repo_dupes,
+        "search_page_after": _q_search_after,
+        "index_metrics": _q_index_metrics,
         "search_grep_lines": _q_grep_lines,
         "code_symbol_stats": _q_code_symbol_stats,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
@@ -2404,6 +2479,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_and_phrase": _q_and_phrase,
         "text_distinct_hll": _q_hll_distinct,
         "dedup_span_removal_keepone": _q_span_removal_keepone,
+        # never driver-gated: must sit inside the 50-query window
+        "search_bm25_maxscore": _q_bm25_maxscore,
+        "search_bm25_champion": _q_bm25_champion,
+        "search_bm25_explain": _q_bm25_explain,
         # --- last driver-gated on round-3 code ---
         "index_doc_stats": _q_doc_stats,
         "index_postings": _q_postings,
@@ -2413,9 +2492,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_tfidf_segments": _q_tfidf_segments,
         "search_phrase_segments": _q_phrase_segments,
         "search_bm25_dist_segments": _q_bm25_dist_segments,
-        "search_bm25_maxscore": _q_bm25_maxscore,
-        "search_bm25_champion": _q_bm25_champion,
-        "search_bm25_explain": _q_bm25_explain,
         "search_more_like_this": _q_more_like_this,
         "search_mlt_pruned": _q_mlt_pruned,
         "index_forward": _q_forward_index,
@@ -2590,6 +2666,10 @@ def oracle_sql() -> dict[str, str]:
         "search_regex_batch": oracle.regex_search_batch_sql(_REGEX_BATCH),
         "code_symbols": oracle.code_symbols_sql(),
         "suggest_code_autocomplete": oracle.code_autocomplete_sql("s", 10),
+        "search_code_ranked": oracle.code_search_ranked_sql(CODE_RANKED_TERMS),
+        "dedup_cross_repo": oracle.cross_repo_dupes_sql(),
+        "search_page_after": oracle.search_after_sql(["spark", "join"]),
+        "index_metrics": oracle.index_metrics_sql(),
         "search_grep_lines": oracle.grep_lines_sql("return", 1),
         "code_symbol_stats": oracle.code_symbol_stats_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),

@@ -481,6 +481,36 @@ def main() -> None:
         timings["regex_search_60k_x3"] = time.time() - t0
         shutil.rmtree(tri_dir, ignore_errors=True)
 
+        # structural code-search ranking (round-5): derive the code-shaped
+        # corpus (same construction as the gate's derived corpus) from the
+        # 60k docs, then BM25-over-identifier-postings with definition +
+        # path boosts — tracks the dual-index tokenize, the symbol
+        # extraction Generate, and the filtered-postings joins
+        from distributed_search_engine_spark.query.code_search import (
+            code_search_ranked,
+        )
+
+        t0 = time.time()
+        bt = F.split(F.col("content"), " ")
+        code60 = big.where(F.size(bt) >= 4).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit("python").alias("lang"),
+            F.concat(
+                F.lit("src/"), bt[0], F.lit("/"), bt[1], F.lit(".py")
+            ).alias("path"),
+            F.concat(
+                F.lit("def "), bt[0], F.lit("_"), bt[1],
+                F.lit("(arg):\n    return "), bt[2], F.lit("\nclass "),
+                F.upper(F.substring(bt[3], 1, 1)),
+                F.substring(bt[3], 2, 1000),
+                F.lit("Handler:\n    pass"),
+            ).alias("content"),
+        )
+        n_code_ranked = code_search_ranked(
+            code60, ["spark", "handler"]
+        ).count()
+        timings["code_ranked_60k"] = time.time() - t0
+
         # paragraph-level keep-one dedup (round-5): synthetic paragraph
         # layout (unique body + cross-doc boilerplate + conditional
         # intra-doc repeat, the gate's shape) — tracks the split+hash
@@ -658,6 +688,7 @@ def main() -> None:
             "trigram_postings_60k": n_trigram_postings,
             "substring_hits_60k": n_sub_hits,
             "regex_hits_60k": n_rx_hits,
+            "code_ranked_hits_60k": n_code_ranked,
         }
     else:
         extra_big = {}

@@ -3464,6 +3464,8 @@ codetok AS (
 ),
 codedocs AS (
   SELECT doc_id,
+         'src/' || t[1] || '/' || t[2] || '.py' AS path,
+         'repo_' || substr(md5(doc_id), 1, 1) AS repo,
          'def ' || t[1] || '_' || t[2] || '(arg):' || chr(10) ||
          '    return ' || t[3] || chr(10) ||
          'class ' || upper(t[4][1]) || t[4][2:] || 'Handler:' || chr(10) ||
@@ -3538,6 +3540,146 @@ SELECT symbol, kind,
        count(*)::int AS n_defs,
        count(DISTINCT doc_id)::int AS n_docs
 FROM codesyms GROUP BY symbol, kind
+"""
+
+
+def code_search_ranked_sql(
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    sym_weight: float = 1.0,
+    path_weight: float = 0.5,
+) -> str:
+    """Twin of query/code_search.code_search_ranked over the derived
+    code corpus: dual-index identifier postings (same regex chain as
+    code_postings_sql, over codedocs.content), BM25 with inline
+    (N-df+0.5)/(df+0.5)+1 idf, each term contribution scaled by the
+    definition-match and path-match multipliers. Association order
+    mirrors the Spark expression token-for-token so doubles are
+    bit-identical before the 6dp round."""
+    inlist = ", ".join(f"'{t.lower()}'" for t in terms)
+    return base_ctes() + _CODE_SYMBOLS_CTES + rf""",
+cr_idents AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(content, '[A-Za-z_][A-Za-z0-9_]*')) AS ident
+  FROM codedocs),
+cr_split AS (
+  SELECT doc_id, lower(ident) AS whole,
+         list_filter(
+           string_split_regex(
+             lower(regexp_replace(
+               regexp_replace(ident, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+               '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+             '[_ ]+'),
+           t -> t <> '') AS parts
+  FROM cr_idents),
+cr_stream AS (
+  SELECT doc_id,
+         unnest(CASE WHEN parts = [whole] THEN [whole]
+                     ELSE list_prepend(whole, parts) END) AS term
+  FROM cr_split),
+cr_post AS (
+  SELECT term, doc_id, count(*)::int AS tf
+  FROM cr_stream WHERE length(term) BETWEEN 2 AND 30
+  GROUP BY 1, 2),
+cr_dlen AS (SELECT doc_id, sum(tf)::int AS doc_len FROM cr_post GROUP BY 1),
+cr_dstats AS (
+  SELECT d.doc_id, d.path, coalesce(l.doc_len, 0) AS doc_len
+  FROM codedocs d LEFT JOIN cr_dlen l USING (doc_id)),
+cr_nstats AS (
+  SELECT count(*)::double AS n, avg(doc_len) AS avgdl FROM cr_dstats),
+cr_q AS (SELECT * FROM cr_post WHERE term IN ({inlist})),
+cr_df AS (SELECT term, count(*)::int AS df FROM cr_q GROUP BY 1),
+cr_symsplit AS (
+  SELECT doc_id, lower(symbol) AS whole,
+         list_filter(
+           string_split_regex(
+             lower(regexp_replace(
+               regexp_replace(symbol, '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+               '([a-z0-9])([A-Z])', '\1 \2', 'g')),
+             '[_ ]+'),
+           t -> t <> '') AS parts
+  FROM codesyms),
+cr_defs AS (
+  SELECT DISTINCT doc_id, term, 1 AS is_def FROM (
+    SELECT doc_id, unnest(list_prepend(whole, parts)) AS term
+    FROM cr_symsplit))
+SELECT doc_id, round(sum(contrib), 6) AS score,
+       count(DISTINCT term)::int AS n_matched
+FROM (
+  SELECT q.doc_id, q.term,
+         ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+         * q.tf * ({k1} + 1.0)
+         / (q.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / n.avgdl))
+         * (1.0 + {sym_weight} * coalesce(d.is_def, 0))
+         * CASE WHEN contains(s.path, q.term)
+                THEN 1.0 + {path_weight} ELSE 1.0 END AS contrib
+  FROM cr_q q
+  JOIN cr_df f USING (term)
+  JOIN cr_dstats s USING (doc_id)
+  LEFT JOIN cr_defs d ON d.doc_id = q.doc_id AND d.term = q.term
+  CROSS JOIN cr_nstats n
+) GROUP BY doc_id
+"""
+
+
+def cross_repo_dupes_sql() -> str:
+    """Twin of query/code_search.cross_repo_dupes: exact-content sha256
+    groups spanning >= 2 of the derived deterministic repos."""
+    return base_ctes() + _CODE_SYMBOLS_CTES + """
+SELECT sha256(content) AS content_sha,
+       count(*)::int AS n_copies,
+       count(DISTINCT repo)::int AS n_repos,
+       array_to_string(list_sort(list(DISTINCT repo)), ',') AS repos,
+       min(doc_id) AS keeper
+FROM codedocs
+GROUP BY 1
+HAVING count(DISTINCT repo) >= 2
+"""
+
+
+def index_metrics_sql() -> str:
+    """Twin of __spark_entry__._q_index_metrics: one-row health/metrics
+    summary of the built index (the north rule's 'metrics' surface) —
+    corpus, vocabulary, postings and length aggregates, all derived from
+    the same capped CTE chain the per-table gates verify."""
+    return base_ctes() + """
+SELECT (SELECT count(*) FROM docstats)::bigint AS n_docs,
+       (SELECT count(*) FROM termstats)::bigint AS n_terms,
+       (SELECT count(*) FROM postings)::bigint AS n_postings,
+       (SELECT sum(doc_len) FROM docstats)::bigint AS total_tokens,
+       (SELECT round(avg(doc_len), 6) FROM docstats) AS avg_doc_len,
+       (SELECT max(df) FROM termstats)::bigint AS max_df
+"""
+
+
+def search_after_sql(
+    terms: list[str], page_size: int = 10, page: int = 2
+) -> str:
+    """Twin of query/code_search.search_after_page over the BM25 scored
+    frame: rank by the 6dp-ROUNDED score (the engine's cursor compares
+    rounded scores) desc, doc_id asc, and slice page rows — keyset
+    pagination and rank-window pagination agree because the rounded
+    (score, doc_id) order is total."""
+    inlist = ", ".join(f"'{t}'" for t in terms)
+    lo = (page - 1) * page_size
+    hi = page * page_size
+    return base_ctes() + f""",
+sa_scores AS (
+  SELECT p.doc_id,
+         round(sum(ts.idf_bm25 * p.tf * ({BM25_K1} + 1.0)
+                   / (p.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * p.doc_len
+                      / (SELECT avgdl FROM nstats)))), 6) AS score
+  FROM postings p JOIN termstats ts USING (term)
+  WHERE p.term IN ({inlist})
+  GROUP BY p.doc_id
+),
+sa_ranked AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sa_scores
+)
+SELECT doc_id, score FROM sa_ranked WHERE rn > {lo} AND rn <= {hi}
 """
 
 
