@@ -95,3 +95,25 @@ def test_search_after_past_the_end_is_empty(spark):
         [("a", 1.0), ("b", 0.5)], "doc_id string, score double"
     )
     assert search_after_page(scored, page_size=10, page=3).count() == 0
+
+
+def test_code_ranked_plan_prunes_terms_before_the_agg_and_broadcasts(
+    boost_docs,
+):
+    """Scale shape: the literal query-term IN filter must prune the
+    exploded identifier stream BELOW the (term, doc_id) aggregate (the
+    shuffle then carries only matching terms, not the whole vocabulary),
+    and the 1-row / per-term stat frames must join by broadcast — never
+    a CartesianProduct."""
+    df = code_search_ranked(boost_docs, ["parse", "return"])
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    lines = opt.splitlines()
+    for i, ln in enumerate(lines):
+        if "Filter" in ln and " IN (" in ln and "term" in ln:
+            # pushed below the agg: the filter's child (next line) is the
+            # stream projection/generate, NOT an Aggregate
+            assert i + 1 < len(lines) and "Aggregate" not in lines[i + 1], (
+                "term filter sits above an Aggregate:\n" + opt
+            )
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in phys
