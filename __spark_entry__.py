@@ -1025,6 +1025,18 @@ def _q_cross_repo_dupes(spark, sf_dir):
     return cross_repo_dupes(_derived_code_docs(spark, sf_dir))
 
 
+def _q_code_collapsed(spark, sf_dir):
+    # vendored-duplicate collapsing in results: one row per exact content
+    # group, best (score, doc_id) representative + matched-copy count
+    from distributed_search_engine_spark.query.code_search import (
+        code_search_collapsed,
+    )
+
+    return code_search_collapsed(
+        _derived_code_docs(spark, sf_dir), CODE_RANKED_TERMS
+    )
+
+
 def _q_index_metrics(spark, sf_dir):
     # one-row index health/metrics summary (the north rule's "metrics"
     # clause): corpus size, vocabulary, postings count, token totals —
@@ -2460,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_repo": _q_cross_repo_dupes,
         "search_page_after": _q_search_after,
         "index_metrics": _q_index_metrics,
+        "search_code_collapsed": _q_code_collapsed,
         "search_grep_lines": _q_grep_lines,
         "code_symbol_stats": _q_code_symbol_stats,
         "dedup_decontaminate_bloom": _q_bloom_decontaminate,
@@ -2670,6 +2683,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_repo": oracle.cross_repo_dupes_sql(),
         "search_page_after": oracle.search_after_sql(["spark", "join"]),
         "index_metrics": oracle.index_metrics_sql(),
+        "search_code_collapsed": oracle.code_search_collapsed_sql(
+            CODE_RANKED_TERMS
+        ),
         "search_grep_lines": oracle.grep_lines_sql("return", 1),
         "code_symbol_stats": oracle.code_symbol_stats_sql(),
         "pagerank_resume_3iter": oracle.pagerank_sql(3),

@@ -3603,23 +3603,55 @@ cr_symsplit AS (
 cr_defs AS (
   SELECT DISTINCT doc_id, term, 1 AS is_def FROM (
     SELECT doc_id, unnest(list_prepend(whole, parts)) AS term
-    FROM cr_symsplit))
-SELECT doc_id, round(sum(contrib), 6) AS score,
-       count(DISTINCT term)::int AS n_matched
-FROM (
-  SELECT q.doc_id, q.term,
-         ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
-         * q.tf * ({k1} + 1.0)
-         / (q.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / n.avgdl))
-         * (1.0 + {sym_weight} * coalesce(d.is_def, 0))
-         * CASE WHEN contains(s.path, q.term)
-                THEN 1.0 + {path_weight} ELSE 1.0 END AS contrib
-  FROM cr_q q
-  JOIN cr_df f USING (term)
-  JOIN cr_dstats s USING (doc_id)
-  LEFT JOIN cr_defs d ON d.doc_id = q.doc_id AND d.term = q.term
-  CROSS JOIN cr_nstats n
-) GROUP BY doc_id
+    FROM cr_symsplit)),
+cr_ranked AS (
+  SELECT doc_id, round(sum(contrib), 6) AS score,
+         count(DISTINCT term)::int AS n_matched
+  FROM (
+    SELECT q.doc_id, q.term,
+           ln((n.n - f.df + 0.5) / (f.df + 0.5) + 1.0)
+           * q.tf * ({k1} + 1.0)
+           / (q.tf + {k1} * (1.0 - {b} + {b} * s.doc_len / n.avgdl))
+           * (1.0 + {sym_weight} * coalesce(d.is_def, 0))
+           * CASE WHEN contains(s.path, q.term)
+                  THEN 1.0 + {path_weight} ELSE 1.0 END AS contrib
+    FROM cr_q q
+    JOIN cr_df f USING (term)
+    JOIN cr_dstats s USING (doc_id)
+    LEFT JOIN cr_defs d ON d.doc_id = q.doc_id AND d.term = q.term
+    CROSS JOIN cr_nstats n
+  ) GROUP BY doc_id
+)
+SELECT doc_id, score, n_matched FROM cr_ranked
+"""
+
+
+def code_search_collapsed_sql(
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    sym_weight: float = 1.0,
+    path_weight: float = 0.5,
+) -> str:
+    """Twin of query/code_search.code_search_collapsed: the ranked frame
+    collapsed to one row per exact content group (sha256), keeping the
+    best (score desc, doc_id asc) representative and counting the
+    matched copies."""
+    ranked = code_search_ranked_sql(terms, k1, b, sym_weight, path_weight)
+    # reuse the full CTE chain; swap the final projection for the
+    # collapse window over the ranked CTE joined back to content shas
+    body = ranked.rsplit("SELECT doc_id, score, n_matched FROM cr_ranked", 1)[0]
+    return body + """,
+cr_sha AS (
+  SELECT doc_id, sha256(content) AS content_sha FROM codedocs
+)
+SELECT doc_id, score, n_matched, n_copies FROM (
+  SELECT r.doc_id, r.score, r.n_matched,
+         row_number() OVER (PARTITION BY s.content_sha
+                            ORDER BY r.score DESC, r.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY s.content_sha)::int AS n_copies
+  FROM cr_ranked r JOIN cr_sha s USING (doc_id)
+) WHERE rn = 1
 """
 
 

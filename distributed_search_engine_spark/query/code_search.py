@@ -137,6 +137,40 @@ def code_search_ranked(
     )
 
 
+def code_search_collapsed(
+    code_docs: DataFrame,
+    terms: list[str],
+    **ranked_kwargs,
+) -> DataFrame:
+    """(doc_id, score, n_matched, n_copies): the ranked frame collapsed
+    to ONE result per exact content group (sha256) — the GitHub-code-
+    search "N duplicates" behavior for vendored files. Keeps the best
+    (score desc, doc_id asc) representative; ``n_copies`` counts the
+    matched copies in the group. Both windows are PARTITIONED by the
+    content sha (bounded dup groups), never global."""
+    from pyspark.sql import Window
+
+    ranked = code_search_ranked(code_docs, terms, **ranked_kwargs)
+    withsha = ranked.join(
+        code_docs.select(
+            "doc_id", F.sha2(F.col("content"), 256).alias("content_sha")
+        ),
+        "doc_id",
+    )
+    wsha = Window.partitionBy("content_sha")
+    return (
+        withsha.withColumn(
+            "rn",
+            F.row_number().over(
+                wsha.orderBy(F.desc("score"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn("n_copies", F.count(F.lit(1)).over(wsha).cast("int"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "score", "n_matched", "n_copies")
+    )
+
+
 def cross_repo_dupes(code_docs: DataFrame) -> DataFrame:
     """(content_sha, n_copies, n_repos, repos, keeper): exact content
     groups spanning >= 2 repos — vendored-copy detection. One uniform

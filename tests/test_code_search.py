@@ -90,6 +90,31 @@ def test_search_after_page_equals_rank_window(spark):
     assert got == expect
 
 
+def test_collapsed_keeps_best_copy_and_counts_matched_dupes(spark):
+    # two vendored copies of the same file (identical content, different
+    # repos/paths) + one unique file: the collapsed result has one row
+    # per content group; the dup group keeps the lexicographically-first
+    # doc on a score tie and reports n_copies=2
+    from distributed_search_engine_spark.query.code_search import (
+        code_search_collapsed,
+    )
+
+    rows = [
+        ("a", "python", "src/x/m.py", "def parse(a):\n    return a"),
+        ("b", "python", "src/y/m.py", "def parse(a):\n    return a"),
+        ("c", "python", "src/z/m.py", "def other(a):\n    return parse"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id string, lang string, path string, content string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in code_search_collapsed(docs, ["parse"]).collect()
+    }
+    assert set(out) == {"a", "c"}  # b collapsed into a's group
+    assert out["a"]["n_copies"] == 2 and out["c"]["n_copies"] == 1
+
+
 def test_search_after_past_the_end_is_empty(spark):
     scored = spark.createDataFrame(
         [("a", 1.0), ("b", 0.5)], "doc_id string, score double"
