@@ -95,6 +95,7 @@ def shingles(
     n: int = DEFAULT_SHINGLE_N,
     doc_id_col: str = "doc_id",
     content_col: str = "text",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(doc_id, shingle): distinct word n-grams, built entirely map-side.
 
@@ -105,8 +106,22 @@ def shingles(
     per-doc window sort (full shuffle+sort of the exploded token stream)
     plus a distinct exchange; at 100 TB those were the two dominant
     exchanges of the dedup pipeline. DuckDB twin: oracle._shingle_ctes
-    (list_transform + list_distinct + unnest — value-identical)."""
+    (list_transform + list_distinct + unnest — value-identical).
+
+    use_arrow=True (default) emits the same rows from one vectorized
+    Arrow kernel (operators/arrow_kernels.py): the JVM HOF lambda chain
+    (transform + n element_at + concat_ws per window, CodegenFallback —
+    interpreted per window) was the dominant per-task cost of every
+    shingle consumer at 60k docs (~5.2 s/pass). Row ORDER within a
+    partition differs (sorted per doc vs first-occurrence), which no
+    consumer observes (aggregations/joins only). use_arrow=False keeps
+    the Column path for differential tests."""
     from ..functions import text as T
+
+    if use_arrow:
+        from .arrow_kernels import shingles_arrow
+
+        return shingles_arrow(docs, n, doc_id_col, content_col)
 
     # The token array MUST be materialized as its own projection: HOF
     # lambdas are codegen-fallback (no subexpression elimination), so an
@@ -178,6 +193,15 @@ def lsh_candidate_pairs(
     min-hashes. Bucket join on (band_id, band_key) — the only shuffle —
     then distinct pairs with doc_a < doc_b."""
     rows_per_band = n_hashes // bands
+    # materialize the signatures ONCE before the banded self-join: the
+    # join's two sides are separate subtrees to the planner (ReuseExchange
+    # does not fire across a broadcast build), so without this the whole
+    # minhash aggregation ran TWICE — once for the broadcast side, once
+    # for the stream side (measured ~2x the stage at 60k docs). The
+    # signature frame is n_docs x (H+1) ints — tiny at any corpus size
+    # that fits one cluster; localCheckpoint blocks are released by the
+    # ContextCleaner when the result goes out of scope.
+    signatures = signatures.localCheckpoint(eager=True)
     band_cols = []
     for b in range(bands):
         key = F.concat_ws(
@@ -377,7 +401,12 @@ def decontaminate(
     )
 
 
-def simhash(docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "text") -> DataFrame:
+def simhash(
+    docs: DataFrame,
+    doc_id_col: str = "doc_id",
+    content_col: str = "text",
+    use_arrow: bool = True,
+) -> DataFrame:
     """(doc_id, simhash): 64-bit majority-vote fingerprint over tokens
     (with multiplicity) — the industry-standard width for web-corpus
     near-dup detection (Manku, Jain & Das Sarma, WWW'07). Bit b of token =
@@ -392,7 +421,20 @@ def simhash(docs: DataFrame, doc_id_col: str = "doc_id", content_col: str = "tex
     tokens x 64 bit-ids through two groupBys: ~500M rows at a 60k-doc /
     8M-token corpus; this form keeps 8M rows and was measured 5x faster
     on that corpus.) Majority vote: bit b set iff 2*S_b > n, identical
-    to the old sum(+1/-1) > 0 including the tie->0 case."""
+    to the old sum(+1/-1) > 0 including the tie->0 case.
+
+    use_arrow=True (default): ONE vectorized kernel per partition —
+    tokenize on Arrow buffers, md5 once per DISTINCT token (worker-
+    lifetime cache), per-doc bit counts via numpy reduceat — emitting
+    (doc_id, simhash) directly: a pure map stage, zero token rows ever
+    shuffled or fed through 64 JVM aggregate expressions (measured ~4.8 s
+    of the 6.8 s stage was the tokenize+md5 expression tree at 60k docs).
+    Fingerprints are bit-identical (same md5, same nibble walk);
+    use_arrow=False keeps the Column path for differential tests."""
+    if use_arrow:
+        from .arrow_kernels import simhash_arrow
+
+        return simhash_arrow(docs, doc_id_col, content_col)
     t = _tokens(docs, doc_id_col, content_col).select(
         "doc_id", F.md5(F.col("tok")).alias("h")
     )
@@ -495,6 +537,10 @@ def pigeonhole_candidates(
         )
         for i, combo in enumerate(combos)
     ]
+    # materialize the fingerprints once before the banded self-join: the
+    # simhash pipeline (tokenize + md5 + 64 bit aggregates) otherwise runs
+    # twice, once per join side (see lsh_candidate_pairs). One row per doc.
+    sim = sim.localCheckpoint(eager=True)
     banded = sim.select(
         "doc_id", "simhash", F.explode(F.array(*structs)).alias("cb")
     ).select("doc_id", "simhash", "cb.combo_id", "cb.key")
@@ -726,6 +772,7 @@ def duplicate_windows(
     doc_id_col: str = "doc_id",
     content_col: str = "text",
     min_count: int = 2,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(doc_id, pos, whash): every w-token window whose hash occurs >=
     min_count times corpus-wide — window-granular exact duplicate-substring
@@ -742,10 +789,20 @@ def duplicate_windows(
     O(total_tokens * w) map-side + one hash-keyed shuffle — never O(N^2)
     in docs. A corpus-dominating boilerplate window (one whash carrying a
     large fraction of all rows) concentrates in one spill-able window
-    partition; at that skew, pre-aggregate counts per (whash, salt) first."""
+    partition; at that skew, pre-aggregate counts per (whash, salt) first.
+
+    use_arrow=True (default): window hashing runs as one Arrow kernel
+    (tokenize on Arrow buffers + vectorized window join + md5 per window
+    — operators/arrow_kernels.py) instead of the interpreted HOF
+    transform/slice/md5 chain; same (doc_id, pos, whash) rows."""
     from pyspark.sql.window import Window
 
-    wins = _window_hashes(_token_arrays(docs, doc_id_col, content_col), w)
+    if use_arrow:
+        from .arrow_kernels import window_hashes_arrow
+
+        wins = window_hashes_arrow(docs, w, doc_id_col, content_col)
+    else:
+        wins = _window_hashes(_token_arrays(docs, doc_id_col, content_col), w)
     cw = Window.partitionBy("whash")
     return (
         wins.withColumn("_c", F.count(F.lit(1)).over(cw))
@@ -788,9 +845,12 @@ def substring_dup_stats(
 ) -> DataFrame:
     """(doc_id, n_tokens, n_dup_windows, dup_tokens, dup_fraction): per-doc
     duplicated-substring coverage — the drop/keep metric training pipelines
-    threshold on (e.g. drop docs with > 50% duplicated tokens)."""
-    toks = _token_arrays(docs, doc_id_col, content_col)
-    ntok = toks.select("doc_id", F.size("toks").alias("n_tokens"))
+    threshold on (e.g. drop docs with > 50% duplicated tokens). Both the
+    token-count pass and the window-hash pass run as Arrow kernels (the
+    second full JVM tokenize of the corpus was ~4 s at 60k docs)."""
+    from .arrow_kernels import token_counts_arrow
+
+    ntok = token_counts_arrow(docs, doc_id_col, content_col)
     dup = duplicate_windows(docs, w, doc_id_col, content_col).select("doc_id", "pos")
     spans = substring_spans(dup, w)
     agg = spans.groupBy("doc_id").agg(

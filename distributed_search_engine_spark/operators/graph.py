@@ -102,12 +102,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     sym = _sym(edges)
     mins = sym.groupBy("u").agg(F.min("v").alias("mv"))
     mins = mins.select("u", F.least("u", "mv").alias("m"))
+    # no trailing .distinct(): the output feeds exactly one consumer —
+    # small-star's orientation distinct — which dedups anyway; the
+    # back-to-back distinct exchanges were redundant (one full shuffle
+    # per round). Duplicate (v, m) rows (same target reached via two
+    # centers) are bounded by the input edge count.
     return (
         sym.join(mins, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
 
 

@@ -162,7 +162,22 @@ def run_pagerank(
                 )
             else:
                 new_ranks = new_ranks.localCheckpoint(eager=False)
-        new_ranks = new_ranks.persist()
+        # fixed-iteration mode needs no per-iteration statistics, so it
+        # only MATERIALIZES at lineage-cut points (checkpoints) and at the
+        # final iteration: each materialization is a full job + a persist
+        # of the rank frame, and running one per iteration made the loop
+        # pure scheduling overhead at bench scale (~0.9 s/iter for 5k
+        # rows). Convergence mode still materializes every iteration (its
+        # stats collect needs the frame anyway). Values are unchanged —
+        # the dataflow is identical, only the action points move.
+        materialize = (
+            fixed_iterations is None
+            or (checkpoint_every and it % checkpoint_every == 0)
+            or it == n_iter
+            or fail_after_iteration is not None
+        )
+        if materialize:
+            new_ranks = new_ranks.persist()
 
         if fail_after_iteration is not None and it >= fail_after_iteration:
             new_ranks.count()
@@ -191,8 +206,9 @@ def run_pagerank(
             if stats.max_diff < threshold or stats.percent_converged >= percent_required:
                 break
         else:
-            new_ranks.count()
-            ranks.unpersist()
+            if materialize:
+                new_ranks.count()
+                ranks.unpersist()
             ranks = new_ranks
             history.append(PageRankStats(it, float("nan"), float("nan")))
 

@@ -644,6 +644,12 @@ def persist_coded_corpus(
         )
     (
         res.select("id", "cluster", *code_cols)
+        # cluster rows by their target cluster= directory before the
+        # dynamic partitioned write: otherwise every task writes a file
+        # per cell (tasks x cells tiny files — the same small-files tax
+        # store_trigram_postings paid; guide §6); the shuffle carries
+        # only the M-byte codes
+        .repartition(len(coarse_cents), F.col("cluster"))
         .write.mode("overwrite")
         .partitionBy("cluster")
         .parquet(path)

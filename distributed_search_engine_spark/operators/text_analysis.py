@@ -802,14 +802,24 @@ LM_ALPHA = 0.1
 
 
 def _bigram_stream(
-    docs: DataFrame, doc_id_col: str, content_col: str
+    docs: DataFrame, doc_id_col: str, content_col: str,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(doc_id, bigram): every adjacent token pair as a space-joined
     string key. Pure per-doc projection — the bigram array expression is
     fed INLINE to explode (an aliased attribute would trip
     InferFiltersFromGenerate + pushdown into re-tokenizing per bigram;
     see dedup._window_hashes for the measured pathology). Tokens cannot
-    contain whitespace, so the string key round-trips to (w1, w2)."""
+    contain whitespace, so the string key round-trips to (w1, w2).
+
+    use_arrow=True (default): the same rows from one Arrow kernel
+    (vectorized tokenize + window join — operators/arrow_kernels.py);
+    the interpreted HOF transform/slice/concat chain was ~5.5 s/pass at
+    60k docs and this stream is generated twice per LM scoring call."""
+    if use_arrow:
+        from .arrow_kernels import bigram_stream_arrow
+
+        return bigram_stream_arrow(docs, doc_id_col, content_col)
     toks_df = docs.select(
         F.col(doc_id_col).cast("string").alias("doc_id"),
         T.tokens_col(F.col(content_col)).alias("toks"),
@@ -1219,12 +1229,23 @@ def cms_build(
     width: int = 1024,
     doc_id_col: str = "doc_id",
     content_col: str = "text",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """(row, bucket, c): the d x width counter table. One partial-agg
     groupBy over (token-stream x d) rows; counters merge across any
     split of the input by summing, which is what makes the sketch the
-    streaming/mergeable swap for exact token counts."""
+    streaming/mergeable swap for exact token counts.
+
+    use_arrow=True (default): per-chunk partial counters from one Arrow
+    kernel (md5_bucket arithmetic per DISTINCT token, numpy bincount)
+    summed by one tiny groupBy — the JVM path exploded the token stream
+    d-fold and ran d md5+conv trees per occurrence."""
     from ..functions.hashing import md5_bucket
+
+    if use_arrow:
+        from .arrow_kernels import cms_counts_arrow
+
+        return cms_counts_arrow(docs, d, width, doc_id_col, content_col)
 
     t = _tok_df(docs, doc_id_col, content_col).where(F.col("tok") != "")
     rows = t.select(
@@ -1266,12 +1287,12 @@ def cms_heavy_hitters(
     from ..functions.hashing import md5_bucket
 
     cms = cms_build(docs, d, width, doc_id_col, content_col)
-    toks = (
-        _tok_df(docs, doc_id_col, content_col)
-        .where(F.col("tok") != "")
-        .select("tok")
-        .distinct()
-    )
+    # candidate vocabulary via the Arrow kernel: per-chunk distinct
+    # tokens (a few k rows/chunk) instead of distinct-ing the full
+    # exploded token stream (~130x more rows through the exchange)
+    from .arrow_kernels import distinct_tokens_arrow
+
+    toks = distinct_tokens_arrow(docs, doc_id_col, content_col)
     probes = toks.select(
         "tok",
         F.explode(
@@ -1331,24 +1352,17 @@ def hll_distinct(
     (ln parity is the same contract idf already gates). Relative error
     ~= 1.04/sqrt(m) (~6.5% at b=8); raise b for precision, the state is
     m bytes either way."""
-    from ..functions.hashing import md5_prefix_long
-
     m = 1 << b
     rem = 32 - b
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    t = _tok_df(docs, doc_id_col, content_col).where(F.col("tok") != "")
-    h = md5_prefix_long(F.col("tok"))
-    r = h.bitwiseAND(F.lit((1 << rem) - 1))
-    rho = F.when(r == 0, F.lit(rem + 1)).otherwise(
-        F.lit(rem + 1) - F.length(F.bin(r))
-    )
-    regs = (
-        t.select(
-            F.shiftright(h, rem).alias("bucket"), rho.alias("rho")
-        )
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
+    # registers via the Arrow kernel: per-chunk (bucket, max-rho)
+    # partials (<= m rows/chunk) merged by one tiny groupBy-max — the
+    # JVM path ran the md5+conv tree per token OCCURRENCE and shuffled
+    # per-occurrence partials; registers are value-identical (same
+    # md5-prefix hash, computed once per distinct token)
+    from .arrow_kernels import hll_registers_arrow
+
+    regs = hll_registers_arrow(docs, b, doc_id_col, content_col)
     agg = regs.agg(
         F.count(F.lit(1)).alias("nb"),
         F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("s"),

@@ -1089,17 +1089,21 @@ def test_bigram_lm_repetitive_scores_lower_ppl(spark):
 
 
 def test_bigram_stream_plan_is_shuffle_free(spark):
-    """bigram emission is a pure projection (same InferFiltersFromGenerate
-    guard as window hashing): no Exchange, no Filter, no regexp in the
-    Generate node."""
+    """bigram emission is a pure map stage: the Arrow-kernel default has
+    no Exchange and no per-row Python; the JVM fallback keeps the
+    InferFiltersFromGenerate guard (no Filter, no regexp inside the
+    Generate) that prevents per-bigram re-tokenization."""
     import re as _re
 
     from tests.test_plans import plan_of
 
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     p = plan_of(TA._bigram_stream(docs, "doc_id", "text"))
-    assert "Exchange" not in p and "Filter" not in p
-    m = _re.search(r"\(\d+\) Generate\n(.*?)(\n\n|$)", p, _re.S)
+    assert "Exchange" not in p and "BatchEvalPython" not in p
+    assert "MapInArrow" in p
+    p_jvm = plan_of(TA._bigram_stream(docs, "doc_id", "text", use_arrow=False))
+    assert "Exchange" not in p_jvm and "Filter" not in p_jvm
+    m = _re.search(r"\(\d+\) Generate\n(.*?)(\n\n|$)", p_jvm, _re.S)
     assert m and "regexp_replace" not in m.group(1)
 
 
@@ -1176,17 +1180,24 @@ def test_kneser_ney_repetitive_scores_lower_ppl(spark):
     assert out["1"] < out["2"]
 
 
-def test_simhash_plan_single_exchange_no_bit_explode(spark, docs):
-    """simhash pays ONE exchange (the per-doc groupBy, map-side combined
-    to ~1 row/doc since a doc's tokens are colocated) and ONE Generate
-    (the token explode). The 64x bit-id explode + per-(doc,bit) shuffle
-    of the first implementation (2 Generates, 2 Exchanges, ~500M rows at
-    60k docs, measured 3.8x slower) must not come back."""
+def test_simhash_plan_is_pure_map_kernel(spark, docs):
+    """Round-6 shape: simhash is ONE vectorized Arrow kernel emitting a
+    row per doc — a pure map stage: ZERO Exchange, ZERO Generate, no
+    row-at-a-time Python (no BatchEvalPython). The 64x bit-id explode
+    (2 Generates, 2 Exchanges) and the 65-aggregate groupBy (1 Exchange,
+    64 shift/mask trees per token) must not come back. The JVM fallback
+    (use_arrow=False) keeps the previous single-exchange shape and is
+    differentially tested in test_arrow_kernels.py."""
     from tests.test_plans import plan_of
 
     p = plan_of(D.simhash(docs))
-    assert p.count("+- Exchange") == 1
-    assert p.count("+- Generate") == 1
+    assert "Exchange" not in p
+    assert "Generate" not in p
+    assert "BatchEvalPython" not in p
+    assert "MapInArrow" in p
+    p_jvm = plan_of(D.simhash(docs, use_arrow=False))
+    assert p_jvm.count("+- Exchange") == 1
+    assert p_jvm.count("+- Generate") == 1
 
 
 # ---------------------------------------------------------------------------
