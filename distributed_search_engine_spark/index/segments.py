@@ -119,11 +119,18 @@ def assign_docnums(doc_stats: DataFrame, n_partitions: int = 32) -> DataFrame:
 
 
 def _encode_partition(batch_iter, avgdl: float, rows_acc=None):
-    """mapInArrow kernel over ONE term-hash partition: input batches are
-    pre-sorted by (term, docnum) (sortWithinPartitions upstream), so term
-    runs are contiguous; everything is numpy over zero-copy Arrow buffers —
-    no pandas object columns, no per-row python."""
+    """mapInArrow kernel over ONE term-hash partition: the kernel sorts
+    its partition by (part, term, docnum) itself (Arrow sort_indices +
+    take — bytewise string order, identical to Spark's UTF8 binary
+    ordering, and the key is unique so the order is total), so the
+    upstream plan needs only the part-keyed repartition, not a Tungsten
+    sortWithinPartitions of the full posting rows (round-6: the external
+    row sort serialized every positions array through the sorter; the
+    Arrow take is a single columnar gather). Everything downstream is
+    numpy over zero-copy Arrow buffers — no pandas object columns, no
+    per-row python."""
     import pyarrow as pa
+    import pyarrow.compute as _pc
 
     batches = list(batch_iter)
     if not batches:
@@ -132,6 +139,15 @@ def _encode_partition(batch_iter, avgdl: float, rows_acc=None):
     n_rows = tbl.num_rows
     if n_rows == 0:
         return
+    order = _pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("part", "ascending"),
+            ("term", "ascending"),
+            ("docnum", "ascending"),
+        ],
+    )
+    tbl = tbl.take(order).combine_chunks()
     part = tbl.column("part").chunk(0).to_numpy(zero_copy_only=False)
     if rows_acc is not None:
         # manifest input_rows lineage metric, collected inside the encode
@@ -346,7 +362,9 @@ def build_segments(
         rows_acc = sc.accumulator({}, _DictSumParam())
         seg = (
             sub.repartition(max(2 * len(batch), 8), "part")
-            .sortWithinPartitions("part", "term", "docnum")
+            # no sortWithinPartitions: the encode kernel lexsorts its
+            # partition columnarly (see _encode_partition) — the external
+            # row sort of the full posting rows was ~1/3 of the stage
             .mapInArrow(
                 lambda it: _encode_partition(it, avgdl, rows_acc),
                 schema="part int, " + SEGMENT_SCHEMA,
