@@ -501,6 +501,189 @@ def hll_registers_arrow(
 
 
 # ---------------------------------------------------------------------------
+# vector assignment kernels (k-means argmin, IVFADC residual-PQ codes)
+#
+# The JVM path evaluates zip_with+aggregate folds per (row, centroid) —
+# CodegenFallback, interpreted, with a zipped-array allocation each: the
+# PQ code assignment alone is K_coarse*dim + M*K*dsub ≈ 2k interpreted
+# folds per row. These kernels run the SAME float ops in the SAME order
+# (vectorized across rows, sequential across dims: acc = acc + d*d), so
+# raw distances are bit-identical; rounded values reproduce Spark's
+# HALF_UP round(x, 6) exactly (see _round6_half_up).
+# ---------------------------------------------------------------------------
+
+
+def _round6_half_up(x):
+    """Vectorized twin of Spark's round(double, 6): BigDecimal.valueOf(x)
+    (= shortest decimal repr) setScale(6, HALF_UP). Fast path
+    floor(x*1e6 + 0.5) — exact except within ~1e-8 of a .5 boundary
+    (float-product error ≤ ~2^-53 relative, and shortest-repr vs exact
+    binary differs by < half an ulp) — with a decimal slow path for the
+    |frac-0.5| < 1e-6 guard band. Non-negative domain (squared
+    distances)."""
+    import numpy as np
+
+    y = x * 1e6
+    frac = y - np.floor(y)
+    out = np.floor(y + 0.5) / 1e6
+    mask = np.abs(frac - 0.5) < 1e-6
+    if mask.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        vals = [
+            float(Decimal(repr(float(v))).quantize(q, ROUND_HALF_UP))
+            for v in np.atleast_1d(x[mask])
+        ]
+        out[mask] = vals
+    return out
+
+
+def _vec_matrix(vcol, dim: int):
+    """(n, dim) float64 matrix from an Arrow list<double> column; raises
+    if any row's length differs (the JVM fold would silently misbehave
+    there too — better loud)."""
+    import numpy as np
+
+    if hasattr(vcol, "combine_chunks"):
+        vcol = vcol.combine_chunks()
+    offsets = vcol.offsets.to_numpy(zero_copy_only=False)
+    if not (np.diff(offsets) == dim).all():
+        raise ValueError("embedding rows are not uniformly sized")
+    flat = vcol.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    base = offsets[0]
+    return flat[base : base + len(vcol) * dim].reshape(-1, dim)
+
+
+def _seq_sq_dists(v, cents):
+    """(n, K) squared L2 distances, accumulated sequentially over dims
+    (identical float op order to the zip_with/aggregate left fold)."""
+    import numpy as np
+
+    n, dim = v.shape
+    out = np.empty((n, len(cents)), dtype=np.float64)
+    for k, c in enumerate(cents):
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(dim):
+            d = v[:, i] - c[i]
+            acc = acc + d * d
+        out[:, k] = acc
+    return out
+
+
+def assign_clusters_arrow(
+    docs_emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_vec: bool = False,
+) -> DataFrame:
+    """(id, [v,] cluster, sqdist): nearest-centroid assignment — the
+    clustering._best_expr twin (argmin over raw distances, ties to the
+    lowest cluster = numpy first-occurrence argmin; sqdist is the raw
+    double — callers apply F.round like the JVM path)."""
+    dim = len(centroids[0])
+    cents = [list(map(float, c)) for c in centroids]
+    sel = docs_emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def _kernel(batch_iter):
+        import numpy as np
+        import pyarrow as pa
+
+        for full in batch_iter:
+            for off in range(0, full.num_rows, CHUNK_DOCS):
+                batch = full.slice(off, CHUNK_DOCS)
+                if batch.num_rows == 0:
+                    continue
+                v = _vec_matrix(batch.column("v"), dim)
+                dists = _seq_sq_dists(v, cents)
+                cluster = np.argmin(dists, axis=1)
+                sq = dists[np.arange(len(cluster)), cluster]
+                cols = [batch.column("id")]
+                names = ["id"]
+                if keep_vec:
+                    cols.append(batch.column("v"))
+                    names.append("v")
+                cols += [
+                    pa.array(cluster.astype(np.int32), type=pa.int32()),
+                    pa.array(sq, type=pa.float64()),
+                ]
+                names += ["cluster", "sqdist"]
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    schema = "id long, " + ("v array<double>, " if keep_vec else "") + (
+        "cluster int, sqdist double"
+    )
+    return sel.mapInArrow(_kernel, schema=schema)
+
+
+def coded_corpus_arrow(
+    emb: DataFrame,
+    coarse_cents: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, code_0..code_{M-1}): the IVFADC encode — coarse
+    argmin (raw distances, ties to lowest cell), residual v - c_cell,
+    per-subspace PQ code = 1-based first-position argmin over the
+    6dp-ROUNDED codeword distances, exactly similarity.pq-code
+    arithmetic (array_position(darr, array_min(darr)) on rounded
+    values)."""
+    dim = len(coarse_cents[0])
+    n_m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    cents = [list(map(float, c)) for c in coarse_cents]
+    books = [[list(map(float, cw)) for cw in book] for book in codebooks]
+    sel = emb.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+
+    def _kernel(batch_iter):
+        import numpy as np
+        import pyarrow as pa
+
+        cents_arr = np.array(cents, dtype=np.float64)
+        for full in batch_iter:
+            for off in range(0, full.num_rows, CHUNK_DOCS):
+                batch = full.slice(off, CHUNK_DOCS)
+                if batch.num_rows == 0:
+                    continue
+                v = _vec_matrix(batch.column("v"), dim)
+                cluster = np.argmin(_seq_sq_dists(v, cents), axis=1)
+                r = v - cents_arr[cluster]
+                cols = [
+                    batch.column("id"),
+                    pa.array(cluster.astype(np.int32), type=pa.int32()),
+                ]
+                names = ["id", "cluster"]
+                for m in range(n_m):
+                    sub = r[:, m * dsub : (m + 1) * dsub]
+                    darr = _round6_half_up(
+                        np.stack(
+                            [
+                                _seq_sq_dists(sub, [cw])[:, 0]
+                                for cw in books[m]
+                            ],
+                            axis=1,
+                        )
+                    )
+                    code = np.argmin(darr, axis=1) + 1  # 1-based, first min
+                    cols.append(pa.array(code.astype(np.int32), type=pa.int32()))
+                    names.append(f"code_{m}")
+                yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    schema = "id long, cluster int, " + ", ".join(
+        f"code_{m} int" for m in range(n_m)
+    )
+    return sel.mapInArrow(_kernel, schema=schema)
+
+
+# ---------------------------------------------------------------------------
 # trigram postings: (trigram, doc_id) distinct per doc — index/trigram twin
 # ---------------------------------------------------------------------------
 

@@ -103,8 +103,25 @@ def assign_clusters(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
-    """(id, cluster, sqdist) — nearest-centroid assignment, map-only."""
+    """(id, cluster, sqdist) — nearest-centroid assignment, map-only.
+
+    use_arrow=True (default): the argmin scan runs as a numpy kernel
+    (operators/arrow_kernels.assign_clusters_arrow) — identical float op
+    order (sequential over dims), raw-distance argmin with ties to the
+    lowest cluster, 6dp rounding still applied by the JVM F.round. The
+    zip_with/aggregate folds are CodegenFallback, K x dim interpreted
+    folds per row; use_arrow=False keeps them for differential tests."""
+    if use_arrow:
+        from .arrow_kernels import assign_clusters_arrow
+
+        out = assign_clusters_arrow(emb, centroids, id_col, vec_col)
+        return out.select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.round(F.col("sqdist"), 6).alias("sqdist"),
+        )
     best = _best_expr(centroids)
     return (
         _vec(emb, id_col, vec_col)
@@ -122,18 +139,29 @@ def update_centroids(
     centroids: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    use_arrow: bool = True,
 ) -> DataFrame:
     """One Lloyd update: (cluster, n, c0..c{dim-1}) — per-cluster member
     count and element-wise mean (rounded 6dp at the comparison
     boundary). One shuffle, map-side partial agg; only clusters with
     members appear (empty clusters are the driver loop's concern)."""
     dim = len(centroids[0])
-    best = _best_expr(centroids)
-    assigned = (
-        _vec(emb, id_col, vec_col)
-        .select("v", best.alias("b"))
-        .select("v", F.col("b.cluster").alias("cluster"))
-    )
+    # assignment via the numpy kernel (same float ops/order — see
+    # assign_clusters); the per-cluster mean aggregation stays exactly
+    # the JVM path it always was
+    if use_arrow:
+        from .arrow_kernels import assign_clusters_arrow
+
+        assigned = assign_clusters_arrow(
+            emb, centroids, id_col, vec_col, keep_vec=True
+        ).select("v", "cluster")
+    else:
+        best = _best_expr(centroids)
+        assigned = (
+            _vec(emb, id_col, vec_col)
+            .select("v", best.alias("b"))
+            .select("v", F.col("b.cluster").alias("cluster"))
+        )
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("int").alias("n"),
         *[

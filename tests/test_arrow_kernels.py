@@ -122,3 +122,93 @@ def test_trigram_kernel_matches_jvm(spark, kdocs):
     assert _rows(TRI.trigram_postings(kdocs)) == _rows(
         TRI.trigram_postings(kdocs, use_arrow=False)
     )
+
+
+# ---------------------------------------------------------------------------
+# vector assignment kernels (k-means argmin, IVFADC residual-PQ codes):
+# raw distances use the identical sequential float fold, PQ codes argmin
+# over HALF_UP-rounded distances — all pinned against the JVM paths.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def kvecs(spark):
+    from pyspark.sql import functions as F
+
+    vec = F.array(
+        *[
+            (F.xxhash64(F.col("id"), F.lit(d)) / F.lit(float(1 << 63)))
+            for d in range(16)
+        ]
+    )
+    return spark.range(800).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+
+
+def test_assign_clusters_kernel_matches_jvm(spark, kvecs):
+    from distributed_search_engine_spark.operators.clustering import (
+        assign_clusters,
+        seeded_centroids,
+    )
+
+    cents = seeded_centroids(8, 16, seed=5)
+    assert _rows(assign_clusters(kvecs, cents)) == _rows(
+        assign_clusters(kvecs, cents, use_arrow=False)
+    )
+
+
+def test_update_centroids_kernel_matches_jvm(spark, kvecs):
+    from distributed_search_engine_spark.operators.clustering import (
+        seeded_centroids,
+        update_centroids,
+    )
+
+    cents = seeded_centroids(8, 16, seed=5)
+    assert _rows(update_centroids(kvecs, cents)) == _rows(
+        update_centroids(kvecs, cents, use_arrow=False)
+    )
+
+
+def test_coded_corpus_kernel_matches_jvm(spark, kvecs, tmp_path):
+    from distributed_search_engine_spark.operators.clustering import (
+        seeded_centroids,
+    )
+    from distributed_search_engine_spark.operators.similarity import (
+        persist_coded_corpus,
+        pq_train,
+        residuals,
+    )
+
+    cents = seeded_centroids(4, 16, seed=5)
+    books = pq_train(
+        residuals(kvecs, cents), seeded_centroids(4, 16, seed=17),
+        m_subs=4, iters=1, id_col="id", vec_col="r",
+    )
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    persist_coded_corpus(kvecs, cents, books, d1)
+    persist_coded_corpus(kvecs, cents, books, d2, use_arrow=False)
+    r1 = _rows(spark.read.option("basePath", d1).parquet(d1))
+    r2 = _rows(spark.read.option("basePath", d2).parquet(d2))
+    assert r1 == r2
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """The kernel's vectorized HALF_UP twin vs Spark's round(x, 6),
+    including exact .5 boundaries and shortest-repr corner values."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from distributed_search_engine_spark.operators.arrow_kernels import (
+        _round6_half_up,
+    )
+
+    vals = [
+        0.0, 0.25, 1.0000005, 2.9999995, 0.1234565, 0.12345649999,
+        0.1234575, 3.0000004999, 123.4567894999, 123.4567895,
+        7.000000499999999, 0.9999995, 1e-7, 4.9999995e-1,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = [r["y"] for r in df.select(F.round("x", 6).alias("y")).collect()]
+    got = list(_round6_half_up(np.array(vals, dtype=np.float64)))
+    assert got == want, list(zip(vals, got, want))
