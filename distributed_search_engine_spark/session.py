@@ -37,14 +37,12 @@ def get_spark(
         # doc_stats / term dictionaries are broadcast-sized well past the
         # 10 MB default; a real cluster would size this to executor memory
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # let the planner pick shuffled-hash over sort-merge when its size
-        # conditions hold (guide §9 baseline): the bigram-LM and dedup
-        # candidate joins lose their sorts of the big side (A/B at 60k:
-        # lm 6.3->5.9 s, jaccard 4.0->3.3 s, consistent across rounds).
-        # Scale note: SHJ needs the per-partition build side in memory;
-        # AQE partition sizing + skew splitting (both on) keep that
-        # bounded, and broadcast joins still take precedence.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # NOTE (r6): spark.sql.join.preferSortMergeJoin=false was trialed
+        # (guide §9 suggests allowing shuffled-hash joins) and REVERTED:
+        # the apparent per-stage wins came from a fixed-order warm-up
+        # artifact in the A/B; with the comparison order reversed the
+        # default sort-merge planning won or tied on every stage measured
+        # (OPTIMIZATION_r06.md, negative results).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
